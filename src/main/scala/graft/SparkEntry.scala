@@ -26,6 +26,24 @@ object SparkEntry {
     "q13_agg_pricing" -> (Relational.q13 _),
     "q14_distinct" -> (Relational.q14 _),
     "q23_sort_limit" -> (Relational.q23 _),
+    "q11_join_range" -> (Relational2.q11 _),
+    "q12_join_asof" -> (Relational2.q12 _),
+    "q15_approx_distinct" -> (Relational2.q15 _),
+    "q16_rollup" -> (Relational2.q16 _),
+    "q17_cube" -> (Relational2.q17 _),
+    "q18_agg_conditional" -> (Relational2.q18 _),
+    "q19_win_rank" -> (Relational2.q19 _),
+    "q20_win_analytic" -> (Relational2.q20 _),
+    "q21_win_frames" -> (Relational2.q21 _),
+    "q22_win_topk" -> (Relational2.q22 _),
+    "q24_sort_nulls" -> (Relational2.q24 _),
+    "q25_union" -> (Relational2.q25 _),
+    "q26_intersect_except" -> (Relational2.q26 _),
+    "q27_strings" -> (Relational2.q27 _),
+    "q28_dates" -> (Relational2.q28 _),
+    "q29_math" -> (Relational2.q29 _),
+    "q30_arrays" -> (Relational2.q30 _),
+    "q31_json_map" -> (Relational2.q31 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +62,22 @@ object SparkEntry {
     "q13_agg_pricing" -> Relational.q13Sql,
     "q14_distinct" -> Relational.q14Sql,
     "q23_sort_limit" -> Relational.q23Sql,
+    "q11_join_range" -> Relational2.q11Sql,
+    "q12_join_asof" -> Relational2.q12Sql,
+    "q16_rollup" -> Relational2.q16Sql,
+    "q17_cube" -> Relational2.q17Sql,
+    "q18_agg_conditional" -> Relational2.q18Sql,
+    "q19_win_rank" -> Relational2.q19Sql,
+    "q20_win_analytic" -> Relational2.q20Sql,
+    "q21_win_frames" -> Relational2.q21Sql,
+    "q22_win_topk" -> Relational2.q22Sql,
+    "q24_sort_nulls" -> Relational2.q24Sql,
+    "q25_union" -> Relational2.q25Sql,
+    "q26_intersect_except" -> Relational2.q26Sql,
+    "q27_strings" -> Relational2.q27Sql,
+    "q28_dates" -> Relational2.q28Sql,
+    "q29_math" -> Relational2.q29Sql,
+    "q30_arrays" -> Relational2.q30Sql,
+    "q31_json_map" -> Relational2.q31Sql,
   )
 }
