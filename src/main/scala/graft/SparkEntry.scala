@@ -44,6 +44,15 @@ object SparkEntry {
     "q29_math" -> (Relational2.q29 _),
     "q30_arrays" -> (Relational2.q30 _),
     "q31_json_map" -> (Relational2.q31 _),
+    "q32_tumbling_window" -> (StreamingBatch.q32 _),
+    "q33_sliding_window" -> (StreamingBatch.q33 _),
+    "q34_session_window" -> (StreamingBatch.q34 _),
+    "q35_dedup_exact" -> (LlmOps.q35 _),
+    "q36_neardup_jaccard" -> (LlmOps.q36 _),
+    "q37_ann_topk" -> (LlmOps.q37 _),
+    "q38_token_stats" -> (LlmOps.q38 _),
+    "q39_tfidf" -> (LlmOps.q39 _),
+    "q40_nested_struct" -> (LlmOps.q40 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +88,14 @@ object SparkEntry {
     "q29_math" -> Relational2.q29Sql,
     "q30_arrays" -> Relational2.q30Sql,
     "q31_json_map" -> Relational2.q31Sql,
+    "q32_tumbling_window" -> StreamingBatch.q32Sql,
+    "q33_sliding_window" -> StreamingBatch.q33Sql,
+    "q34_session_window" -> StreamingBatch.q34Sql,
+    "q35_dedup_exact" -> LlmOps.q35Sql,
+    "q36_neardup_jaccard" -> LlmOps.q36Sql,
+    "q37_ann_topk" -> LlmOps.q37Sql,
+    "q38_token_stats" -> LlmOps.q38Sql,
+    "q39_tfidf" -> LlmOps.q39Sql,
+    "q40_nested_struct" -> LlmOps.q40Sql,
   )
 }

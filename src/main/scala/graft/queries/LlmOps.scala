@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (SURVEY.md §2.C.10): dedup, near-dup
+  * similarity, ANN search, text statistics, TF-IDF, nested/multimodal
+  * columns. Designed for 100 TB: no operator materializes O(n²) rows
+  * unless the declared output itself is a pair set, and the near-dup
+  * join picks its physical strategy by data shape (bitmask encoding for
+  * tiny vocabularies, inverted-index token join otherwise).
+  */
+object LlmOps {
+  import Relational.rd
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars",
+        array_distinct(split($"text", " ")).as("toks"))
+  }
+
+  // ---- Q35: exact dedup (one row per distinct text, keep MIN(doc_id)) -
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"),
+        min($"n_chars").as("n_chars"))
+      .select($"keep_id", $"n_dups", $"n_chars")
+      .orderBy($"keep_id")
+  }
+  val q35Sql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups, MIN(n_chars) AS n_chars
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  // ---- Q36: near-dup pairs, exact Jaccard >= 0.7 on token sets --------
+  // Physical strategy is chosen by vocabulary size (one tiny distinct
+  // count up front):
+  //  * vocab <= 62  → encode each token set as an int64 bitmask, dedupe
+  //    masks, compare distinct masks pairwise with bit_count arithmetic
+  //    (columnar, no row explosion), then expand back to doc pairs.
+  //  * otherwise    → inverted-index token join (explode tokens, equi-join
+  //    on token, count co-occurrences) — the standard scalable set-join.
+  // Both paths produce the exact-Jaccard pair set; only candidates are
+  // pruned differently.
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id", $"toks", size($"toks").as("sz"))
+    val tok = d.select($"doc_id", explode($"toks").as("tok"))
+    val vocabSize = tok.select($"tok").distinct().count()
+
+    val pairs =
+      if (vocabSize <= 62) {
+        val vocab = tok.select($"tok").distinct()
+          .withColumn("idx",
+            (row_number().over(Window.orderBy($"tok")) - 1).cast("long"))
+        val masks = tok.join(broadcast(vocab), "tok")
+          .groupBy($"doc_id")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))")).as("mask"))
+        val groups = masks.groupBy($"mask")
+          .agg(sort_array(collect_list($"doc_id")).as("ids"),
+            bit_count($"mask").cast("double").as("sz"))
+        val g1 = groups.as("g1")
+        val g2 = groups.as("g2")
+        g1.join(g2, $"g1.mask" <= $"g2.mask")
+          .withColumn("inter", bit_count($"g1.mask".bitwiseAND($"g2.mask")).cast("double"))
+          .withColumn("jac", $"inter" / ($"g1.sz" + $"g2.sz" - $"inter"))
+          .filter($"jac" >= 0.7)
+          .select($"g1.mask".as("m1"), $"g2.mask".as("m2"),
+            explode($"g1.ids").as("a"), $"g2.ids", $"jac")
+          .select($"m1", $"m2", $"a", explode($"g2.ids").as("b"), $"jac")
+          // same-mask group joined to itself once: keep a<b; distinct
+          // masks: every cross pair is valid, canonicalize to (min,max).
+          .filter($"m1" < $"m2" || $"a" < $"b")
+          .select(least($"a", $"b").as("doc_a"), greatest($"a", $"b").as("doc_b"),
+            round($"jac", 6).as("jaccard"))
+      } else {
+        val x = tok.join(d.select($"doc_id", $"sz"), "doc_id")
+        x.as("x").join(x.as("y"),
+            $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")
+          .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+            $"x.sz".as("sza"), $"y.sz".as("szb"))
+          .agg(count(lit(1)).cast("double").as("inter"))
+          .withColumn("jac", $"inter" / ($"sza" + $"szb" - $"inter"))
+          .filter($"jac" >= 0.7)
+          .select($"a".as("doc_a"), $"b".as("doc_b"), round($"jac", 6).as("jaccard"))
+      }
+    pairs.orderBy($"doc_a", $"doc_b")
+  }
+  val q36Sql: String =
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |           FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Cosine similarity between two double arrays via codegen'd HOFs:
+    * element-order-sequential reduction (SURVEY rule §2.C.0.4). */
+  def cosineCols(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(b, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  // ---- Q37: brute-force cosine top-k (k=10) for query vectors 0,1,2 ---
+  // The 3 query vectors are broadcast; every data partition scores its
+  // vectors locally, and only the global top-k passes the final window —
+  // at scale this is one broadcast + one shuffle of k*queries rows.
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = emb.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"vec_id")
+    emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("score", round(cosineCols($"qv", $"v"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"rnk", $"vec_id", $"score")
+      .orderBy($"query_id", $"rnk")
+  }
+  val q37Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+      |s AS (SELECT q.query_id, e.vec_id,
+      |        round(
+      |          list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * v[i]), (a,b) -> a + b)
+      |          / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]), (a,b) -> a + b))
+      |           * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (a,b) -> a + b))), 6) AS score
+      |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT query_id, vec_id, score,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      |      FROM s)
+      |SELECT query_id, rnk, vec_id, score FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // ---- Q38: token statistics per language -----------------------------
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("token"))
+    val counts = tok.groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"lang")
+      .agg(sum($"n").as("total_tokens"), count(lit(1)).as("distinct_tokens"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
+    counts.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .join(totals, "lang")
+      .select($"lang", $"rnk", $"token", $"n", $"total_tokens", $"distinct_tokens")
+      .orderBy($"lang", $"rnk")
+  }
+  val q38Sql: String =
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),
+      |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS total_tokens, COUNT(*) AS distinct_tokens
+      |      FROM c GROUP BY lang),
+      |r AS (SELECT lang, token, n,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+      |      FROM c)
+      |SELECT lang, rnk, token, n, total_tokens, distinct_tokens
+      |FROM r JOIN t USING (lang) WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
+  // ---- Q39: TF-IDF, fixed formula (SURVEY contract) -------------------
+  // tf = count(term in doc); idf = ln((N+1)/(df+1)) + 1; ranking uses the
+  // ROUNDED score so cross-engine float noise cannot reorder ties.
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+    val n = d.count()
+    val term = d.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = term.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.filter($"doc_id" < 50)
+      .join(df, "term")
+      .withColumn("score",
+        round($"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"score")
+      .orderBy($"doc_id", $"rnk")
+  }
+  val q39Sql: String =
+    """WITH term AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+      |         round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+      |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |       WHERE tf.doc_id < 50),
+      |r AS (SELECT doc_id, term, tf, score,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      |      FROM sc)
+      |SELECT doc_id, rnk, term, tf, score FROM r WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  // ---- Q40: nested struct/array columns, parquet round-trip -----------
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nested = Tables(s, dir, "documents")
+      .groupBy($"source")
+      .agg(sort_array(collect_list(struct($"doc_id", $"lang", $"n_chars")))
+        .as("records"))
+    // exercise ArrayType(StructType) round-trip through parquet
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q40_nested"
+    nested.write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .select($"source", posexplode($"records").as(Seq("pos", "rec")))
+      .select($"source", ($"pos" + 1).cast("long").as("pos"),
+        $"rec.doc_id".as("doc_id"), $"rec.lang".as("lang"),
+        $"rec.n_chars".as("n_chars"))
+      .orderBy($"source", $"pos")
+  }
+  val q40Sql: String =
+    """SELECT source,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS pos,
+      |  doc_id, lang, n_chars
+      |FROM documents ORDER BY source, pos""".stripMargin
+}
