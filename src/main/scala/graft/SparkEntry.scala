@@ -53,6 +53,8 @@ object SparkEntry {
     "q38_token_stats" -> (LlmOps.q38 _),
     "q39_tfidf" -> (LlmOps.q39 _),
     "q40_nested_struct" -> (LlmOps.q40 _),
+    "s01_move_single" -> (FileMover.s01 _),
+    "s02_move_collision" -> (FileMover.s02 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +99,7 @@ object SparkEntry {
     "q38_token_stats" -> LlmOps.q38Sql,
     "q39_tfidf" -> LlmOps.q39Sql,
     "q40_nested_struct" -> LlmOps.q40Sql,
+    "s01_move_single" -> FileMover.s01Sql,
+    "s02_move_collision" -> FileMover.s02Sql,
   )
 }

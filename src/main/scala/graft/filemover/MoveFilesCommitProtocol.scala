@@ -1,0 +1,114 @@
+package graft.filemover
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.mapreduce.JobContext
+import org.apache.spark.internal.Logging
+import org.apache.spark.internal.io.FileCommitProtocol.TaskCommitMessage
+import org.apache.spark.sql.execution.datasources.SQLHadoopMapReduceCommitProtocol
+
+/** Post-commit file relocation (FM1–FM9 of SURVEY.md §2.A) re-expressed
+  * on Spark 4's [[org.apache.spark.internal.io.FileCommitProtocol]].
+  *
+  * Register session-wide and trigger per write:
+  * {{{
+  * spark.conf.set("spark.sql.sources.commitProtocolClass",
+  *   "graft.filemover.MoveFilesCommitProtocol")
+  * df.write.option("spark.writer.movefiles",
+  *     "\$outputDirectory/part_\$category.csv")
+  *   .partitionBy("category").csv(out)
+  * }}}
+  * The per-write option travels through
+  * `sessionState.newHadoopConfWithOptions` into the job's Hadoop
+  * configuration, where `commitJob` (driver-side) reads it back — the
+  * same channel the reference uses (`MoveFilesOutputCommitter.scala:16`).
+  *
+  * Deviations from the reference, each deliberate (SURVEY §4.3):
+  *  - the recursive listing is streamed, not `toList`'d, and the plan
+  *    holds only (source, target) path pairs — metadata-scale memory;
+  *  - renames run on a bounded thread pool (HDFS renames are O(1)
+  *    metadata RPCs; latency, not bandwidth, dominates at fan-out);
+  *  - every `fs.rename` result is checked and failures are logged
+  *    (the reference silently ignores them, `M:52`);
+  *  - the debug `println` of the plan (`M:49`) is structured logging.
+  * Collision-gate and template semantics are identical (all-or-nothing,
+  * same grammar, same `NoSuchElementException` error contract).
+  */
+class MoveFilesCommitProtocol(jobId: String, path: String,
+    dynamicPartitionOverwrite: Boolean)
+  extends SQLHadoopMapReduceCommitProtocol(jobId, path,
+    dynamicPartitionOverwrite) with Logging {
+
+  override def commitJob(jobContext: JobContext,
+      taskCommits: Seq[TaskCommitMessage]): Unit = {
+    super.commitJob(jobContext, taskCommits)
+    val template = jobContext.getConfiguration
+      .get(MoveFilesCommitProtocol.MOVE_FILES_OPTION)
+    if (template != null) {
+      moveFiles(jobContext, template)
+    }
+  }
+
+  private def moveFiles(jobContext: JobContext, template: String): Unit = {
+    val conf = jobContext.getConfiguration
+    val outputPath = new Path(path)
+    val fs = outputPath.getFileSystem(conf)
+    val parsed = PathTemplate.parse(template)
+    val root = fs.resolvePath(new Path("/"))
+
+    // FM2/FM3: stream the recursive listing; keep only path metadata.
+    val files = ArrayBuffer.empty[Path]
+    val it = fs.listFiles(outputPath, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName != "_SUCCESS") files += p
+    }
+
+    // FM4–FM7: pure plan + all-or-nothing collision gate.
+    val renames = RenamePlanner.plan(files.toSeq, parsed, root, outputPath)
+    if (renames.isEmpty && files.nonEmpty) {
+      logInfo(s"movefiles: collision on target paths — nothing moved " +
+        s"(${files.size} files left in place under $outputPath)")
+      return
+    }
+    logInfo(s"movefiles: renaming ${renames.size} files per template '$template'")
+
+    // FM8: parallel, checked renames on a bounded pool.
+    val parallelism = math.min(16, math.max(1, renames.size))
+    val pool = Executors.newFixedThreadPool(parallelism)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+    try {
+      renames.foreach { case (from, to) =>
+        pool.execute { () =>
+          if (!fs.rename(from, to)) {
+            failures.add(from)
+            logWarning(s"movefiles: rename failed: $from -> $to")
+          }
+        }
+      }
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.HOURS)
+    } finally {
+      pool.shutdownNow()
+    }
+    if (!failures.isEmpty) {
+      throw new java.io.IOException(
+        s"movefiles: ${failures.size} of ${renames.size} renames failed " +
+          s"(first: ${failures.peek()})")
+    }
+  }
+}
+
+object MoveFilesCommitProtocol {
+  /** Per-write DataFrameWriter option holding the target template. */
+  val MOVE_FILES_OPTION = "spark.writer.movefiles"
+  /** Session conf key to register this protocol. */
+  val COMMIT_PROTOCOL_CLASS = "spark.sql.sources.commitProtocolClass"
+
+  /** Convenience: register on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set(COMMIT_PROTOCOL_CLASS, classOf[MoveFilesCommitProtocol].getName)
+}

@@ -1,0 +1,144 @@
+package graft.filemover
+
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+case class ExampleData(category: String, id: Int, value: String)
+
+/** Parity suite: the 8 observable behaviors of the reference
+  * (MoveFilesOutputCommiterTest.scala:60-154), ported onto our
+  * FileCommitProtocol-based mover over the local filesystem. */
+class MoveFilesParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    MoveFilesCommitProtocol.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val baseData = Seq(
+    ExampleData("data", 1, "foo"), ExampleData("data", 1, "fooagain"),
+    ExampleData("data", 2, "bar"), ExampleData("info", 3, "baz"))
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("mover").toFile.getAbsolutePath
+
+  private def write(out: String, template: Option[String],
+      partitionBy: Seq[String] = Nil, repartition: Int = 1,
+      data: Seq[ExampleData] = baseData): Unit = {
+    import spark.implicits._
+    var w = data.toDF().repartition(repartition).write.mode(SaveMode.Overwrite)
+    template.foreach(t => w = w.option(MoveFilesCommitProtocol.MOVE_FILES_OPTION, t))
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.csv(out)
+  }
+
+  private def listAll(dir: String): Seq[JPath] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Nil
+    else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+  }
+
+  // T:60-66 — multiple files mapping to one target → no move
+  test("multiple output files trip the collision gate: nothing moves") {
+    val out = tmpDir()
+    write(s"$out/o", Some("$outputDirectory/single.csv"), repartition = 5)
+    assert(!Files.exists(Paths.get(s"$out/o/single.csv")))
+    assert(listAll(s"$out/o").exists(_.getFileName.toString.startsWith("part-")))
+  }
+
+  // T:68-74 — default template = "$outputDirectory" → all files map to
+  // the output dir itself → collision → untouched layout
+  test("template '$outputDirectory' with several files leaves layout untouched") {
+    val out = tmpDir()
+    write(s"$out/o", Some("$outputDirectory"), repartition = 3)
+    assert(Files.isDirectory(Paths.get(s"$out/o")))
+    assert(listAll(s"$out/o").exists(_.getFileName.toString.startsWith("part-")))
+  }
+
+  // T:75-82 — single file moved to <output>.csv
+  test("single file is moved to the rendered target") {
+    val out = tmpDir()
+    write(s"$out/o", Some("$outputDirectory.csv"), repartition = 1)
+    assert(Files.isRegularFile(Paths.get(s"$out/o.csv")))
+  }
+
+  // T:84-95 — partitioned write, per-partition naming, '_' not a var char
+  test("partitioned move interpolates partition values per file") {
+    val out = tmpDir()
+    import spark.implicits._
+    baseData.toDF().repartition($"category")
+      .write.mode(SaveMode.Overwrite)
+      .option(MoveFilesCommitProtocol.MOVE_FILES_OPTION,
+        "$outputDirectory/cat_$category.csv")
+      .partitionBy("category")
+      .csv(s"$out/o")
+    assert(Files.isRegularFile(Paths.get(s"$out/o/cat_data.csv")))
+    assert(Files.isRegularFile(Paths.get(s"$out/o/cat_info.csv")))
+  }
+
+  // T:96-104 — fixed target name, no partition columns
+  test("fixed file name without partitions") {
+    val out = tmpDir()
+    write(s"$out/o", Some("$outputDirectory/fixed_name.csv"), repartition = 1)
+    assert(Files.isRegularFile(Paths.get(s"$out/o/fixed_name.csv")))
+  }
+
+  // T:106-124 — partition values with space / underscore / dash
+  test("special characters in partition values survive into file names") {
+    val out = tmpDir()
+    import spark.implicits._
+    val data = Seq(ExampleData("data with space", 1, "foo"),
+      ExampleData("data_with_underscore", 2, "bar"),
+      ExampleData("data-with-dash", 3, "baz"))
+    data.toDF().repartition($"category")
+      .write.mode(SaveMode.Overwrite)
+      .option(MoveFilesCommitProtocol.MOVE_FILES_OPTION,
+        "$outputDirectory/cat_$category.csv")
+      .partitionBy("category")
+      .csv(s"$out/o")
+    assert(Files.isRegularFile(Paths.get(s"$out/o/cat_data with space.csv")))
+    assert(Files.isRegularFile(Paths.get(s"$out/o/cat_data_with_underscore.csv")))
+    assert(Files.isRegularFile(Paths.get(s"$out/o/cat_data-with-dash.csv")))
+  }
+
+  // T:126-142 — empty and null partition values → __HIVE_DEFAULT_PARTITION__
+  test("empty/null partition values render as the Hive default placeholder") {
+    val out = tmpDir()
+    import spark.implicits._
+    val data = Seq(ExampleData("", 1, "foo"), ExampleData(null, 2, "bar"))
+    data.toDF().repartition(1)
+      .write.mode(SaveMode.Overwrite)
+      .option(MoveFilesCommitProtocol.MOVE_FILES_OPTION,
+        "$outputDirectory/cat_$category.csv")
+      .partitionBy("category")
+      .csv(s"$out/o")
+    assert(Files.isRegularFile(
+      Paths.get(s"$out/o/cat___HIVE_DEFAULT_PARTITION__.csv")))
+  }
+
+  // T:144-154 — unknown template variable fails the write
+  test("unknown template variable aborts the write with an exception") {
+    val out = tmpDir()
+    val e = intercept[Throwable] {
+      write(s"$out/o", Some("$outputDirectory/cat_$nonexistent.csv"),
+        repartition = 1)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[NoSuchElementException]
+      || c.getMessage != null && c.getMessage.contains("nonexistent")))
+  }
+}
