@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming operator surface (SURVEY.md §2.C.9).
+  *
+  * Every transform takes a DataFrame of events (`event_id, ts, user_id,
+  * event_type, value`) and works unchanged in BATCH and STREAMING mode —
+  * that is the Spark-native way to guarantee rule-7 batch equivalence:
+  * the Q32–Q34 oracle queries and the streaming tests literally share
+  * this code. Streaming-only concerns (watermarks, stateful dedup) are
+  * separate entry points because a watermark on a batch frame is a no-op
+  * but changes streaming semantics (E01/E02).
+  */
+object EventStreams {
+  import graft.queries.Relational.{dec, rd}
+
+  /** Q32 ST: tumbling 1-hour windows per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), rd(sum(dec(col("value")))).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Q33 ST: sliding 1 h / 15 min windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), rd(sum(dec(col("value")))).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("sum_value"))
+
+  /** Q34 ST: session windows, 30-minute gap, per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"))
+      .select(col("user_id"), col("start_us"), col("span_us"), col("n_events"))
+
+  /** E01: watermarked tumbling aggregation — in append mode, events
+    * arriving later than (max seen ts − 1 h) are dropped and only closed
+    * windows are emitted. */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+
+  /** E02: stateful streaming dedup on event_id, state bounded by the
+    * watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}

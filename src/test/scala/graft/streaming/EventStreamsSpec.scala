@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming tests (SURVEY.md §5.2.3): batch-equivalence for the ST
+  * queries and scripted MemoryStream batches for watermark/dedup
+  * semantics (E01/E02). */
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sf0001Events: DataFrame =
+    graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  private def runStream(transform: DataFrame => DataFrame, data: Seq[Seq[Ev]],
+      mode: OutputMode, name: String): DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = transform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    data.foreach { batch =>
+      mem.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("Q32 streaming tumbling window == batch twin") {
+    import spark.implicits._
+    val events = sf0001Events.as[Ev].collect().toSeq
+    val got = runStream(EventStreams.tumbling, Seq(events), OutputMode.Complete(), "t32")
+    val want = EventStreams.tumbling(sf0001Events)
+    assert(canon(got) == canon(want))
+  }
+
+  test("Q33 streaming sliding window == batch twin") {
+    import spark.implicits._
+    val events = sf0001Events.as[Ev].collect().toSeq
+    val got = runStream(EventStreams.sliding,
+      events.grouped(300).toSeq, OutputMode.Complete(), "t33")
+    val want = EventStreams.sliding(sf0001Events)
+    assert(canon(got) == canon(want))
+  }
+
+  test("Q34 streaming session window == batch twin") {
+    import spark.implicits._
+    val events = sf0001Events.as[Ev].collect().toSeq
+    val got = runStream(EventStreams.sessions, Seq(events), OutputMode.Complete(), "t34")
+    val want = EventStreams.sessions(sf0001Events)
+    assert(canon(got) == canon(want))
+  }
+
+  private def ev(id: Long, t: String, typ: String = "click"): Ev =
+    Ev(id, Timestamp.valueOf(t), 1L, typ, 1.0)
+
+  test("E01: append-mode watermark drops events later than 1 hour") {
+    // batch1 fills 10:00-11:00; batch2 advances watermark past it (13:30
+    // → watermark 12:30); batch3 is a late event at 10:05 → dropped.
+    val batches = Seq(
+      Seq(ev(1, "2024-01-01 10:10:00"), ev(2, "2024-01-01 10:50:00")),
+      Seq(ev(3, "2024-01-01 13:30:00")),
+      Seq(ev(4, "2024-01-01 10:05:00")), // late: behind watermark
+      Seq(ev(5, "2024-01-01 15:00:00"))) // closes the 13:00 window
+    val got = runStream(EventStreams.tumblingWithWatermark, batches,
+      OutputMode.Append(), "e01")
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rows.get("2024-01-01 10:00:00").contains(2L)) // late event NOT counted
+    assert(rows.get("2024-01-01 13:00:00").contains(1L))
+  }
+
+  test("E02: dropDuplicatesWithinWatermark dedups within the watermark") {
+    val batches = Seq(
+      Seq(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+        ev(2, "2024-01-01 10:01:00")),
+      Seq(ev(1, "2024-01-01 10:02:00"), ev(3, "2024-01-01 10:03:00")))
+    val got = runStream(EventStreams.dedupWithinWatermark, batches,
+      OutputMode.Append(), "e02")
+    val ids = got.collect().map(_.getAs[Long]("event_id")).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+}
