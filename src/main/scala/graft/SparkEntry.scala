@@ -55,6 +55,9 @@ object SparkEntry {
     "q40_nested_struct" -> (LlmOps.q40 _),
     "s01_move_single" -> (FileMover.s01 _),
     "s02_move_collision" -> (FileMover.s02 _),
+    "x37_cosine_expr" -> (Extensions.q37Expr _),
+    "x13_sum_aggregator" -> (Extensions.q13Aggregator _),
+    "x38_flatmap_tokens" -> (Extensions.q38FlatMap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +104,8 @@ object SparkEntry {
     "q40_nested_struct" -> LlmOps.q40Sql,
     "s01_move_single" -> FileMover.s01Sql,
     "s02_move_collision" -> FileMover.s02Sql,
+    "x37_cosine_expr" -> LlmOps.q37Sql,
+    "x13_sum_aggregator" -> Extensions.q13AggregatorSql,
+    "x38_flatmap_tokens" -> LlmOps.q38Sql,
   )
 }

@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{CosineSimilarity, SumOfProducts}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extension-API surface (SURVEY.md §2.C.11): three queries re-expressed
+  * through the engine's extension points. Each hash-matches the oracle of
+  * its builtin twin — that equality IS the test.
+  */
+object Extensions {
+
+  /** Q37 twin: cosine top-k through the custom codegen Expression
+    * (registered in the session function registry) instead of HOFs. */
+  def q37Expr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CosineSimilarity.register(s)
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = emb.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
+    emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("score", round(CosineSimilarity.cosineSim($"qv", $"v"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"rnk", $"vec_id", $"score")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** Q13 twin: the sum-of-products revenue column computed by the typed
+    * Aggregator (exact decimal buffer) instead of builtin sum. */
+  def q13Aggregator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sumProducts = udaf(SumOfProducts)
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(round(sumProducts($"l_extendedprice", $"l_discount"), 2)
+        .cast("double").as("sum_disc_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  val q13AggregatorSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q38 twin: tokenizer as a typed flatMap (UDTF-style one-row→many)
+    * instead of explode(split(...)). */
+  def q38FlatMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables(s, dir, "documents")
+      .select($"lang", $"text").as[(String, String)]
+      .flatMap { case (lang, text) => text.split(' ').map(t => (lang, t)) }
+      .toDF("lang", "token")
+    val counts = tok.groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"lang")
+      .agg(sum($"n").as("total_tokens"), count(lit(1)).as("distinct_tokens"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
+    counts.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .join(totals, "lang")
+      .select($"lang", $"rnk", $"token", $"n", $"total_tokens", $"distinct_tokens")
+      .orderBy($"lang", $"rnk")
+  }
+}

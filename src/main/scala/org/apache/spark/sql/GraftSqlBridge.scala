@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into the `private[sql]` Column ↔ Expression converters
+  * (Spark 4 made Column implementation-agnostic; classic-mode libraries
+  * use this standard shim to expose custom Catalyst expressions as
+  * Columns). Nothing else from the private API surface is touched.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
