@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additional training-data-pipeline operators beyond SURVEY §2.C.10:
+  * language-ID heuristics, quality scoring, subword token counting,
+  * document fingerprinting (rolling hash), n-gram Jaccard near-dup,
+  * embedding-cosine near-dup, SimHash. All use portable arithmetic
+  * (integer polynomial hashes, decimal/rounded doubles) so every one is
+  * verified against the DuckDB oracle, not just rows-counted.
+  */
+object LlmOps2 {
+
+  // ---- Q41: text quality + n-gram-free language-ID heuristic ----------
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "data", "value", "table")
+    Tables(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_distinct", size(array_distinct($"toks")))
+      .withColumn("n_stop",
+        size(filter($"toks", t => t.isin(stop.map(x => x: Any): _*))))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        round($"n_distinct".cast("double") / $"n_tokens", 4).as("ttr"),
+        round($"n_stop".cast("double") / $"n_tokens", 4).as("stop_ratio"),
+        round($"sum_len".cast("double") / $"n_tokens", 4).as("avg_token_len"),
+        // exact integer arithmetic (0..10000): no float rounding at
+        // half-way boundaries, identical in any engine
+        (expr("(4000 * n_distinct + 3000 * n_stop) div n_tokens")
+          + lit(30) * least($"n_tokens", lit(100))).as("quality_score"),
+        when($"n_stop".cast("double") / $"n_tokens" >= 0.1, "en")
+          .otherwise("other").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+  val q41Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    len(toks) AS n_tokens,
+      |    len(list_distinct(toks)) AS n_distinct,
+      |    len(list_filter(toks, t -> t IN ('the','a','data','value','table'))) AS n_stop,
+      |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_len
+      |  FROM d)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr,
+      |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+      |  round(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+      |  CAST((4000 * n_distinct + 3000 * n_stop) // n_tokens
+      |      + 30 * least(n_tokens, 100) AS BIGINT) AS quality_score,
+      |  CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.1 THEN 'en' ELSE 'other' END AS pred_lang
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---- Q42: token counting — whitespace, regex, BPE-ish subwords ------
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+"), lit(0)))
+          .as("n_re_tokens"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + CAST((length(t) + 3) / 4 AS BIGINT))")
+          .as("n_subwords"))
+      .orderBy($"doc_id")
+  }
+  val q42Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    t -> (len(t) + 3) // 4)) AS BIGINT) AS n_subwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- Q43: document fingerprint — polynomial rolling hash ------------
+  // Portable arithmetic (base-31 fold mod 1e9+7 over the first 64 chars)
+  // gives bit-identical fingerprints in any engine — unlike built-in
+  // hash()/xxhash64, whose bit patterns are engine-specific.
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        expr("""aggregate(
+          transform(sequence(1, least(length(text), 64)),
+                    i -> ascii(substring(text, i, 1))),
+          0L, (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+  val q43Sql: String =
+    """SELECT doc_id, n_chars,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, least(len(text), 64)),
+      |                     i -> CAST(ascii(text[i]) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- Q44: n-gram (word trigram) Jaccard near-dup pairs --------------
+  // Trigram sets are sparse (unlike the 31-token unigram vocab), so the
+  // inverted-index join IS the scale path here: candidates only exist
+  // for docs sharing a full trigram.
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .withColumn("sp", split($"text", " "))
+      .withColumn("tris",
+        when(size($"sp") < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(expr(
+            """transform(sequence(1, size(sp) - 2),
+               i -> concat_ws(' ', sp[i-1], sp[i], sp[i+1]))"""))))
+      .select($"doc_id", $"tris", size($"tris").cast("double").as("sz"))
+    val tri = d.select($"doc_id", $"sz", explode($"tris").as("tri"))
+    tri.as("x").join(tri.as("y"),
+        $"x.tri" === $"y.tri" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.sz".as("sza"), $"y.sz".as("szb"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .withColumn("jac", $"inter" / ($"sza" + $"szb" - $"inter"))
+      .filter($"jac" >= 0.2)
+      .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val q44Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(len(sp) - 2, 1)),
+      |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])) AS tris
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+      |    / (len(a.tris) + len(b.tris) - len(list_intersect(a.tris, b.tris))), 6) AS jaccard
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+      |    / (len(a.tris) + len(b.tris) - len(list_intersect(a.tris, b.tris))) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- Q45: embedding-cosine near-dup pairs (exact, threshold 0.35) ---
+  // Brute force is the declared-exact baseline; the LSH/IVF scale path
+  // is Q48 (engine-only, recall-tested). Scoring runs through the custom
+  // codegen Expression — one fused loop per pair.
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", CosineSimilarity.cosineSim($"a.v", $"b.v"))
+      .filter($"cos" >= 0.35)
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+        round($"cos", 6).as("cosine"))
+      .orderBy($"a_id", $"b_id")
+  }
+  val q45Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |        list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * b.v[k]), (x,y) -> x + y)
+      |        / (sqrt(list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * a.v[k]), (x,y) -> x + y))
+      |         * sqrt(list_reduce(list_transform(generate_series(1, 64), k -> b.v[k] * b.v[k]), (x,y) -> x + y))) AS cos
+      |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, round(cos, 6) AS cosine FROM s WHERE cos >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- Q46: SimHash fingerprint (32-bit, portable token hashes) -------
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docTok = Tables(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+    // tiny dimension: one portable hash per distinct token
+    val tokHash = docTok.select($"tok").distinct()
+      .withColumn("h", expr(
+        """aggregate(
+           transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
+           0L, (acc, x) -> (acc * 131 + x) % 2147483647)"""))
+    val bits = docTok.join(broadcast(tokHash), "tok")
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("sgn",
+        expr("CASE WHEN (shiftright(h, CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
+      .groupBy($"doc_id", $"j")
+      .agg(sum($"sgn").as("s"))
+    bits.groupBy($"doc_id")
+      .agg(sum(when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+  val q46Sql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT tok,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, len(tok)), i -> CAST(ascii(tok[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 131 + x) % 2147483647) AS h
+      |  FROM (SELECT DISTINCT tok FROM dt)),
+      |bits AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM dt JOIN th USING (tok)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+      |  GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- Q49: binary column support — UTF-8 bytes, length, sha256 -------
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("bin", encode($"text", "UTF-8"))
+      .select($"doc_id",
+        octet_length($"text").as("byte_len"),
+        sha2($"bin", 256).as("digest"),
+        (decode($"bin", "UTF-8") === $"text").as("roundtrip_ok"))
+      .orderBy($"doc_id")
+  }
+  val q49Sql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS digest,
+      |  decode(encode(text)) = text AS roundtrip_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
