@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E03 (binary round-trip) + multimodal plumbing tests. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("E03: binary payload round-trips through parquet bit-exactly") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, dir)
+    assert(media.schema("payload").dataType == BinaryType)
+    val tmp = java.nio.file.Files.createTempDirectory("e03").toString
+    media.write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+    val before = media.select($"doc_id", sha2($"payload", 256).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = back.select($"doc_id", sha2($"payload", 256).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == after && before.size == 500)
+  }
+
+  test("batched feature extraction preserves rows and is deterministic") {
+    val media = Multimodal.mediaTable(spark, dir).repartition(8)
+    val f1 = Multimodal.extractImageFeatures(media, batchSize = 16)
+      .collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractImageFeatures(media, batchSize = 500)
+      .collect().sortBy(_.doc_id)
+    assert(f1.length == 500)
+    assert(f1.toSeq == f2.toSeq) // batch size cannot change results
+    assert(f1.forall(f => f.width >= 64 && f.height >= 64 && f.channels == 3))
+    assert(f1.forall(f => f.brightness > 0 && f.brightness < 1))
+  }
+
+  test("frame sampling is a one-to-many generator keyed by doc") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val frames = Multimodal.sampleFrames(media, stride = 4)
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.size == 500)
+    assert(byDoc.values.forall(_ >= 1))
+  }
+
+  test("sha2 on binary matches java MessageDigest (stub consistency)") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, dir).limit(10)
+    val viaSpark = media.toDF()
+      .select($"doc_id", sha2($"payload", 256).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaJvm = Multimodal.extractImageFeatures(media)
+      .collect().map(f => f.doc_id -> f.sha256).toMap
+    assert(viaSpark == viaJvm)
+  }
+}
