@@ -22,6 +22,25 @@ object LlmOps {
         array_distinct(split($"text", " ")).as("toks"))
   }
 
+  /** If the global vocabulary fits in an int64 (≤ 62 distinct tokens),
+    * return each doc's token set as a bitmask — set intersection then
+    * costs one AND + popcount instead of an array walk. `None` when the
+    * vocabulary is too large (callers fall back to array_intersect /
+    * inverted-index formulations). Input: (doc_id, tok) exploded pairs.
+    */
+  private[queries] def tokenBitmasks(tok: DataFrame): Option[DataFrame] = {
+    import tok.sparkSession.implicits._
+    val vocab = tok.select($"tok").distinct()
+    if (vocab.count() > 62) None
+    else {
+      val indexed = vocab.withColumn("idx",
+        (row_number().over(Window.orderBy($"tok")) - 1).cast("long"))
+      Some(tok.join(broadcast(indexed), "tok")
+        .groupBy($"doc_id")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))")).as("mask")))
+    }
+  }
+
   // ---- Q35: exact dedup (one row per distinct text, keep MIN(doc_id)) -
   def q35(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -50,16 +69,9 @@ object LlmOps {
     import s.implicits._
     val d = docs(s, dir).select($"doc_id", $"toks", size($"toks").as("sz"))
     val tok = d.select($"doc_id", explode($"toks").as("tok"))
-    val vocabSize = tok.select($"tok").distinct().count()
 
-    val pairs =
-      if (vocabSize <= 62) {
-        val vocab = tok.select($"tok").distinct()
-          .withColumn("idx",
-            (row_number().over(Window.orderBy($"tok")) - 1).cast("long"))
-        val masks = tok.join(broadcast(vocab), "tok")
-          .groupBy($"doc_id")
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))")).as("mask"))
+    val pairs = tokenBitmasks(tok) match {
+      case Some(masks) =>
         val groups = masks.groupBy($"mask")
           .agg(sort_array(collect_list($"doc_id")).as("ids"),
             bit_count($"mask").cast("double").as("sz"))
@@ -77,7 +89,7 @@ object LlmOps {
           .filter($"m1" < $"m2" || $"a" < $"b")
           .select(least($"a", $"b").as("doc_a"), greatest($"a", $"b").as("doc_b"),
             round($"jac", 6).as("jaccard"))
-      } else {
+      case None =>
         val x = tok.join(d.select($"doc_id", $"sz"), "doc_id")
         x.as("x").join(x.as("y"),
             $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")

@@ -115,6 +115,9 @@ object LlmOps2 {
             """transform(sequence(1, size(sp) - 2),
                i -> concat_ws(' ', sp[i-1], sp[i], sp[i+1]))"""))))
       .select($"doc_id", $"tris", size($"tris").cast("double").as("sz"))
+      // self-joined below: persist so the trigram construction (the
+      // dominant per-row cost) runs once, not once per join side
+      .persist()
     val tri = d.select($"doc_id", $"sz", explode($"tris").as("tri"))
     tri.as("x").join(tri.as("y"),
         $"x.tri" === $"y.tri" && $"x.doc_id" < $"y.doc_id")
