@@ -48,13 +48,17 @@ class MoveFilesCommitProtocol(jobId: String, path: String,
     val template = jobContext.getConfiguration
       .get(MoveFilesCommitProtocol.MOVE_FILES_OPTION)
     if (template != null) {
-      moveFiles(jobContext, template)
+      MoverCore.moveFiles(new Path(path), jobContext.getConfiguration, template)
     }
   }
+}
 
-  private def moveFiles(jobContext: JobContext, template: String): Unit = {
-    val conf = jobContext.getConfiguration
-    val outputPath = new Path(path)
+/** The driver-side move itself, shared by both registration hooks
+  * (commit protocol and the legacy outputCommitterClass shim). */
+private[filemover] object MoverCore extends Logging {
+
+  def moveFiles(outputPath: Path,
+      conf: org.apache.hadoop.conf.Configuration, template: String): Unit = {
     val fs = outputPath.getFileSystem(conf)
     val parsed = PathTemplate.parse(template)
     val root = fs.resolvePath(new Path("/"))

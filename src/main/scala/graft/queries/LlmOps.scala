@@ -65,12 +65,21 @@ object LlmOps {
   //    on token, count co-occurrences) — the standard scalable set-join.
   // Both paths produce the exact-Jaccard pair set; only candidates are
   // pruned differently.
-  def q36(s: SparkSession, dir: String): DataFrame = {
+  def q36(s: SparkSession, dir: String): DataFrame =
+    neardupPairs(docs(s, dir).select(col("doc_id"), col("toks")))
+
+  /** Core of Q36 over any (doc_id, toks) frame; `forceInverted` pins the
+    * generic inverted-index path (used by tests — the driver data's
+    * 31-token vocabulary always takes the bitmask path otherwise). */
+  private[queries] def neardupPairs(docsWithToks: DataFrame,
+      threshold: Double = 0.7, forceInverted: Boolean = false): DataFrame = {
+    val s = docsWithToks.sparkSession
     import s.implicits._
-    val d = docs(s, dir).select($"doc_id", $"toks", size($"toks").as("sz"))
+    val d = docsWithToks.select($"doc_id", $"toks", size($"toks").as("sz"))
     val tok = d.select($"doc_id", explode($"toks").as("tok"))
 
-    val pairs = tokenBitmasks(tok) match {
+    val masks = if (forceInverted) None else tokenBitmasks(tok)
+    val pairs = masks match {
       case Some(masks) =>
         val groups = masks.groupBy($"mask")
           .agg(sort_array(collect_list($"doc_id")).as("ids"),
@@ -80,7 +89,7 @@ object LlmOps {
         g1.join(g2, $"g1.mask" <= $"g2.mask")
           .withColumn("inter", bit_count($"g1.mask".bitwiseAND($"g2.mask")).cast("double"))
           .withColumn("jac", $"inter" / ($"g1.sz" + $"g2.sz" - $"inter"))
-          .filter($"jac" >= 0.7)
+          .filter($"jac" >= threshold)
           .select($"g1.mask".as("m1"), $"g2.mask".as("m2"),
             explode($"g1.ids").as("a"), $"g2.ids", $"jac")
           .select($"m1", $"m2", $"a", explode($"g2.ids").as("b"), $"jac")
@@ -97,7 +106,7 @@ object LlmOps {
             $"x.sz".as("sza"), $"y.sz".as("szb"))
           .agg(count(lit(1)).cast("double").as("inter"))
           .withColumn("jac", $"inter" / ($"sza" + $"szb" - $"inter"))
-          .filter($"jac" >= 0.7)
+          .filter($"jac" >= threshold)
           .select($"a".as("doc_a"), $"b".as("doc_b"), round($"jac", 6).as("jaccard"))
       }
     pairs.orderBy($"doc_a", $"doc_b")

@@ -145,18 +145,22 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
-  // ---- Q09: left anti join (customers with no orders) ----------------
+  // ---- Q09: left anti join (customers with no big urgent orders) -----
+  // (every customer has ≥1 order in this data, so the anti-join is
+  // against a filtered order set to keep the result non-trivial)
   def q09(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = Tables(s, dir, "customer")
     val o = Tables(s, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 200000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select($"c_custkey", $"c_name", $"c_mktsegment")
       .orderBy($"c_custkey")
   }
   val q09Sql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderpriority = '1-URGENT' AND o_totalprice > 200000)
       |ORDER BY c_custkey""".stripMargin
 
   // ---- Q10: cross join (125-row product) -----------------------------

@@ -129,6 +129,21 @@ class MoveFilesParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       Paths.get(s"$out/o/cat___HIVE_DEFAULT_PARTITION__.csv")))
   }
 
+  // M:10 / R:18 — the legacy outputCommitterClass registration hook
+  test("legacy outputCommitterClass hook moves files without the commit protocol") {
+    val out = tmpDir()
+    spark.conf.unset(MoveFilesCommitProtocol.COMMIT_PROTOCOL_CLASS)
+    spark.conf.set("spark.sql.sources.outputCommitterClass",
+      classOf[MoveFilesOutputCommitterCompat].getName)
+    try {
+      write(s"$out/o", Some("$outputDirectory/via_legacy_hook.csv"), repartition = 1)
+      assert(Files.isRegularFile(Paths.get(s"$out/o/via_legacy_hook.csv")))
+    } finally {
+      spark.conf.unset("spark.sql.sources.outputCommitterClass")
+      MoveFilesCommitProtocol.register(spark)
+    }
+  }
+
   // T:144-154 — unknown template variable fails the write
   test("unknown template variable aborts the write with an exception") {
     val out = tmpDir()
