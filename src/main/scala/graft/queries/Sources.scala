@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage beyond parquet+CSV (Q02): JSON and ORC
+  * round-trips, verified against the oracle over the original table —
+  * i.e. the round-trip must be lossless for the projected columns.
+  */
+object Sources {
+
+  // ---- Q50: JSON round-trip (events projection) -----------------------
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q50_json"
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.write.mode("overwrite").json(out)
+    s.read.schema(ev.schema).json(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        Relational.rd(sum(Relational.dec($"value"))).as("sum_value"))
+      .orderBy($"event_type")
+  }
+  val q50Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- Q51: ORC round-trip (nation) -----------------------------------
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q51_orc"
+    val nation = Tables(s, dir, "nation")
+    nation.write.mode("overwrite").orc(out)
+    s.read.schema(nation.schema).orc(out).orderBy($"n_nationkey")
+  }
+  val q51Sql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+}

@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed event row shared by the streaming operators and their tests. */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Running per-user state emitted by [[EventStreams.runningUserStats]]. */
+case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Streaming operator surface (SURVEY.md §2.C.9).
   *
@@ -53,4 +63,22 @@ object EventStreams {
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** E04: custom keyed state via mapGroupsWithState — a running
+    * per-user (count, sum) that survives across micro-batches. In batch
+    * mode each group is processed once, so the same code doubles as its
+    * own batch twin (asserted in EventStreamsSpec). */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserStats](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var sum = s0
+          evs.foreach { e => n += 1; sum += e.value }
+          state.update((n, sum))
+          UserStats(uid, n, sum)
+      }
+  }
 }

@@ -90,6 +90,34 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.get("2024-01-01 13:00:00").contains(1L))
   }
 
+  test("E04: mapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.runningUserStats(mem.toDS()).writeStream
+      .format("memory").queryName("e04").outputMode(OutputMode.Update()).start()
+    def e(id: Long, uid: Long, v: Double) =
+      Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), uid, "click", v)
+    mem.addData(Seq(e(1, 1, 1.0), e(2, 1, 2.0), e(3, 2, 5.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(e(4, 1, 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode sink: the LAST row per user is the final state
+    val rows = spark.table("e04").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+    val finalState = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2).maxBy(_._1) // counter is monotone → max = latest
+    }
+    assert(finalState(1L) == ((3L, 6.0)))
+    assert(finalState(2L) == ((1L, 5.0)))
+    // batch twin: same code over a static Dataset gives the same totals
+    val batch = EventStreams.runningUserStats(
+      Seq(e(1, 1, 1.0), e(2, 1, 2.0), e(3, 2, 5.0), e(4, 1, 3.0)).toDS())
+      .collect().map(s => s.user_id -> ((s.n_events, s.sum_value))).toMap
+    assert(batch == finalState)
+  }
+
   test("E02: dropDuplicatesWithinWatermark dedups within the watermark") {
     val batches = Seq(
       Seq(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
