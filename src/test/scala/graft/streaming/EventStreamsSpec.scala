@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.max
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.BeforeAndAfterAll
@@ -116,6 +117,44 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(e(1, 1, 1.0), e(2, 1, 2.0), e(3, 2, 5.0), e(4, 1, 3.0)).toDS())
       .collect().map(s => s.user_id -> ((s.n_events, s.sum_value))).toMap
     assert(batch == finalState)
+  }
+
+  test("file source: readStream over parquet events == batch twin (end-to-end)") {
+    import spark.implicits._
+    // stage the events table as a streaming source directory, with the
+    // same ns→µs handling the batch loader applies
+    val src = java.nio.file.Files.createTempDirectory("stream_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("stream_sink").toString
+    val chk = java.nio.file.Files.createTempDirectory("stream_chk").toString
+    val batchEvents = sf0001Events
+    batchEvents.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = EventStreams.tumblingWithWatermark(stream).writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode emits exactly the windows closed by the final watermark
+    // (max ts − 1 h); everything later stays in state. Compare emitted
+    // rows against the batch twin restricted to those windows.
+    val maxTs = batchEvents.agg(max($"ts")).collect().head.getTimestamp(0)
+    val wmMillis = maxTs.getTime - 3600 * 1000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expected = EventStreams.tumblingWithWatermark(batchEvents)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .filter { case (ws, _, _) => fmt.parse(ws).getTime + 3600 * 1000L <= wmMillis }
+      .toSet
+    val got = spark.read.parquet(sink).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
   }
 
   test("E02: dropDuplicatesWithinWatermark dedups within the watermark") {
