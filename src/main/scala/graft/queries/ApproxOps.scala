@@ -49,7 +49,8 @@ object ApproxOps {
     val tok = d.select($"doc_id", explode($"toks").as("tok"))
 
     // group identical token sets; one representative per distinct set
-    val masks = LlmOps.tokenBitmasks(tok).getOrElse(
+    val masksOpt = LlmOps.tokenBitmasks(tok).map(_.persist())
+    val masks = masksOpt.getOrElse(
       // generic fallback: the sorted token array is the set identity
       d.select($"doc_id", sort_array($"toks").cast("string").as("mask")))
     val groups = masks.groupBy($"mask")
@@ -93,7 +94,8 @@ object ApproxOps {
 
     // exact verify between representative sets: bitmask AND+popcount
     // when the vocabulary fits in an int64, array_intersect otherwise
-    val verified = (LlmOps.tokenBitmasks(tok) match {
+    // (reuses the persisted mask relation computed for the dedupe step)
+    val verified = (masksOpt match {
       case Some(m) =>
         candidates
           .join(m.select($"doc_id".as("ra"), $"mask".as("ma")), "ra")
