@@ -170,7 +170,10 @@ object LlmOps2 {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---- Q46: SimHash fingerprint (32-bit, portable token hashes) -------
-  def q46(s: SparkSession, dir: String): DataFrame = {
+  def q46(s: SparkSession, dir: String): DataFrame =
+    simhashes(s, dir).orderBy(col("doc_id"))
+
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docTok = Tables(s, dir, "documents")
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
@@ -189,8 +192,47 @@ object LlmOps2 {
     bits.groupBy($"doc_id")
       .agg(sum(when($"s" > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
         .otherwise(0L)).as("simhash"))
-      .orderBy($"doc_id")
   }
+
+  // ---- Q52: SimHash near-dup pairs (Hamming distance ≤ 2) -------------
+  // The point of SimHash: near-dup detection reduces to cheap integer
+  // XOR+popcount between 64-bit fingerprints. At 100 TB the self-join is
+  // banded on fingerprint prefixes; at test scale the direct pair
+  // comparison is exact and already columnar.
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = simhashes(s, dir).persist()
+    sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("hamming",
+        bit_count(expr("a.simhash ^ b.simhash")))
+      .filter($"hamming" <= 2)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val q52Sql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT tok,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, len(tok)), i -> CAST(ascii(tok[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 131 + x) % 2147483647) AS h
+      |  FROM (SELECT DISTINCT tok FROM dt)),
+      |bits AS (
+      |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM dt JOIN th USING (tok)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+      |  GROUP BY doc_id, j),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
   val q46Sql: String =
     """WITH dt AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
