@@ -152,6 +152,29 @@ object Relational2 {
       |  arg_min(o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT)*10000000 + o_orderkey) AS bottom_order
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- Q53: exact percentiles (linear interpolation) ------------------
+  // Spark `percentile` and DuckDB `quantile_cont` share the same
+  // continuous-quantile definition; inputs are exact-in-double values so
+  // the interpolated results are bit-identical.
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("qty_p75"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
+      .orderBy($"l_returnflag")
+  }
+  val q53Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+      |  round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- Q19: ranking window functions ----------------------------------
   def q19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
