@@ -175,6 +175,43 @@ object Relational2 {
       |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q54: PIVOT (long → wide) ----------------------------------------
+  // Pivot column values are pinned explicitly (never inferred by a scan
+  // at 100 TB); the oracle spells the equivalent conditional aggregation.
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(rd(sum(dec($"l_quantity"))))
+      .select($"l_linestatus", $"A".as("qty_a"), $"N".as("qty_n"),
+        $"R".as("qty_r"))
+      .orderBy($"l_linestatus")
+  }
+  val q54Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(ROUND(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS qty_a,
+      |  CAST(ROUND(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS qty_n,
+      |  CAST(ROUND(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---- Q55: UNPIVOT (wide → long) --------------------------------------
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .select($"p_partkey", $"p_size".cast("double").as("size"),
+        $"p_retailprice".as("retailprice"))
+      .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"),
+        "attribute", "value")
+      .orderBy($"p_partkey", $"attribute")
+  }
+  val q55Sql: String =
+    """SELECT p_partkey, attribute, value FROM (
+      |  SELECT p_partkey, 'size' AS attribute, CAST(p_size AS DOUBLE) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
+      |ORDER BY p_partkey, attribute""".stripMargin
+
   // ---- Q19: ranking window functions ----------------------------------
   def q19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
