@@ -157,6 +157,31 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("foreachBatch sink: per-micro-batch writes land with batch ids") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("febatch").toString
+    val mem = MemoryStream[Event]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], id: Long) =>
+        seen.synchronized { seen += ((id, batch.count())) }
+        batch.write.mode("append").parquet(s"$out/batch_$id")
+        ()
+      }
+      .start()
+    def e(id: Long) = Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0)
+    mem.addData(Seq(e(1), e(2)))
+    q.processAllAvailable()
+    mem.addData(Seq(e(3)))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.map(_._2).sum == 3)
+    val total = seen.map(_._1).map(id =>
+      spark.read.parquet(s"$out/batch_$id").count()).sum
+    assert(total == 3)
+  }
+
   test("E02: dropDuplicatesWithinWatermark dedups within the watermark") {
     val batches = Seq(
       Seq(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
