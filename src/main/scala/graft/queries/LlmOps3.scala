@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline operators round 3: text normalization and near-dup
+  * clustering (the consumer of the near-dup pair sets Q36/Q47 emit).
+  */
+object LlmOps3 {
+
+  // ---- Q56: text normalization (canonical form + digest) --------------
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower($"text"), "[0-9]+", ""),
+          "\\s+", " ")))
+      .select($"doc_id", length($"norm").as("norm_len"),
+        sha2(encode($"norm", "UTF-8"), 256).as("norm_digest"))
+      .orderBy($"doc_id")
+  }
+  val q56Sql: String =
+    """SELECT doc_id,
+      |  length(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'), '\s+', ' ', 'g'))) AS norm_len,
+      |  sha256(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'), '\s+', ' ', 'g'))) AS norm_digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- Q57: near-dup clusters — connected components ------------------
+  // Min-label propagation over the Jaccard≥0.7 pair graph: every doc
+  // starts as its own label; each round takes the min label over its
+  // neighborhood; converged when no label changes. Each round is one
+  // shuffle-join; lineage is truncated per round (localCheckpoint) so
+  // the plan does not grow with iterations — the standard large-graph
+  // CC shape when a graph library isn't warranted.
+  // Cluster id = min doc_id in the component (deterministic).
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+    val pairs = LlmOps.q36(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist()
+    var labels = docs.select($"doc_id", $"doc_id".as("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy($"src").agg(min($"label").as("nlabel"))
+      val next = labels.as("l")
+        .join(neighborMin.as("n"), $"l.doc_id" === $"n.src", "left")
+        .select($"l.doc_id".as("doc_id"),
+          least($"l.label", coalesce($"nlabel", $"l.label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("a").join(labels.as("b"), $"a.doc_id" === $"b.doc_id")
+        .filter($"a.label" =!= $"b.label").count()
+      labels = next
+      iter += 1
+    }
+    labels.groupBy($"label")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select($"label".as("cluster_id"), $"cluster_size")
+      .orderBy($"cluster_id")
+  }
+}

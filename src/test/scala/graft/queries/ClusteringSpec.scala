@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Q57 connected components verified against a local union-find over
+  * the same pair set. */
+class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("near-dup clusters match a local union-find") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = LlmOps.q36(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    // union-find
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docs.groupBy(find).map { case (root, ms) =>
+      ms.min -> ms.length.toLong
+    }
+    val got = LlmOps3.q57(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.size < docs.length, "expected at least one non-trivial cluster")
+  }
+}
