@@ -50,6 +50,21 @@ object Extensions {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Q22 twin: top-3 per group through the custom TopKPerGroup
+    * logical/physical operator (bounded per-group heaps + partial
+    * pre-shuffle pass) instead of the window formulation. */
+  def q22TopKPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice")
+    graft.plans.GraftOps.topKPerGroup(orders, 3,
+      Seq("o_orderstatus"),
+      Seq(graft.plans.GraftOps.Order("o_totalprice", desc = true),
+        graft.plans.GraftOps.Order("o_orderkey")), rankName = "rn")
+      .select($"o_orderstatus", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderstatus", $"rn")
+  }
+
   /** Q38 twin: tokenizer as a typed flatMap (UDTF-style one-row→many)
     * instead of explode(split(...)). */
   def q38FlatMap(s: SparkSession, dir: String): DataFrame = {
