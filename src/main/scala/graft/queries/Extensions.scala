@@ -30,6 +30,34 @@ object Extensions {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Q37 twin #2: plain Scala `udf()` reference version — the slowest
+    * tier of the extension ladder (SURVEY §7.3: builtin HOFs → codegen
+    * Expression → udf): every row deserializes both arrays into JVM
+    * objects. Exists to prove all three tiers agree bit-for-bit; the
+    * loop is the same sequential reduction. */
+  def q37Udf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = emb.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
+    emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("score", round(cosUdf($"qv", $"v"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"rnk", $"vec_id", $"score")
+      .orderBy($"query_id", $"rnk")
+  }
+
   /** Q13 twin: the sum-of-products revenue column computed by the typed
     * Aggregator (exact decimal buffer) instead of builtin sum. */
   def q13Aggregator(s: SparkSession, dir: String): DataFrame = {
