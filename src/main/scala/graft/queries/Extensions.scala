@@ -58,6 +58,16 @@ object Extensions {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** Q43 twin: document fingerprint through the codegen RollingHash
+    * Expression instead of the nested-HOF formulation. */
+  def q43HashExpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        graft.functions.RollingHash.rollingHash($"text", 64).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
   /** Q13 twin: the sum-of-products revenue column computed by the typed
     * Aggregator (exact decimal buffer) instead of builtin sum. */
   def q13Aggregator(s: SparkSession, dir: String): DataFrame = {
