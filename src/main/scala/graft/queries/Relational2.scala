@@ -212,6 +212,80 @@ object Relational2 {
       |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
       |ORDER BY p_partkey, attribute""".stripMargin
 
+  // ---- Q58: histogram via width_bucket ---------------------------------
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .withColumn("bucket",
+        expr("width_bucket(o_totalprice, 0, 600000, 12)"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), rd(sum(dec($"o_totalprice"))).as("sum_price"))
+      .orderBy($"bucket")
+  }
+  // DuckDB 1.0 has no width_bucket; the oracle spells the same
+  // arithmetic (bucket width = (600000-0)/12 = 50000 exactly, so both
+  // reduce to floor(x/50000.0)+1 on identical doubles)
+  val q58Sql: String =
+    """SELECT CASE WHEN o_totalprice < 0 THEN 0
+      |            WHEN o_totalprice >= 600000 THEN 13
+      |            ELSE 1 + CAST(floor(o_totalprice / 50000.0) AS BIGINT) END AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- Q59: correlation / stddev from exact decimal sums --------------
+  // corr/stddev aggregates are accumulation-order-dependent in both
+  // engines; computing them from EXACT decimal component sums makes the
+  // result deterministic and cross-engine identical (same few double
+  // ops on the same exact inputs).
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // narrow carriers so squares stay inside DECIMAL(38,_) in both engines
+    val x = $"l_quantity".cast(org.apache.spark.sql.types.DecimalType(19, 4))
+    val y = $"l_extendedprice".cast(org.apache.spark.sql.types.DecimalType(19, 4))
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      // the component sums are exact decimals; the final combination is
+      // a fixed sequence of double ops on doubles derived from them —
+      // identical in any engine (same inputs, same IEEE ops)
+      .select($"l_returnflag", $"n",
+        $"n".cast("double").as("dn"),
+        $"sx".cast("double").as("dsx"), $"sy".cast("double").as("dsy"),
+        $"sxx".cast("double").as("dsxx"), $"syy".cast("double").as("dsyy"),
+        $"sxy".cast("double").as("dsxy"))
+      .select($"l_returnflag", $"n",
+        round(($"dn" * $"dsxy" - $"dsx" * $"dsy") /
+          sqrt($"dn" * $"dsxx" - $"dsx" * $"dsx") /
+          sqrt($"dn" * $"dsyy" - $"dsy" * $"dsy"), 6).as("corr_qty_price"),
+        round(sqrt(($"dn" * $"dsxx" - $"dsx" * $"dsx") /
+          ($"dn" * ($"dn" - 1))), 6).as("stddev_qty"))
+      .orderBy($"l_returnflag")
+  }
+  val q59Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+      |    SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS dn,
+      |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+      |    CAST(sxx AS DOUBLE) AS dsxx, CAST(syy AS DOUBLE) AS dsyy,
+      |    CAST(sxy AS DOUBLE) AS dsxy
+      |  FROM c)
+      |SELECT l_returnflag, n,
+      |  round((dn * dsxy - dsx * dsy)
+      |    / sqrt(dn * dsxx - dsx * dsx)
+      |    / sqrt(dn * dsyy - dsy * dsy), 6) AS corr_qty_price,
+      |  round(sqrt((dn * dsxx - dsx * dsx) / (dn * (dn - 1))), 6) AS stddev_qty
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
   // ---- Q19: ranking window functions ----------------------------------
   def q19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
