@@ -86,11 +86,15 @@ object ApproxOps {
       .groupBy($"doc_id", $"band")
       .agg(expr(s"sum(contrib) % $P").as("sig"))
 
+    // NOTE deliberately NO distinct here: a pair colliding in several
+    // bands is verified several times, but mask verification is a few
+    // integer ops while a pair-level distinct is a full shuffle of the
+    // much larger raw candidate stream; the post-verify distinct below
+    // dedupes the (smaller) surviving set instead.
     val candidates = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.sig" === $"y.sig"
           && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"))
-      .distinct()
 
     // exact verify between representative sets: bitmask AND+popcount
     // when the vocabulary fits in an int64, array_intersect otherwise
@@ -109,7 +113,7 @@ object ApproxOps {
           .join(d.select($"doc_id".as("rb"), $"toks".as("tb")), "rb")
           .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("double"))
           .withColumn("jac", $"inter" / (size($"ta") + size($"tb") - $"inter"))
-    }).filter($"jac" >= 0.7).select($"ra", $"rb", $"jac")
+    }).filter($"jac" >= 0.7).select($"ra", $"rb", $"jac").distinct()
 
     // expand representatives back to all member docs
     val crossGroup = verified
