@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming robustness: exactly-once file-sink recovery from a
+  * checkpoint, stream-static dimension join, and the richer
+  * flatMapGroupsWithState (0..n outputs per group per batch). */
+class StreamRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ev(id: Long, uid: Long, v: Double,
+      t: String = "2024-01-01 10:00:00") =
+    Event(id, Timestamp.valueOf(t), uid, "click", v)
+
+  test("file sink + checkpoint: restart does not reprocess committed input") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("rec_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("rec_sink").toString
+    val chk = java.nio.file.Files.createTempDirectory("rec_chk").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(Seq.empty[Event].toDS().schema)
+        .parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // the file stream source lists the path non-recursively: stage each
+    // batch as a flat part file in src
+    def addFile(name: String, data: Seq[Event]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage").toString
+      data.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, name))
+    }
+    addFile("f1.parquet", Seq(ev(1, 1, 1.0), ev(2, 1, 2.0)))
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 2)
+    addFile("f2.parquet", Seq(ev(3, 2, 3.0)))
+    runOnce() // restart from the same checkpoint
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() == 3) // f1 NOT reprocessed, f2 picked up
+    assert(rows.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val joined = mem.toDF().join(dim, Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("ssdim")
+      .outputMode("append").start()
+    mem.addData(Seq(ev(1, 1, 1.0), ev(2, 2, 2.0), ev(3, 99, 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssdim").collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
+  test("flatMapGroupsWithState emits 0..n alerts as thresholds are crossed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def alerts(events: Dataset[Event]): Dataset[(Long, Long)] =
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState[Double, (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, evs: Iterator[Event], state: GroupState[Double]) =>
+            val before = state.getOption.getOrElse(0.0)
+            val after = before + evs.map(_.value).sum
+            state.update(after)
+            // one alert per multiple of 10 newly crossed
+            val crossed = (before / 10).toLong until (after / 10).toLong
+            crossed.map(level => (uid, (level + 1) * 10)).iterator
+        }
+    val mem = MemoryStream[Event]
+    val q = alerts(mem.toDS()).toDF("user_id", "threshold").writeStream
+      .format("memory").queryName("alerts").outputMode("append").start()
+    mem.addData(Seq(ev(1, 1, 7.0)))  // total 7 → no alert
+    q.processAllAvailable()
+    mem.addData(Seq(ev(2, 1, 5.0)))  // total 12 → alert at 10
+    q.processAllAvailable()
+    mem.addData(Seq(ev(3, 1, 25.0))) // total 37 → alerts at 20, 30
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (1L, 20L), (1L, 30L)))
+  }
+}
