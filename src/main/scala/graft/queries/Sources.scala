@@ -28,6 +28,23 @@ object Sources {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- Q60: parquet round-trip with zstd compression ------------------
+  // Codec choice changes bytes on disk, never values; at 100 TB zstd is
+  // the default trade (≈parquet-snappy ratio × ~1.4 at similar speed).
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q60_zstd"
+    val supplier = Tables(s, dir, "supplier")
+    supplier.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    val files = new java.io.File(out).listFiles()
+    require(files.exists(_.getName.contains(".zstd.")),
+      "zstd codec not applied")
+    s.read.parquet(out).orderBy($"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+  }
+  val q60Sql: String =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
+
   // ---- Q51: ORC round-trip (nation) -----------------------------------
   def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
