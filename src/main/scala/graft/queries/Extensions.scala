@@ -68,6 +68,27 @@ object Extensions {
       .orderBy($"doc_id")
   }
 
+  /** Q13 twin through the SQL-string API: temp views + `spark.sql`,
+    * proving the engine's surface is reachable from pure SQL exactly as
+    * from the DataFrame DSL (same Catalyst plan underneath). */
+  def q13Sql(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+        |  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Q13 twin: the sum-of-products revenue column computed by the typed
     * Aggregator (exact decimal buffer) instead of builtin sum. */
   def q13Aggregator(s: SparkSession, dir: String): DataFrame = {

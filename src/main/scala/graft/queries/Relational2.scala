@@ -286,6 +286,18 @@ object Relational2 {
       |  round(sqrt((dn * dsxx - dsx * dsx) / (dn * (dn - 1))), 6) AS stddev_qty
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  // ---- Q61: LIMIT + OFFSET pagination ----------------------------------
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .select($"o_orderkey", $"o_totalprice")
+      .offset(10).limit(10)
+  }
+  val q61Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10""".stripMargin
+
   // ---- Q19: ranking window functions ----------------------------------
   def q19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
