@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Typed event row shared by the streaming operators and their tests. */
 case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -12,6 +12,10 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long,
 
 /** Running per-user state emitted by [[EventStreams.runningUserStats]]. */
 case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+/** Closed session emitted by [[EventStreams.sessionize]] (times in µs). */
+case class SessionSummary(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long)
 
 /** Streaming operator surface (SURVEY.md §2.C.9).
   *
@@ -63,6 +67,52 @@ object EventStreams {
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** E05: full custom sessionization via flatMapGroupsWithState with
+    * EVENT-TIME timeout — the pattern session_window can't express when
+    * per-session logic is arbitrary (here: sessions also close when the
+    * watermark passes their gap, emitting a final summary even if the
+    * user never returns). State per key is O(1); expired state is
+    * removed, so total state tracks ACTIVE users only.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          def us(t: Timestamp): Long = t.getTime * 1000L
+          if (!evs.hasNext && state.hasTimedOut) {
+            // watermark passed last_event + gap: close the session
+            val (start, end, n) = state.get
+            state.remove()
+            Iterator(SessionSummary(uid, start, end, n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var sessions = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some((start, end, n)) if t - end < gapUs =>
+                  cur = Some((start, t, n + 1))
+                case Some((start, end, n)) =>
+                  sessions ::= SessionSummary(uid, start, end, n)
+                  cur = Some((t, t, 1L))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp((c._2 + gapUs) / 1000L) // ms
+            }
+            sessions.reverseIterator
+          }
+      }
+  }
 
   /** E04: custom keyed state via mapGroupsWithState — a running
     * per-user (count, sum) that survives across micro-batches. In batch

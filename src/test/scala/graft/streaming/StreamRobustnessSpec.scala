@@ -79,6 +79,36 @@ class StreamRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
   }
 
+  test("E05: event-time-timeout sessionizer closes sessions by gap AND by watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("e05")
+      .outputMode(OutputMode.Append()).start()
+    // session 1: two events 10 min apart; then an event 2h later for the
+    // same user → closes session 1 in-operator (gap exceeded)
+    mem.addData(Seq(ev(1, 1, 1.0, "2024-01-01 10:00:00"),
+      ev(2, 1, 1.0, "2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(3, 1, 1.0, "2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // advance the watermark far past 12:00+30min via another user → the
+    // open session for user 1 times out and is emitted
+    mem.addData(Seq(ev(9, 7, 1.0, "2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(10, 7, 1.0, "2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    def tUs(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    val got = spark.table("e05").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.contains((1L, tUs("2024-01-01 10:00:00"), tUs("2024-01-01 10:10:00"), 2L)),
+      s"gap-closed session missing: $got")
+    assert(got.contains((1L, tUs("2024-01-01 12:00:00"), tUs("2024-01-01 12:00:00"), 1L)),
+      s"timeout-closed session missing: $got")
+  }
+
   test("flatMapGroupsWithState emits 0..n alerts as thresholds are crossed") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
