@@ -26,6 +26,56 @@ object LlmOps3 {
       |  sha256(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'), '\s+', ' ', 'g'))) AS norm_digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- Q62: deterministic train/val/test split by content hash --------
+  // The standard reproducible-split trick: bucket on a portable content
+  // hash, not on row order or RNG state — the same document lands in
+  // the same split on any engine, any partitioning, any rerun.
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("h", graft.functions.RollingHash.rollingHash($"text", 64))
+      .withColumn("split",
+        when($"h" % 100 < 80, "train")
+          .when($"h" % 100 < 90, "valid")
+          .otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"split", $"lang")
+  }
+  val q62Sql: String =
+    """WITH h AS (
+      |  SELECT lang, n_chars,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, least(len(text), 64)),
+      |                       i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM documents)
+      |SELECT CASE WHEN h % 100 < 80 THEN 'train'
+      |            WHEN h % 100 < 90 THEN 'valid' ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM h GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  // ---- Q63: deterministic pseudo-shuffle (reproducible training order) -
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("h", graft.functions.RollingHash.rollingHash($"text", 64))
+      .withColumn("shuffle_key", expr("(h * 2654435761) % 2147483647"))
+      .select($"doc_id", $"shuffle_key")
+      .orderBy($"shuffle_key", $"doc_id")
+      .limit(100)
+  }
+  val q63Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, least(len(text), 64)),
+      |                       i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM documents)
+      |SELECT doc_id, (h * 2654435761) % 2147483647 AS shuffle_key
+      |FROM h ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin
+
   // ---- Q57: near-dup clusters — connected components ------------------
   // Min-label propagation over the Jaccard≥0.7 pair graph: every doc
   // starts as its own label; each round takes the min label over its
