@@ -58,8 +58,15 @@ class MoveFilesCommitProtocol(jobId: String, path: String,
 private[filemover] object MoverCore extends Logging {
 
   def moveFiles(outputPath: Path,
-      conf: org.apache.hadoop.conf.Configuration, template: String): Unit = {
-    val fs = outputPath.getFileSystem(conf)
+      conf: org.apache.hadoop.conf.Configuration, template: String): Unit =
+    moveFiles(outputPath, conf, template, None)
+
+  /** `fsOverride` exists for fault-injection tests (a FileSystem whose
+    * rename fails); production paths resolve the FS from the path. */
+  private[filemover] def moveFiles(outputPath: Path,
+      conf: org.apache.hadoop.conf.Configuration, template: String,
+      fsOverride: Option[FileSystem]): Unit = {
+    val fs = fsOverride.getOrElse(outputPath.getFileSystem(conf))
     val parsed = PathTemplate.parse(template)
     val root = fs.resolvePath(new Path("/"))
 

@@ -144,6 +144,28 @@ class MoveFilesParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // deviation from the reference (checked renames): a refused rename
+  // fails the job instead of silently leaving files behind (M:52
+  // ignores the return value). Injected via a FileSystem stub — the
+  // local FS auto-creates parents, so refusal can't be provoked
+  // organically.
+  test("failed renames abort the job instead of being silently ignored") {
+    val out = tmpDir()
+    Files.createDirectories(Paths.get(s"$out/o"))
+    Files.writeString(Paths.get(s"$out/o/part-00000.csv"), "a,b\n")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val failing = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = false
+    }
+    failing.initialize(new java.net.URI("file:///"), conf)
+    val e = intercept[java.io.IOException] {
+      MoverCore.moveFiles(new org.apache.hadoop.fs.Path(s"file:$out/o"),
+        conf, "$outputDirectory/moved.csv", Some(failing))
+    }
+    assert(e.getMessage.contains("renames failed"))
+  }
+
   // T:144-154 — unknown template variable fails the write
   test("unknown template variable aborts the write with an exception") {
     val out = tmpDir()

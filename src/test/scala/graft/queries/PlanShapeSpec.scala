@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Enforced plan shapes: the physical properties the 100 TB story
+  * depends on, asserted so a refactor can't silently regress them
+  * (PlanAudit prints the full profile; these are the load-bearing
+  * invariants). */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = graft.SparkEntry.queries(q)(spark, dir)
+    df.collect() // let AQE finalize
+    // formatted mode prints full scan metadata (PushedFilters/ReadSchema)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q03: both predicates and the projection reach the parquet scan") {
+    val p = plan("q03_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    assert(!p.contains("l_extendedprice"), "projection not pruned")
+  }
+
+  test("q06: the dimension side is broadcast") {
+    assert(plan("q06_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q23: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q23_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q12: the as-of join is window-based — no join operator at all") {
+    val p = plan("q12_join_asof")
+    assert(!p.contains("Join"), s"as-of should be linear, got:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("q37: scoring is partition-local over a broadcast of the queries") {
+    val p = plan("q37_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
