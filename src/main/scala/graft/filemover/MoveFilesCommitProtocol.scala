@@ -45,10 +45,15 @@ class MoveFilesCommitProtocol(jobId: String, path: String,
   override def commitJob(jobContext: JobContext,
       taskCommits: Seq[TaskCommitMessage]): Unit = {
     super.commitJob(jobContext, taskCommits)
-    val template = jobContext.getConfiguration
-      .get(MoveFilesCommitProtocol.MOVE_FILES_OPTION)
-    if (template != null) {
-      MoverCore.moveFiles(new Path(path), jobContext.getConfiguration, template)
+    val conf = jobContext.getConfiguration
+    val template = conf.get(MoveFilesCommitProtocol.MOVE_FILES_OPTION)
+    // mid-migration guard: if the legacy committer shim is ALSO
+    // registered, super.commitJob already performed the move — running
+    // it again would re-render templates against already-moved files
+    val legacyActive = Option(conf.get("spark.sql.sources.outputCommitterClass"))
+      .contains(classOf[MoveFilesOutputCommitterCompat].getName)
+    if (template != null && !legacyActive) {
+      MoverCore.moveFiles(new Path(path), conf, template)
     }
   }
 }
@@ -87,16 +92,25 @@ private[filemover] object MoverCore extends Logging {
     }
     logInfo(s"movefiles: renaming ${renames.size} files per template '$template'")
 
-    // FM8: parallel, checked renames on a bounded pool.
+    // FM8: parallel, checked renames on a bounded pool. On HDFS/object
+    // stores rename THROWS rather than returning false, so exceptions
+    // must be recorded too — and a pool that fails to drain is a
+    // failure, not a success.
     val parallelism = math.min(16, math.max(1, renames.size))
     val pool = Executors.newFixedThreadPool(parallelism)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
-    try {
+    val drained = try {
       renames.foreach { case (from, to) =>
         pool.execute { () =>
-          if (!fs.rename(from, to)) {
-            failures.add(from)
-            logWarning(s"movefiles: rename failed: $from -> $to")
+          try {
+            if (!fs.rename(from, to)) {
+              failures.add(from)
+              logWarning(s"movefiles: rename failed: $from -> $to")
+            }
+          } catch {
+            case e: Exception =>
+              failures.add(from)
+              logWarning(s"movefiles: rename threw for $from -> $to: $e")
           }
         }
       }
@@ -104,6 +118,11 @@ private[filemover] object MoverCore extends Logging {
       pool.awaitTermination(1, TimeUnit.HOURS)
     } finally {
       pool.shutdownNow()
+    }
+    if (!drained) {
+      throw new java.io.IOException(
+        s"movefiles: rename pool did not drain within 1 hour " +
+          s"(${renames.size} renames scheduled)")
     }
     if (!failures.isEmpty) {
       throw new java.io.IOException(

@@ -11,7 +11,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * for Q37's HOF formulation. Both the interpreted and generated paths
   * reduce element-order-sequentially, so results are bit-identical to
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,x) -> acc+x) / …`
-  * (determinism rule §2.C.0.4).
+  * (determinism rule §2.C.0.4) for EQUAL-LENGTH inputs — the declared
+  * domain (fixed-dimension embeddings). On unequal lengths this
+  * truncates to the common prefix, where the HOF chain would return
+  * NULL (zip_with pads with null); don't rely on either behavior.
   *
   * Unlike the HOF chain (three array traversals plus lambda-variable
   * boxing per element), this runs one fused loop per row inside

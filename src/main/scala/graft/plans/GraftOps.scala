@@ -25,6 +25,8 @@ object GraftOps {
     */
   def topKPerGroup(df: DataFrame, k: Int, groupCols: Seq[String],
       orderCols: Seq[Order], rankName: String = "rnk"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(orderCols.nonEmpty, "at least one order column is required")
     val spark = df.sparkSession
     // idempotently register the planner strategy on this session
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {

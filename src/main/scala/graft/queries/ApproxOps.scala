@@ -48,7 +48,11 @@ object ApproxOps {
       .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
     val tok = d.select($"doc_id", explode($"toks").as("tok"))
 
-    // group identical token sets; one representative per distinct set
+    // group identical token sets; one representative per distinct set.
+    // (persisted relations here are consumed lazily when the RETURNED
+    // frame is materialized, so they cannot be unpersisted inside this
+    // method; they are small — masks/groups are per-distinct-set rows —
+    // and are reused across reruns because the plans are identical.)
     val masksOpt = LlmOps.tokenBitmasks(tok).map(_.persist())
     val masks = masksOpt.getOrElse(
       // generic fallback: the sorted token array is the set identity

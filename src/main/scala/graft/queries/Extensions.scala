@@ -130,7 +130,9 @@ object Extensions {
     import s.implicits._
     val tok = Tables(s, dir, "documents")
       .select($"lang", $"text").as[(String, String)]
-      .flatMap { case (lang, text) => text.split(' ').map(t => (lang, t)) }
+      // limit -1: keep trailing empty tokens, matching Spark's split()
+      // and the DuckDB oracle (Scala's default drops them)
+      .flatMap { case (lang, text) => text.split(" ", -1).map(t => (lang, t)) }
       .toDF("lang", "token")
     val counts = tok.groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
     val totals = counts.groupBy($"lang")

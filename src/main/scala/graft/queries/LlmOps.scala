@@ -35,9 +35,10 @@ object LlmOps {
     else {
       val indexed = vocab.withColumn("idx",
         (row_number().over(Window.orderBy($"tok")) - 1).cast("long"))
+      // bit_or, not sum: repeated (doc_id, tok) pairs must be idempotent
       Some(tok.join(broadcast(indexed), "tok")
         .groupBy($"doc_id")
-        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))")).as("mask")))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT)))").as("mask")))
     }
   }
 

@@ -107,6 +107,13 @@ object LlmOps3 {
       labels = next
       iter += 1
     }
+    if (changed > 0) {
+      // a component with diameter > iteration cap would silently split
+      throw new IllegalStateException(
+        s"label propagation did not converge after $iter rounds " +
+          s"($changed labels still changing)")
+    }
+    edges.unpersist() // labels are localCheckpointed; edges no longer needed
     labels.groupBy($"label")
       .agg(count(lit(1)).as("cluster_size"))
       .select($"label".as("cluster_id"), $"cluster_size")

@@ -83,7 +83,9 @@ object EventStreams {
       .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, evs: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
-          def us(t: Timestamp): Long = t.getTime * 1000L
+          // getTime is ms; sub-ms precision lives in getNanos
+          def us(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
           if (!evs.hasNext && state.hasTimedOut) {
             // watermark passed last_event + gap: close the session
             val (start, end, n) = state.get

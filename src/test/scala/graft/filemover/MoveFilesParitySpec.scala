@@ -144,6 +144,22 @@ class MoveFilesParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // mid-migration: BOTH hooks registered → the compat committer moves,
+  // the protocol detects it and must not re-run the move (which would
+  // fail template rendering against already-moved files)
+  test("both registration hooks active move files exactly once") {
+    val out = tmpDir()
+    spark.conf.set("spark.sql.sources.outputCommitterClass",
+      classOf[MoveFilesOutputCommitterCompat].getName)
+    try {
+      // commitProtocolClass is still MoveFilesCommitProtocol (fixture)
+      write(s"$out/o", Some("$outputDirectory/once.csv"), repartition = 1)
+      assert(Files.isRegularFile(Paths.get(s"$out/o/once.csv")))
+    } finally {
+      spark.conf.unset("spark.sql.sources.outputCommitterClass")
+    }
+  }
+
   // deviation from the reference (checked renames): a refused rename
   // fails the job instead of silently leaving files behind (M:52
   // ignores the return value). Injected via a FileSystem stub — the
