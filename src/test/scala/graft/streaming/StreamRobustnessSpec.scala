@@ -109,6 +109,25 @@ class StreamRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"timeout-closed session missing: $got")
   }
 
+  test("sessionizer preserves sub-millisecond timestamp precision") {
+    import spark.implicits._
+    // batch mode: each group runs once; closed (non-final) sessions emit
+    val t1 = Timestamp.valueOf("2024-01-01 10:00:00")
+    t1.setNanos(123456000) // .123456 s
+    val t2 = Timestamp.valueOf("2024-01-01 10:05:00")
+    t2.setNanos(654321000)
+    val t3 = Timestamp.valueOf("2024-01-01 12:00:00") // new session
+    val events = Seq(
+      Event(1, t1, 1, "click", 1.0), Event(2, t2, 1, "click", 1.0),
+      Event(3, t3, 1, "click", 1.0)).toDS()
+    val sessions = EventStreams.sessionize(events).collect()
+    assert(sessions.length == 1) // only the gap-closed session emits in batch
+    val s0 = sessions.head
+    assert(s0.start_us % 1000000L == 123456L, s"lost µs: ${s0.start_us}")
+    assert(s0.end_us % 1000000L == 654321L, s"lost µs: ${s0.end_us}")
+    assert(s0.n_events == 2)
+  }
+
   test("flatMapGroupsWithState emits 0..n alerts as thresholds are crossed") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
