@@ -8,8 +8,10 @@ import org.apache.spark.sql.SparkSession
   * Protocol (BASELINE.md §2): one discarded warm-up execution per query
   * (runs on the small sf0.001 data when present — whole-stage-codegen
   * caches key on the generated source, so warming there compiles every
-  * plan for pennies), then the median-of-2 (min) timed run on the target
-  * scale factor.
+  * plan for pennies), then the median of 3 timed runs on the target
+  * scale factor. Caches are cleared before every timed run so each run
+  * is independent (a query-internal persist must pay for itself within
+  * one execution, not amortize across reruns).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,14 +37,16 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    Hygiene.clearAll(spark)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
+        Hygiene.clearAll(spark)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      val t = math.min(once(), once())
+      val t = Seq(once(), once(), once()).sorted.apply(1) // median of 3
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * precision in a double). The DuckDB oracle truncates identically.
   */
 object Tables {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Session conf required (true) before any `events` read. */
+  val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -21,7 +26,19 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // The legacy key cannot be scoped to one read: Spark 4.1.2's
+        // parquet schema conversion consults SQLConf only (verified —
+        // a DataFrameReader option for the key still fails with
+        // PARQUET_TYPE_ILLEGAL), so it must be a session conf. Sessions
+        // built by this repo (Verify/Bench/test fixtures) set it at
+        // construction; for foreign sessions we set it here ONCE with a
+        // warning, rather than silently — it changes how any other
+        // nanos-timestamp parquet in the session is read.
+        if (!spark.conf.getOption(NanosKey).contains("true")) {
+          log.warn(s"events requires session-wide $NanosKey=true; " +
+            "setting it now (prefer setting it at session construction)")
+          spark.conf.set(NanosKey, "true")
+        }
         spark.read.parquet(path(dir, "events"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case other =>

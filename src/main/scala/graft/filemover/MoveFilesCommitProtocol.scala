@@ -84,11 +84,20 @@ private[filemover] object MoverCore extends Logging {
     }
 
     // FM4–FM7: pure plan + all-or-nothing collision gate.
-    val renames = RenamePlanner.plan(files.toSeq, parsed, root, outputPath)
-    if (renames.isEmpty && files.nonEmpty) {
+    val planned = RenamePlanner.plan(files.toSeq, parsed, root, outputPath)
+    if (planned.isEmpty && files.nonEmpty) {
       logInfo(s"movefiles: collision on target paths — nothing moved " +
         s"(${files.size} files left in place under $outputPath)")
       return
+    }
+    // No-op moves (target == source, or == the source's own directory —
+    // e.g. a bare "$outputDirectory" template over a single file): local
+    // FS returns false for these, which the checked renames below would
+    // misreport as a job failure. The reference tolerated them only
+    // because it ignored rename results (M:52); skipping is the checked
+    // equivalent of the same observable behavior (file stays put).
+    val renames = planned.filterNot { case (from, to) =>
+      to == from || to == from.getParent
     }
     logInfo(s"movefiles: renaming ${renames.size} files per template '$template'")
 

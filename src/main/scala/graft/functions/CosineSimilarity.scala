@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for cosine similarity between two
   * `ARRAY<DOUBLE>` columns (SURVEY.md §2.C.11): the codegen fast path
@@ -21,8 +21,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * whole-stage codegen.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
+  // Declared input contract: ARRAY<DOUBLE> on both sides. The eval/
+  // codegen bodies read 8-byte slots, so without this a pure-SQL caller
+  // passing the fixture's ARRAY<FLOAT> column would silently read
+  // garbage; ImplicitCastInputTypes instead inserts the float→double
+  // cast at analysis time (and rejects non-castable inputs).
+  // (return type inferred as Seq[ArrayType] — AbstractDataType itself is
+  // private[sql]; the covariant refinement satisfies the trait)
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"

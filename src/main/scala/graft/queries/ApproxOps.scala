@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.functions.CosineSimilarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate scale-path variants of the exact similarity operators
@@ -11,9 +10,9 @@ import org.apache.spark.sql.functions._
   * at 100 TB, where the exact all-pairs formulations (Q36/Q45) and the
   * brute-force top-k (Q37) stop being feasible:
   *
-  *  - Q47: banded MinHash LSH for Jaccard near-dup — b=12 bands of r=4
+  *  - Q47: banded MinHash LSH for Jaccard near-dup — b=16 bands of r=3
   *    minhashes; only pairs colliding on a whole band become candidates
-  *    (P(candidate) = 1-(1-s^4)^12 ≈ 0.96 at s=0.7), then candidates are
+  *    (P(candidate) = 1-(1-s^3)^16 ≈ 0.999 at s=0.7), then candidates are
   *    verified EXACTLY, so false band collisions cost time, never
   *    correctness. All hashes are portable integer arithmetic with fixed
   *    constants — fully deterministic, no RNG state.
@@ -143,34 +142,38 @@ object ApproxOps {
   def q48(s: SparkSession, dir: String, k: Int = 10, c: Int = 16,
       nprobe: Int = 4): DataFrame = {
     import s.implicits._
+    import graft.plans.GraftOps
     val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
     val cents = emb.filter($"vec_id" < c)
       .select($"vec_id".as("cent_id"), $"v".as("cv"))
-    // assign every vector to its nearest centroid (broadcast join + argmax)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cent_id")
-    val assigned = emb.join(broadcast(cents))
-      .withColumn("sim", CosineSimilarity.cosineSim($"v", $"cv"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
+    // assign every vector to its nearest centroid: broadcast join +
+    // bounded-heap argmax (k=1). The partial pass collapses the C
+    // candidate rows per vector to 1 before any exchange — a row_number
+    // window here would shuffle n×C rows to sort each C-row group.
+    val assigned = GraftOps.topKPerGroup(
+        emb.join(broadcast(cents))
+          .select($"vec_id", $"v", $"cent_id",
+            CosineSimilarity.cosineSim($"v", $"cv").as("sim")),
+        1, Seq("vec_id"),
+        Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
       .select($"vec_id", $"v", $"cent_id")
-    // queries probe their nprobe nearest cells
-    val wProbe = Window.partitionBy($"query_id").orderBy($"sim".desc, $"cent_id")
-    val probes = emb.filter($"vec_id".isin(0, 1, 2))
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
-      .join(broadcast(cents))
-      .withColumn("sim", CosineSimilarity.cosineSim($"qv", $"cv"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter($"rn" <= nprobe)
+    // queries probe their nprobe nearest cells (|queries|×C rows — tiny)
+    val probes = GraftOps.topKPerGroup(
+        emb.filter($"vec_id".isin(0, 1, 2))
+          .select($"vec_id".as("query_id"), $"v".as("qv"))
+          .join(broadcast(cents))
+          .select($"query_id", $"qv", $"cent_id",
+            CosineSimilarity.cosineSim($"qv", $"cv").as("sim")),
+        nprobe, Seq("query_id"),
+        Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
       .select($"query_id", $"qv", $"cent_id")
-    // score only vectors in probed cells
-    val wTop = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
-    probes.join(assigned, "cent_id")
+    // score only vectors in probed cells; final top-k through the same
+    // partial-heap operator (only k×|queries| rows per partition shuffle)
+    val scored = probes.join(assigned, "cent_id")
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("score", round(CosineSimilarity.cosineSim($"qv", $"v"), 6))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter($"rnk" <= k)
-      .select($"query_id", $"rnk", $"vec_id", $"score")
-      .orderBy($"query_id", $"rnk")
+      .select($"query_id", $"vec_id",
+        round(CosineSimilarity.cosineSim($"qv", $"v"), 6).as("score"))
+    LlmOps.topKByScore(scored, k)
   }
 }

@@ -21,13 +21,10 @@ object Extensions {
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
     val q = emb.filter($"vec_id".isin(0, 1, 2))
       .select($"vec_id".as("query_id"), $"v".as("qv"))
-    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
-    emb.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .withColumn("score", round(CosineSimilarity.cosineSim($"qv", $"v"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 10)
-      .select($"query_id", $"rnk", $"vec_id", $"score")
-      .orderBy($"query_id", $"rnk")
+    val scored = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(CosineSimilarity.cosineSim($"qv", $"v"), 6).as("score"))
+    LlmOps.topKByScore(scored, 10)
   }
 
   /** Q37 twin #2: plain Scala `udf()` reference version — the slowest
@@ -49,13 +46,10 @@ object Extensions {
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
     val q = emb.filter($"vec_id".isin(0, 1, 2))
       .select($"vec_id".as("query_id"), $"v".as("qv"))
-    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
-    emb.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .withColumn("score", round(cosUdf($"qv", $"v"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 10)
-      .select($"query_id", $"rnk", $"vec_id", $"score")
-      .orderBy($"query_id", $"rnk")
+    val scored = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(cosUdf($"qv", $"v"), 6).as("score"))
+    LlmOps.topKByScore(scored, 10)
   }
 
   /** Q43 twin: document fingerprint through the codegen RollingHash

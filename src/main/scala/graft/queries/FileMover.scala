@@ -24,7 +24,7 @@ object FileMover {
   def s01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     MoveFilesCommitProtocol.register(s)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_s01"
+    val out = graft.RunTmp.dir("s01")
     // Template variable names are alphanumeric only (reference grammar:
     // `$n_regionkey` would parse as var `n` + literal `_regionkey`), so
     // the partition column is exposed under an underscore-free alias.
@@ -50,7 +50,7 @@ object FileMover {
   def s02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     MoveFilesCommitProtocol.register(s)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_s02"
+    val out = graft.RunTmp.dir("s02")
     val full = StructType(dataSchema.fields :+ StructField("n_regionkey", IntegerType))
     Tables(s, dir, "nation")
       .repartition(5)

@@ -56,6 +56,23 @@ object LlmOps {
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups, MIN(n_chars) AS n_chars
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
+  /** Q35 twin keyed on a SHA-256 digest of the text instead of the raw
+    * text: the dedup shuffle then carries 32 bytes per row instead of
+    * whole documents — at 100 TB the shuffle payload IS the cost of
+    * exact dedup, so digest-first is the formulation that scales.
+    * Output is identical to q35 absent a SHA-256 collision (none exist
+    * publicly; at 2^-128 the risk is below hardware error rates). */
+  def q35Hash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"n_chars", sha2($"text", 256).as("digest"))
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"),
+        min($"n_chars").as("n_chars"))
+      .select($"keep_id", $"n_dups", $"n_chars")
+      .orderBy($"keep_id")
+  }
+
   // ---- Q36: near-dup pairs, exact Jaccard >= 0.7 on token sets --------
   // Physical strategy is chosen by vocabulary size (one tiny distinct
   // count up front):
@@ -71,15 +88,26 @@ object LlmOps {
 
   /** Core of Q36 over any (doc_id, toks) frame; `forceInverted` pins the
     * generic inverted-index path (used by tests — the driver data's
-    * 31-token vocabulary always takes the bitmask path otherwise). */
+    * 31-token vocabulary always takes the bitmask path otherwise).
+    *
+    * Dispatch guards on BOTH shape statistics: `vocab ≤ 62` makes the
+    * bitmask encodable, but does not bound the number of DISTINCT masks
+    * the pairwise comparison below is quadratic in (a 62-token vocab
+    * admits 2^62 distinct sets), so the bitmask path additionally
+    * requires distinct-mask count ≤ `maxDistinctMasks` — above that the
+    * inverted-index token join is the right plan. */
   private[queries] def neardupPairs(docsWithToks: DataFrame,
-      threshold: Double = 0.7, forceInverted: Boolean = false): DataFrame = {
+      threshold: Double = 0.7, forceInverted: Boolean = false,
+      maxDistinctMasks: Long = 16384): DataFrame = {
     val s = docsWithToks.sparkSession
     import s.implicits._
     val d = docsWithToks.select($"doc_id", $"toks", size($"toks").as("sz"))
     val tok = d.select($"doc_id", explode($"toks").as("tok"))
 
-    val masks = if (forceInverted) None else tokenBitmasks(tok)
+    val masks =
+      if (forceInverted) None
+      else tokenBitmasks(tok)
+        .filter(_.select($"mask").distinct().count() <= maxDistinctMasks)
     val pairs = masks match {
       case Some(masks) =>
         val groups = masks.groupBy($"mask")
@@ -134,20 +162,34 @@ object LlmOps {
 
   // ---- Q37: brute-force cosine top-k (k=10) for query vectors 0,1,2 ---
   // The 3 query vectors are broadcast; every data partition scores its
-  // vectors locally, and only the global top-k passes the final window —
-  // at scale this is one broadcast + one shuffle of k*queries rows.
+  // vectors locally, then TopKPerGroup's PARTIAL pass keeps a bounded
+  // k-heap per (partition, query) BEFORE the exchange — so only
+  // k × |queries| rows per input partition cross the wire, instead of
+  // every scored row shuffling into |queries| partitions the way a
+  // row_number window would.
   def q37(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
     val q = emb.filter($"vec_id".isin(0, 1, 2))
       .select($"vec_id".as("query_id"), $"v".as("qv"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"score".desc, $"vec_id")
-    emb.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .withColumn("score", round(cosineCols($"qv", $"v"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 10)
+    val scored = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(cosineCols($"qv", $"v"), 6).as("score"))
+    topKByScore(scored, 10)
+  }
+
+  /** Shared final stage of the similarity searches: top-k rows per
+    * `query_id` by (score desc, vec_id), ranked, via the bounded-heap
+    * TopKPerGroup operator (partial pre-shuffle pass — the scale-safe
+    * formulation; see plans/TopKPerGroup.scala). Input must have columns
+    * (query_id, vec_id, score). */
+  private[queries] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    graft.plans.GraftOps.topKPerGroup(scored, k,
+      Seq("query_id"),
+      Seq(graft.plans.GraftOps.Order("score", desc = true),
+        graft.plans.GraftOps.Order("vec_id")), rankName = "rnk")
       .select($"query_id", $"rnk", $"vec_id", $"score")
       .orderBy($"query_id", $"rnk")
   }
@@ -237,7 +279,7 @@ object LlmOps {
       .agg(sort_array(collect_list(struct($"doc_id", $"lang", $"n_chars")))
         .as("records"))
     // exercise ArrayType(StructType) round-trip through parquet
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q40_nested"
+    val tmp = graft.RunTmp.dir("q40_nested")
     nested.write.mode("overwrite").parquet(tmp)
     s.read.parquet(tmp)
       .select($"source", posexplode($"records").as(Seq("pos", "rec")))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.CosineSimilarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Additional training-data-pipeline operators beyond SURVEY §2.C.10:
@@ -115,9 +115,11 @@ object LlmOps2 {
             """transform(sequence(1, size(sp) - 2),
                i -> concat_ws(' ', sp[i-1], sp[i], sp[i+1]))"""))))
       .select($"doc_id", $"tris", size($"tris").cast("double").as("sz"))
-      // self-joined below: persist so the trigram construction (the
-      // dominant per-row cost) runs once, not once per join side
-      .persist()
+      // self-joined below: each side recomputes the trigram derivation.
+      // Deliberately NOT persisted — recompute is a columnar projection
+      // over one scan, while pinning the full exploded trigram relation
+      // in storage memory for the session's lifetime is exactly the kind
+      // of leak that kills a long-lived 100 TB session.
     val tri = d.select($"doc_id", $"sz", explode($"tris").as("tri"))
     tri.as("x").join(tri.as("y"),
         $"x.tri" === $"y.tri" && $"x.doc_id" < $"y.doc_id")
@@ -144,19 +146,88 @@ object LlmOps2 {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- Q45: embedding-cosine near-dup pairs (exact, threshold 0.35) ---
-  // Brute force is the declared-exact baseline; the LSH/IVF scale path
-  // is Q48 (engine-only, recall-tested). Scoring runs through the custom
-  // codegen Expression — one fused loop per pair.
+  // Adaptive dispatch, mirroring q36's shape test: exact all-pairs under
+  // a row-count threshold (the declared-exact baseline — feasible and
+  // fastest when n² pairs fit a single stage), IVF-candidate generation
+  // + exact verify above it. Scoring runs through the custom codegen
+  // Expression — one fused loop per pair.
   def q45(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", CosineSimilarity.cosineSim($"a.v", $"b.v"))
-      .filter($"cos" >= 0.35)
-      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
-        round($"cos", 6).as("cosine"))
-      .orderBy($"a_id", $"b_id")
+    embedNeardupPairs(emb, 0.35)
+  }
+
+  /** Core of Q45 over any (vec_id, v) frame. Above `maxExactRows` the
+    * all-pairs join becomes the scale-killer, so the IVF path prunes
+    * with a PROVABLY recall-complete cell bound instead:
+    *
+    *  1. every vector joins its nearest of `c` coarse centroids (cells);
+    *  2. each cell records its angular radius r = max angle(member, centroid);
+    *  3. a cell pair (i, j) can only contain a qualifying pair if
+    *     angle(c_i, c_j) − r_i − r_j ≤ arccos(threshold)  (angular
+    *     triangle inequality), so all other cell pairs are pruned;
+    *  4. surviving candidates are verified EXACTLY.
+    *
+    * Pruning safety is a theorem, not a tuning outcome — the result is
+    * the exact pair set for any (c, data). How MUCH is pruned depends on
+    * cluster tightness and `c` (more, smaller cells ⇒ smaller radii ⇒
+    * tighter bound); at 100 TB `c` grows to keep cells executor-sized
+    * and the cell-pair relation (c² rows) stays broadcastable. */
+  private[queries] def embedNeardupPairs(emb: DataFrame, threshold: Double,
+      maxExactRows: Long = 20000, c: Int = 16,
+      forceIvf: Boolean = false): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    import graft.plans.GraftOps
+    def ang(cos: Column): Column = // numerically safe arccos
+      acos(least(lit(1.0), greatest(lit(-1.0), cos)))
+    val pairs = if (!forceIvf && emb.count() <= maxExactRows) {
+      emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+        .withColumn("cos", CosineSimilarity.cosineSim($"a.v", $"b.v"))
+        .filter($"cos" >= threshold)
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+          round($"cos", 6).as("cosine"))
+    } else {
+      // deterministic coarse centroids: the c lowest vec_ids
+      val cents = emb.orderBy($"vec_id").limit(c)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"))
+      // nearest-centroid assignment via the bounded-heap operator (the
+      // partial pass collapses c candidate rows per vector pre-shuffle)
+      val assigned = GraftOps.topKPerGroup(
+          emb.join(broadcast(cents))
+            .select($"vec_id", $"v", $"cent_id",
+              CosineSimilarity.cosineSim($"v", $"cv").as("sim")),
+          1, Seq("vec_id"),
+          Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
+        .select($"vec_id", $"v", $"cent_id", ang($"sim").as("vang"))
+      val radii = assigned.groupBy($"cent_id").agg(max($"vang").as("r"))
+      // admissible cell pairs: c² rows of centroid-pair angles vs the
+      // triangle bound (tiny relation, broadcast below); ordered pairs
+      // both ways + diagonal so vec_id < vec_id covers every case once
+      val cellPairs = cents.as("x").join(cents.as("y"))
+        .select($"x.cent_id".as("ca"), $"y.cent_id".as("cb"),
+          ang(CosineSimilarity.cosineSim($"x.cv", $"y.cv")).as("cang"))
+        .join(radii.select($"cent_id".as("ca"), $"r".as("ra")), "ca")
+        .join(radii.select($"cent_id".as("cb"), $"r".as("rb")), "cb")
+        .filter($"cang" - $"ra" - $"rb" <= lit(math.acos(threshold) + 1e-9))
+        .select($"ca", $"cb")
+      // candidates within admissible cell pairs only; each vector lives
+      // in exactly one cell, so every pair is generated at most once —
+      // no distinct needed. Exact verify makes the pruning safe.
+      // (assigned is recomputed per consumer — three linear passes —
+      // rather than persisted: no storage residue, same plan at scale.)
+      assigned.select($"vec_id".as("l_id"), $"v".as("lv"), $"cent_id".as("ca"))
+        .join(broadcast(cellPairs), "ca")
+        .join(assigned.select($"vec_id".as("r_id"), $"v".as("rv"),
+            $"cent_id".as("rcell")),
+          $"cb" === $"rcell" && $"l_id" < $"r_id")
+        .withColumn("cos", CosineSimilarity.cosineSim($"lv", $"rv"))
+        .filter($"cos" >= threshold)
+        .select($"l_id".as("a_id"), $"r_id".as("b_id"),
+          round($"cos", 6).as("cosine"))
+    }
+    pairs.orderBy($"a_id", $"b_id")
   }
   val q45Sql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -196,17 +267,29 @@ object LlmOps2 {
 
   // ---- Q52: SimHash near-dup pairs (Hamming distance ≤ 2) -------------
   // The point of SimHash: near-dup detection reduces to cheap integer
-  // XOR+popcount between 64-bit fingerprints. At 100 TB the self-join is
-  // banded on fingerprint prefixes; at test scale the direct pair
-  // comparison is exact and already columnar.
+  // XOR+popcount between fingerprints — and, crucially, to BUCKETED
+  // lookup: the 32-bit fingerprint is cut into 4 disjoint 8-bit bands.
+  // Two fingerprints within Hamming distance 2 differ in ≤2 bands, so by
+  // pigeonhole they agree EXACTLY on ≥2 of the 4 bands — an equi-join on
+  // (band, band_value) is recall-complete, never all-pairs. Candidates
+  // are then verified exactly (XOR+popcount), so band collisions cost
+  // time, never correctness. A pair agreeing on several bands is
+  // verified several times; the post-verify distinct dedupes the small
+  // surviving set instead of the much larger raw candidate stream.
   def q52(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = simhashes(s, dir).persist()
-    sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+    val sh = simhashes(s, dir)
+    val bands = sh.select($"doc_id", $"simhash",
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("shiftright(simhash, CAST(band * 8 AS INT)) & 255"))
+    bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey"
+          && $"a.doc_id" < $"b.doc_id")
       .withColumn("hamming",
         bit_count(expr("a.simhash ^ b.simhash")))
       .filter($"hamming" <= 2)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"hamming")
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
   val q52Sql: String =

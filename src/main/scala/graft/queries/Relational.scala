@@ -39,7 +39,7 @@ object Relational {
   // ---- Q02: CSV round-trip (write nation as CSV, re-read) ------------
   def q02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q02_csv"
+    val out = graft.RunTmp.dir("q02_csv")
     val nation = Tables(s, dir, "nation")
     nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
     s.read.schema(nation.schema).option("header", "true").csv(out)

@@ -13,7 +13,7 @@ object Sources {
   // ---- Q50: JSON round-trip (events projection) -----------------------
   def q50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q50_json"
+    val out = graft.RunTmp.dir("q50_json")
     val ev = Tables(s, dir, "events")
       .select($"event_id", $"user_id", $"event_type", $"value")
     ev.write.mode("overwrite").json(out)
@@ -33,7 +33,7 @@ object Sources {
   // the default trade (≈parquet-snappy ratio × ~1.4 at similar speed).
   def q60(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q60_zstd"
+    val out = graft.RunTmp.dir("q60_zstd")
     val supplier = Tables(s, dir, "supplier")
     supplier.write.mode("overwrite").option("compression", "zstd").parquet(out)
     val files = new java.io.File(out).listFiles()
@@ -48,7 +48,7 @@ object Sources {
   // ---- Q51: ORC round-trip (nation) -----------------------------------
   def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q51_orc"
+    val out = graft.RunTmp.dir("q51_orc")
     val nation = Tables(s, dir, "nation")
     nation.write.mode("overwrite").orc(out)
     s.read.schema(nation.schema).orc(out).orderBy($"n_nationkey")

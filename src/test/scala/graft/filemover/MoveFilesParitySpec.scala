@@ -10,6 +10,29 @@ import org.scalatest.funsuite.AnyFunSuite
 
 case class ExampleData(category: String, id: Int, value: String)
 
+/** RawLocalFileSystem under an HDFS-like URI (scheme + authority):
+  * stands in for the reference's MiniDFSCluster fixture (T:18-31),
+  * whose jars are unavailable offline. Statuses are copied with eager
+  * permissions because RawLocalFileSystem's lazy permission loader does
+  * `new File(uri)`, which rejects any scheme but `file`. */
+class FakeHdfsFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FileStatus, Path}
+  import org.apache.hadoop.fs.permission.FsPermission
+
+  override def getUri: java.net.URI = java.net.URI.create("fakehdfs://nn")
+  override def getScheme: String = "fakehdfs"
+
+  private def sanitize(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      FsPermission.getFileDefault, "graft", "graft", st.getPath)
+
+  override def getFileStatus(f: Path): FileStatus =
+    sanitize(super.getFileStatus(f))
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(sanitize)
+}
+
 /** Parity suite: the 8 observable behaviors of the reference
   * (MoveFilesOutputCommiterTest.scala:60-154), ported onto our
   * FileCommitProtocol-based mover over the local filesystem. */
@@ -35,12 +58,17 @@ class MoveFilesParitySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def tmpDir(): String =
     Files.createTempDirectory("mover").toFile.getAbsolutePath
 
+  // markSuccess=false mirrors the reference write() helper, which pins
+  // mapreduce.fileoutputcommitter.marksuccessfuljobs=false on every
+  // write (T:54); default true also exercises our FM3 _SUCCESS filter.
   private def write(out: String, template: Option[String],
       partitionBy: Seq[String] = Nil, repartition: Int = 1,
-      data: Seq[ExampleData] = baseData): Unit = {
+      data: Seq[ExampleData] = baseData, markSuccess: Boolean = true): Unit = {
     import spark.implicits._
     var w = data.toDF().repartition(repartition).write.mode(SaveMode.Overwrite)
     template.foreach(t => w = w.option(MoveFilesCommitProtocol.MOVE_FILES_OPTION, t))
+    if (!markSuccess)
+      w = w.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.csv(out)
   }
@@ -87,6 +115,55 @@ class MoveFilesParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .csv(s"$out/o")
     assert(Files.isRegularFile(Paths.get(s"$out/o/cat_data.csv")))
     assert(Files.isRegularFile(Paths.get(s"$out/o/cat_info.csv")))
+  }
+
+  // fix for a checked-rename regression: with template
+  // "$outputDirectory" and ONE output file the target renders to the
+  // output directory itself; the reference's unchecked fs.rename
+  // silently returned false (file stays) — our checked renames must
+  // SKIP the no-op instead of failing the job
+  test("template '$outputDirectory' with a single file is a tolerated no-op") {
+    val out = tmpDir()
+    write(s"$out/o", Some("$outputDirectory"), repartition = 1)
+    assert(Files.isDirectory(Paths.get(s"$out/o")))
+    assert(listAll(s"$out/o").exists(_.getFileName.toString.startsWith("part-")))
+  }
+
+  // T:84-95 — two variables in one template segment: `$category_id_$id`
+  // parses as var `category`, literal `_id_`, var `id` (variable names
+  // are alphanumeric only). End-to-end over partitionBy("category","id").
+  test("two-variable template segment interpolates both variables (T:89)") {
+    val out = tmpDir()
+    write(s"$out/o", Some("$outputDirectory/cat_$category_id_$id.csv"),
+      partitionBy = Seq("category", "id"), repartition = 1,
+      markSuccess = false)
+    for ((cat, id) <- Seq(("data", 1), ("data", 2), ("info", 3)))
+      assert(Files.isRegularFile(Paths.get(s"$out/o/cat_${cat}_id_$id.csv")),
+        s"missing cat_${cat}_id_$id.csv")
+  }
+
+  // T:54 — the reference suppresses the _SUCCESS marker on every write;
+  // the move must work identically with no marker present
+  test("marksuccessfuljobs=false: no _SUCCESS marker, move still happens") {
+    val out = tmpDir()
+    write(s"$out/o", Some("$outputDirectory/no_marker.csv"),
+      repartition = 1, markSuccess = false)
+    assert(Files.isRegularFile(Paths.get(s"$out/o/no_marker.csv")))
+    assert(!listAll(s"$out/o").exists(_.getFileName.toString == "_SUCCESS"))
+  }
+
+  // T:18-31 — the reference runs on a real MiniDFSCluster. Its jars are
+  // unavailable offline, so the closest semantic probe is a local FS
+  // exposed under a non-file scheme WITH an authority: exercises
+  // fs.resolvePath/makeQualified behavior across URI schemes (the FM6
+  // fold root and all plan targets render as fakehdfs://nn/... paths).
+  test("move works end-to-end through a non-file URI scheme (HDFS-like)") {
+    val out = tmpDir()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.fakehdfs.impl", classOf[FakeHdfsFileSystem].getName)
+    write(s"fakehdfs://nn$out/o", Some("$outputDirectory/hdfs_like.csv"),
+      repartition = 1)
+    assert(Files.isRegularFile(Paths.get(s"$out/o/hdfs_like.csv")))
   }
 
   // T:96-104 — fixed target name, no partition columns

@@ -30,6 +30,51 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaMask == viaInverted)
   }
 
+  test("Q36 dispatch falls back to the inverted index when distinct masks exceed the cap") {
+    import spark.implicits._
+    val d = graft.Tables(spark, dir, "documents")
+      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+    // the fixture vocabulary (31 tokens) is bitmask-encodable, but a cap
+    // of 1 distinct mask forces the guard: dispatch must pick the
+    // inverted-index plan (no BroadcastNestedLoopJoin) and still return
+    // the identical pair set
+    val guarded = LlmOps.neardupPairs(d, maxDistinctMasks = 1)
+    guarded.collect()
+    val p = guarded.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"guarded dispatch still took the pairwise mask comparison:\n$p")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(guarded) == pairs(LlmOps.neardupPairs(d)))
+  }
+
+  test("Q45 IVF-pruned path returns the exact pair set (verify step makes pruning safe)") {
+    import spark.implicits._
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(LlmOps2.embedNeardupPairs(emb, 0.35))
+    val ivf = pairs(LlmOps2.embedNeardupPairs(emb, 0.35, forceIvf = true))
+    assert(exact.nonEmpty, "fixture should contain near-dup embedding pairs")
+    assert(ivf == exact,
+      s"IVF pruning lost ${(exact -- ivf).size} pairs / invented ${(ivf -- exact).size}")
+  }
+
+  test("pair queries leave no persistent storage behind") {
+    graft.Hygiene.clearAll(spark) // other suites may share this session
+    for (q <- Seq("q44_ngram_jaccard", "q45_embed_neardup", "q52_simhash_pairs")) {
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty, s"$q leaked persists")
+    }
+    // q47's within-query persists are deliberate; the harness-level
+    // hygiene pass must reclaim them
+    graft.SparkEntry.queries("q47_minhash_lsh")(spark, dir).collect()
+    graft.Hygiene.clearAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("Q36 fallback handles a vocabulary too large for the bitmask path") {
     import spark.implicits._
     // 200-token vocabulary → tokenBitmasks returns None → inverted path

@@ -54,4 +54,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q37_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("q37 + twins + q48: top-k through TopKPerGroupExec, never a Window") {
+    for (q <- Seq("q37_ann_topk", "x37_cosine_expr", "x37_cosine_udf",
+        "q48_ann_ivf")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroup"),
+        s"$q should plan the bounded-heap operator:\n$p")
+      assert(!p.contains("Window"),
+        s"$q must not shuffle all scored rows into a per-query window:\n$p")
+    }
+  }
+
+  test("q52: banded simhash candidates come from an equi-join, not all-pairs") {
+    val p = plan("q52_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q52 must not compare all fingerprint pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
 }
