@@ -118,6 +118,26 @@ object Extensions {
       .orderBy($"o_orderstatus", $"rn")
   }
 
+  /** Q49 twin through the Arrow-batched interop surface
+    * (graft.multimodal.ArrowInterop): documents travel as serialized
+    * Arrow record batches through a columnar worker — the
+    * mapInPandas/mapInArrow execution shape with the Python process
+    * replaced by an in-JVM Arrow worker. Hash-matches the q49 digest
+    * oracle, proving the batch round-trip is lossless. */
+  def q49Arrow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    graft.multimodal.ArrowInterop.mapInArrowBatches(
+        media, graft.multimodal.ArrowInterop.DigestSchema, 128)(
+        graft.multimodal.ArrowInterop.digestWorker(media.schema, tz))
+      .orderBy($"doc_id")
+  }
+  val q49ArrowSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Q38 twin: tokenizer as a typed flatMap (UDTF-style one-row→many)
     * instead of explode(split(...)). */
   def q38FlatMap(s: SparkSession, dir: String): DataFrame = {

@@ -106,8 +106,12 @@ object LlmOps {
 
     val masks =
       if (forceInverted) None
-      else tokenBitmasks(tok)
-        .filter(_.select($"mask").distinct().count() <= maxDistinctMasks)
+      else tokenBitmasks(tok).filter { m =>
+        // distinct masks ≤ doc count, so a cheap row count short-circuits
+        // the (heavier) distinct-mask count when it can't exceed the cap
+        d.count() <= maxDistinctMasks ||
+          m.select($"mask").distinct().count() <= maxDistinctMasks
+      }
     val pairs = masks match {
       case Some(masks) =>
         val groups = masks.groupBy($"mask")

@@ -115,13 +115,14 @@ object LlmOps2 {
             """transform(sequence(1, size(sp) - 2),
                i -> concat_ws(' ', sp[i-1], sp[i], sp[i+1]))"""))))
       .select($"doc_id", $"tris", size($"tris").cast("double").as("sz"))
-      // self-joined below: each side recomputes the trigram derivation.
-      // Deliberately NOT persisted — recompute is a columnar projection
-      // over one scan, while pinning the full exploded trigram relation
-      // in storage memory for the session's lifetime is exactly the kind
-      // of leak that kills a long-lived 100 TB session.
+      // persist + EAGER CUT (unpersisted before returning): the trigram
+      // derivation is the dominant per-row cost and, unpersisted, runs
+      // ~6× per row — once per join side plus the filter copies that
+      // generate-inference inlines into each scan (measured 18 s vs 3 s
+      // at sf0.1). The cache lives only for the duration of this call.
+      .persist()
     val tri = d.select($"doc_id", $"sz", explode($"tris").as("tri"))
-    tri.as("x").join(tri.as("y"),
+    val pairs = tri.as("x").join(tri.as("y"),
         $"x.tri" === $"y.tri" && $"x.doc_id" < $"y.doc_id")
       .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
         $"x.sz".as("sza"), $"y.sz".as("szb"))
@@ -130,6 +131,12 @@ object LlmOps2 {
       .filter($"jac" >= 0.2)
       .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
+    // materialize the (small) surviving pair set, then release the cache:
+    // the caller gets a lineage-truncated frame and no trigram relation
+    // stays pinned in storage after this call returns
+    val out = pairs.localCheckpoint(eager = true)
+    d.unpersist(blocking = false)
+    out
   }
   val q44Sql: String =
     """WITH d AS (

@@ -77,30 +77,54 @@ object LlmOps3 {
       |FROM h ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin
 
   // ---- Q57: near-dup clusters — connected components ------------------
-  // Min-label propagation over the Jaccard≥0.7 pair graph: every doc
-  // starts as its own label; each round takes the min label over its
-  // neighborhood; converged when no label changes. Each round is one
-  // shuffle-join; lineage is truncated per round (localCheckpoint) so
-  // the plan does not grow with iterations — the standard large-graph
-  // CC shape when a graph library isn't warranted.
-  // Cluster id = min doc_id in the component (deterministic).
+  // Min-label propagation + pointer jumping over the Jaccard≥0.7 pair
+  // graph: every doc starts as its own label; each round takes the min
+  // label over its neighborhood (one shuffle join), then path-halves by
+  // replacing its label with that node's label (a second join). The
+  // jump preserves the invariant "my label is the id of a node in my
+  // component with id ≤ my previous label", so the fixed point is
+  // unchanged (component-min labels), but long chains collapse in
+  // O(log diameter) rounds instead of O(diameter). Lineage is truncated
+  // per round (localCheckpoint) so the plan does not grow with
+  // iterations — the standard large-graph CC shape when a graph library
+  // isn't warranted. Cluster id = min doc_id in the component.
   def q57(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
     val pairs = LlmOps.q36(s, dir).select($"doc_a", $"doc_b")
+    // edges persisted PRE-PARTITIONED on the join key: when labels can't
+    // broadcast, each round's join reuses this partitioning and only the
+    // (node-sized) label relation shuffles — never the edge list
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .repartition($"dst")
       .persist()
+    // labels are node-sized (≪ edges); below the cap, hint broadcast —
+    // checkpointed frames carry no stats, so without the hint the
+    // planner would sort-merge the full edge list EVERY round
+    val nDocs = docs.count()
+    def labelSide(l: DataFrame): DataFrame =
+      if (nDocs <= 4000000) broadcast(l) else l
     var labels = docs.select($"doc_id", $"doc_id".as("label")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 30) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+      val neighborMin = edges.join(labelSide(labels),
+          edges("dst") === labels("doc_id"))
         .groupBy($"src").agg(min($"label").as("nlabel"))
-      val next = labels.as("l")
+      val propagated = labels.as("l")
         .join(neighborMin.as("n"), $"l.doc_id" === $"n.src", "left")
         .select($"l.doc_id".as("doc_id"),
           least($"l.label", coalesce($"nlabel", $"l.label")).as("label"))
+      // pointer jump: label ← label(label) (labels are node ids). Jumps
+      // through the PREVIOUS round's checkpointed labels — rescanning
+      // them is free, while jumping through `propagated` would recompute
+      // the neighbor join twice per round.
+      val next = propagated.as("x")
+        .join(labels.select($"doc_id".as("jid"), $"label".as("jlabel")).as("y"),
+          $"x.label" === $"y.jid", "left")
+        .select($"x.doc_id".as("doc_id"),
+          least($"x.label", coalesce($"jlabel", $"x.label")).as("label"))
         .localCheckpoint()
       changed = next.as("a").join(labels.as("b"), $"a.doc_id" === $"b.doc_id")
         .filter($"a.label" =!= $"b.label").count()

@@ -21,4 +21,44 @@ object GraftSqlBridge {
   def analyzed(df: DataFrame):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  // ---- Arrow interop (graft.multimodal.ArrowInterop) -----------------
+  // The same private[sql] converters Spark's own vectorized Python
+  // runners (mapInPandas / mapInArrow) are built on: InternalRow
+  // partitions ↔ serialized Arrow record batches.
+
+  /** Executed (physical) rows of a DataFrame. */
+  def internalRows(df: DataFrame): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** DataFrame over physical rows (classic internalCreateDataFrame). */
+  def fromInternalRows(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Rows → serialized Arrow record batches (IPC message framing, no
+    * stream header — schema travels out of band, as with Python
+    * workers). Executor-side only (needs a TaskContext). */
+  def toArrowBatches(rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      maxRecordsPerBatch: Long, timeZoneId: String): Iterator[Array[Byte]] =
+    execution.arrow.ArrowConverters.toBatchIterator(rows, schema,
+      maxRecordsPerBatch, timeZoneId,
+      true, false, org.apache.spark.TaskContext.get())
+
+  /** Serialized Arrow record batches → rows. Executor-side only. */
+  def fromArrowBatches(batches: Iterator[Array[Byte]],
+      schema: org.apache.spark.sql.types.StructType,
+      timeZoneId: String): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    execution.arrow.ArrowConverters.fromBatchIterator(batches, schema,
+      timeZoneId, true, false, org.apache.spark.TaskContext.get())
+
+  /** Spark schema → Arrow schema (for workers that parse the batches). */
+  def arrowSchema(schema: org.apache.spark.sql.types.StructType,
+      timeZoneId: String): org.apache.arrow.vector.types.pojo.Schema =
+    util.ArrowUtils.toArrowSchema(schema, timeZoneId,
+      errorOnDuplicatedFieldNames = true, largeVarTypes = false)
 }

@@ -64,12 +64,20 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pair queries leave no persistent storage behind") {
     graft.Hygiene.clearAll(spark) // other suites may share this session
-    for (q <- Seq("q44_ngram_jaccard", "q45_embed_neardup", "q52_simhash_pairs")) {
+    for (q <- Seq("q45_embed_neardup", "q52_simhash_pairs")) {
       graft.SparkEntry.queries(q)(spark, dir).collect()
       assert(spark.sparkContext.getPersistentRDDs.isEmpty, s"$q leaked persists")
     }
+    // q44 eager-cuts its trigram cache: after the call only the small
+    // checkpointed pair result may remain in storage, never the
+    // exploded trigram relation (whose cache entry is named by persist)
+    graft.SparkEntry.queries("q44_ngram_jaccard")(spark, dir).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q44 left its trigram cache registered")
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      "q44 left more than its checkpointed result behind")
     // q47's within-query persists are deliberate; the harness-level
-    // hygiene pass must reclaim them
+    // hygiene pass must reclaim them (as must q44's checkpoint residue)
     graft.SparkEntry.queries("q47_minhash_lsh")(spark, dir).collect()
     graft.Hygiene.clearAll(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
