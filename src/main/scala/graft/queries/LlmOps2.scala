@@ -178,17 +178,21 @@ object LlmOps2 {
     *
     * Pruning safety is a theorem, not a tuning outcome — the result is
     * the exact pair set for any (c, data). How MUCH is pruned depends on
-    * cluster tightness and `c` (more, smaller cells ⇒ smaller radii ⇒
-    * tighter bound); at 100 TB `c` grows to keep cells executor-sized
-    * and the cell-pair relation (c² rows) stays broadcastable. */
+    * cluster tightness, dimensionality, and the threshold: on the
+    * fixture embeddings at t=0.35 (arccos ≈ 69.5°) NOTHING prunes
+    * (measured: all c² cell pairs admissible for c∈{16,32,64} — in 64
+    * dims pair angles concentrate near 90°, so no radius configuration
+    * beats so wide a bound; metric pruning for low cosine thresholds in
+    * high dimensions is structurally hard, which is WHY the exact
+    * all-pairs plan stays the declared baseline). On clusterable data /
+    * tighter thresholds the bound engages (asserted in LlmOpsSpec), and
+    * at 100 TB `c` grows to keep cells executor-sized while the
+    * cell-pair relation (c² rows) stays broadcastable. */
   private[queries] def embedNeardupPairs(emb: DataFrame, threshold: Double,
       maxExactRows: Long = 20000, c: Int = 16,
       forceIvf: Boolean = false): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    import graft.plans.GraftOps
-    def ang(cos: Column): Column = // numerically safe arccos
-      acos(least(lit(1.0), greatest(lit(-1.0), cos)))
     val pairs = if (!forceIvf && emb.count() <= maxExactRows) {
       emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
         .withColumn("cos", CosineSimilarity.cosineSim($"a.v", $"b.v"))
@@ -196,29 +200,7 @@ object LlmOps2 {
         .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
           round($"cos", 6).as("cosine"))
     } else {
-      // deterministic coarse centroids: the c lowest vec_ids
-      val cents = emb.orderBy($"vec_id").limit(c)
-        .select($"vec_id".as("cent_id"), $"v".as("cv"))
-      // nearest-centroid assignment via the bounded-heap operator (the
-      // partial pass collapses c candidate rows per vector pre-shuffle)
-      val assigned = GraftOps.topKPerGroup(
-          emb.join(broadcast(cents))
-            .select($"vec_id", $"v", $"cent_id",
-              CosineSimilarity.cosineSim($"v", $"cv").as("sim")),
-          1, Seq("vec_id"),
-          Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
-        .select($"vec_id", $"v", $"cent_id", ang($"sim").as("vang"))
-      val radii = assigned.groupBy($"cent_id").agg(max($"vang").as("r"))
-      // admissible cell pairs: c² rows of centroid-pair angles vs the
-      // triangle bound (tiny relation, broadcast below); ordered pairs
-      // both ways + diagonal so vec_id < vec_id covers every case once
-      val cellPairs = cents.as("x").join(cents.as("y"))
-        .select($"x.cent_id".as("ca"), $"y.cent_id".as("cb"),
-          ang(CosineSimilarity.cosineSim($"x.cv", $"y.cv")).as("cang"))
-        .join(radii.select($"cent_id".as("ca"), $"r".as("ra")), "ca")
-        .join(radii.select($"cent_id".as("cb"), $"r".as("rb")), "cb")
-        .filter($"cang" - $"ra" - $"rb" <= lit(math.acos(threshold) + 1e-9))
-        .select($"ca", $"cb")
+      val (assigned, cellPairs) = ivfCells(emb, threshold, c)
       // candidates within admissible cell pairs only; each vector lives
       // in exactly one cell, so every pair is generated at most once —
       // no distinct needed. Exact verify makes the pruning safe.
@@ -235,6 +217,43 @@ object LlmOps2 {
           round($"cos", 6).as("cosine"))
     }
     pairs.orderBy($"a_id", $"b_id")
+  }
+
+  /** IVF building blocks for [[embedNeardupPairs]]: nearest-centroid
+    * assignment (vec_id, v, cent_id) and the admissible cell-pair
+    * relation (ca, cb) under the angular triangle bound. Exposed
+    * separately so the pruning behavior itself is testable. */
+  private[queries] def ivfCells(emb: DataFrame, threshold: Double,
+      c: Int): (DataFrame, DataFrame) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    import graft.plans.GraftOps
+    def ang(cos: Column): Column = // numerically safe arccos
+      acos(least(lit(1.0), greatest(lit(-1.0), cos)))
+    // deterministic coarse centroids: the c lowest vec_ids
+    val cents = emb.orderBy($"vec_id").limit(c)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    // nearest-centroid assignment via the bounded-heap operator (the
+    // partial pass collapses c candidate rows per vector pre-shuffle)
+    val assigned = GraftOps.topKPerGroup(
+        emb.join(broadcast(cents))
+          .select($"vec_id", $"v", $"cent_id",
+            CosineSimilarity.cosineSim($"v", $"cv").as("sim")),
+        1, Seq("vec_id"),
+        Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
+      .select($"vec_id", $"v", $"cent_id", ang($"sim").as("vang"))
+    val radii = assigned.groupBy($"cent_id").agg(max($"vang").as("r"))
+    // admissible cell pairs: c² rows of centroid-pair angles vs the
+    // triangle bound (tiny relation, broadcast by the caller); ordered
+    // pairs both ways + diagonal so vec_id < vec_id covers each case once
+    val cellPairs = cents.as("x").join(cents.as("y"))
+      .select($"x.cent_id".as("ca"), $"y.cent_id".as("cb"),
+        ang(CosineSimilarity.cosineSim($"x.cv", $"y.cv")).as("cang"))
+      .join(radii.select($"cent_id".as("ca"), $"r".as("ra")), "ca")
+      .join(radii.select($"cent_id".as("cb"), $"r".as("rb")), "cb")
+      .filter($"cang" - $"ra" - $"rb" <= lit(math.acos(threshold) + 1e-9))
+      .select($"ca", $"cb")
+    (assigned.select($"vec_id", $"v", $"cent_id"), cellPairs)
   }
   val q45Sql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

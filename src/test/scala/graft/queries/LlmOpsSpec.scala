@@ -62,6 +62,30 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"IVF pruning lost ${(exact -- ivf).size} pairs / invented ${(ivf -- exact).size}")
   }
 
+  test("Q45 cell bound prunes cross-cluster cell pairs on clustered data") {
+    import spark.implicits._
+    // three tight clusters around orthogonal axes: intra-cluster angles
+    // are small, inter-cluster ≈ 90° — at threshold 0.9 (≈26°) the
+    // triangle bound must eliminate all cross-cluster cell pairs
+    val vecs = (0 until 60).map { i =>
+      val axis = i % 3
+      val base = Array.fill(8)(0.001 * ((i * 7) % 5))
+      base(axis) = 1.0
+      (i.toLong, base.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "v")
+    val (_, cellPairs) = LlmOps2.ivfCells(emb, threshold = 0.9, c = 3)
+    val kept = cellPairs.count()
+    assert(kept < 9, s"expected cross-cluster cell pairs pruned, kept $kept/9")
+    // and the pruned path still returns the exact pair set
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(LlmOps2.embedNeardupPairs(emb, 0.9))
+    val ivf = pairs(LlmOps2.embedNeardupPairs(emb, 0.9, forceIvf = true, c = 3))
+    assert(exact.nonEmpty)
+    assert(ivf == exact)
+  }
+
   test("pair queries leave no persistent storage behind") {
     graft.Hygiene.clearAll(spark) // other suites may share this session
     for (q <- Seq("q45_embed_neardup", "q52_simhash_pairs")) {
