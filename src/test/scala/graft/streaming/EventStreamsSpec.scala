@@ -182,6 +182,40 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == 3)
   }
 
+  // the two flagship surfaces composed: a streaming query whose
+  // micro-batch outputs are template-renamed by the commit protocol —
+  // the reference's capability (FM1–FM9) applied to a streaming sink
+  test("foreachBatch + file mover: each micro-batch output is template-renamed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.filemover.MoveFilesCommitProtocol.register(spark)
+    val out = java.nio.file.Files.createTempDirectory("movestream").toString
+    try {
+      val mem = MemoryStream[Event]
+      val q = mem.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], id: Long) =>
+          batch.coalesce(1).write.mode("overwrite")
+            .option(graft.filemover.MoveFilesCommitProtocol.MOVE_FILES_OPTION,
+              "$outputDirectory/batch_" + id + ".csv")
+            .csv(s"$out/b$id")
+          ()
+        }
+        .start()
+      def e(id: Long) = Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0)
+      mem.addData(Seq(e(1), e(2)))
+      q.processAllAvailable()
+      mem.addData(Seq(e(3)))
+      q.processAllAvailable()
+      q.stop()
+      for (id <- Seq(0, 1)) {
+        val f = java.nio.file.Paths.get(s"$out/b$id/batch_$id.csv")
+        assert(java.nio.file.Files.isRegularFile(f), s"missing renamed $f")
+      }
+    } finally {
+      spark.conf.unset(graft.filemover.MoveFilesCommitProtocol.COMMIT_PROTOCOL_CLASS)
+    }
+  }
+
   test("E02: dropDuplicatesWithinWatermark dedups within the watermark") {
     val batches = Seq(
       Seq(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
