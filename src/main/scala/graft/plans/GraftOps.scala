@@ -24,7 +24,8 @@ object GraftOps {
     * so no analyzer involvement is needed for its expressions.
     */
   def topKPerGroup(df: DataFrame, k: Int, groupCols: Seq[String],
-      orderCols: Seq[Order], rankName: String = "rnk"): DataFrame = {
+      orderCols: Seq[Order], rankName: String = "rnk",
+      partialFlushRows: Long = TopKPerGroup.DefaultPartialFlushRows): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(orderCols.nonEmpty, "at least one order column is required")
     val spark = df.sparkSession
@@ -43,6 +44,6 @@ object GraftOps {
     }
     val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
     GraftSqlBridge.ofRows(spark,
-      TopKPerGroup(k, groupExprs, orderExprs, rankAttr, child))
+      TopKPerGroup(k, groupExprs, orderExprs, rankAttr, child, partialFlushRows))
   }
 }

@@ -30,7 +30,9 @@ import org.apache.spark.sql.types.IntegerType
   */
 case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder], rankAttr: AttributeReference,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    partialFlushRows: Long = TopKPerGroup.DefaultPartialFlushRows)
+  extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rankAttr is MINTED here, not consumed from the child
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -38,12 +40,33 @@ case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
     copy(child = newChild)
 }
 
+object TopKPerGroup {
+  /** Partial-pass memory bound: max rows held across all group heaps in
+    * one task before a flush (rows are UnsafeRow copies; at ~100 B–1 KB
+    * each this caps the pass at roughly 100 MB–1 GB per task — below
+    * typical executor task memory, and tunable per call). */
+  val DefaultPartialFlushRows: Long = 1L << 20
+}
+
 /** Physical top-k-per-group. `partial = true` instances run before the
   * exchange (per input partition, no rank output); the final instance
-  * requires clustering on the group keys and emits ranks. */
+  * requires clustering on the group keys and emits ranks.
+  *
+  * Memory safety of the partial pass: it holds one ≤k-row heap per
+  * DISTINCT group seen in the partition, which is unbounded when the
+  * group key is high-cardinality (the argmax-per-vector pattern). When
+  * held rows exceed `partialFlushRows`, the pass
+  * FLUSHES every heap downstream and starts over — partial output only
+  * needs to be a superset of each group's true top k (the final pass
+  * re-reduces after the exchange), so flushing trades reduction ratio
+  * for bounded memory, never correctness. The final pass has the
+  * shuffle's clustering guarantee and its held rows are the true
+  * result size (≤ k × groups-in-partition), so it never flushes. */
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder], rankAttr: AttributeReference,
-    partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    partial: Boolean, child: SparkPlan,
+    partialFlushRows: Long = TopKPerGroup.DefaultPartialFlushRows)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
@@ -64,13 +87,16 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     val kk = k
     val isPartial = partial
     val finalOutput = output
+    val flushRows = partialFlushRows
     child.execute().mapPartitions ({ it =>
       val groupProj = UnsafeProjection.create(groupE, childOutput)
       // BaseOrdering compares "row A before row B" as < 0; the heap keeps
       // its LARGEST (= worst kept) element at the head for O(log k) evict
       val ord = GenerateOrdering.generate(orderE, childOutput)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      var held = 0L
+
+      def consume(row: InternalRow): Unit = {
         val key = groupProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
@@ -79,15 +105,33 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
             heaps.put(key.copy(), h)
             h
         }
-        if (heap.size < kk) heap += row.copy()
+        if (heap.size < kk) { heap += row.copy(); held += 1 }
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()
           heap += row.copy()
         }
       }
+
       if (isPartial) {
-        heaps.valuesIterator.flatMap(_.iterator)
+        // chunked: fill heaps until the row bound, flush, repeat — the
+        // output is a per-chunk top-k superset of the true per-group
+        // top-k, reduced exactly by the final pass after the exchange
+        new Iterator[InternalRow] {
+          private var out: Iterator[InternalRow] = Iterator.empty
+          private def refill(): Unit = {
+            while (it.hasNext && held < flushRows) consume(it.next())
+            out = heaps.values.toIndexedSeq.iterator.flatMap(_.iterator)
+            heaps.clear()
+            held = 0L
+          }
+          def hasNext: Boolean = {
+            while (!out.hasNext && it.hasNext) refill()
+            out.hasNext
+          }
+          def next(): InternalRow = { if (!hasNext) Iterator.empty.next(); out.next() }
+        }
       } else {
+        it.foreach(consume)
         val outProj = UnsafeProjection.create(finalOutput, finalOutput)
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
@@ -111,10 +155,10 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
   * EnsureRequirements) → final. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(k, g, o, rank, child) =>
+    case TopKPerGroup(k, g, o, rank, child, flush) =>
       val partial = TopKPerGroupExec(k, g, o, rank, partial = true,
-        planLater(child))
-      TopKPerGroupExec(k, g, o, rank, partial = false, partial) :: Nil
+        planLater(child), flush)
+      TopKPerGroupExec(k, g, o, rank, partial = false, partial, flush) :: Nil
     case _ => Nil
   }
 }

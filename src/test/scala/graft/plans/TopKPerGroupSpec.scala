@@ -48,6 +48,26 @@ class TopKPerGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and k=5, at most 15 rows per input partition reach the exchange
   }
 
+  test("partial-pass flush bound preserves correctness under high-cardinality groups") {
+    import spark.implicits._
+    // 2000 rows, 500 groups, 4 partitions → each partial task would hold
+    // ~500 heaps; a flush bound of 8 rows forces dozens of flushes per
+    // task, and the final pass must still produce the exact top-2
+    val df = (0 until 2000).map(i => (i % 500, i, (i * 37 % 101).toDouble))
+      .toDF("g", "id", "score").repartition(4)
+    val got = GraftOps.topKPerGroup(df, 2, Seq("g"),
+      Seq(GraftOps.Order("score", desc = true), GraftOps.Order("id")),
+      partialFlushRows = 8)
+      .select($"g", $"rnk", $"id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val want = df.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 2)
+      .select($"g", $"rnk", $"id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.size == 1000)
+  }
+
   test("k larger than any group returns every row ranked") {
     import spark.implicits._
     val nation = graft.Tables(spark, "/root/testdata/sf0.001", "nation")
