@@ -76,6 +76,81 @@ object LlmOps3 {
       |SELECT doc_id, (h * 2654435761) % 2147483647 AS shuffle_key
       |FROM h ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin
 
+  // ---- Q64: deterministic sequence packing ----------------------------
+  // Training-data op: pack documents into fixed-token-budget bins
+  // ("sequences") for LLM training. Scale-safe shape: packing runs
+  // independently per content-hash shard (a global greedy pack would
+  // need a total order over 100 TB — a non-starter), so the window
+  // cumsum is partitioned, embarrassingly parallel, and deterministic
+  // on any engine: shard = hash(text) % 8, order by doc_id within
+  // shard, contiguous-fill bins of 512 tokens.
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(s, dir, "documents")
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("shard",
+        graft.functions.RollingHash.rollingHash($"text", 64) % 8)
+      .withColumn("cum", sum($"n_tokens").over(w))
+      // bin of the POSITION where this doc ends: contiguous fill
+      // (integer `div`, matching DuckDB's `//` — Spark's `/` is double)
+      .withColumn("bin", expr(s"(cum - 1) div $budget"))
+      .groupBy($"shard", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"shard", $"bin")
+  }
+  val q64Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, least(len(text), 64)),
+      |                       i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 8 AS shard
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens, shard,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT shard, CAST((cum - 1) // 512 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens, MIN(doc_id) AS first_doc
+      |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  // ---- Q65: deterministic stratified sample ---------------------------
+  // Per-language quota sampling by content hash: the same document is
+  // in or out on any engine, any partitioning, any rerun (no RNG), and
+  // strata rates differ per class — the standard rebalancing primitive.
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("h",
+        graft.functions.RollingHash.rollingHash($"text", 64) % 100)
+      .withColumn("rate", when($"lang" === "en", 80).otherwise(30))
+      .filter($"h" < $"rate")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_doc"),
+        sum($"n_chars").as("sampled_chars"))
+      .orderBy($"lang")
+  }
+  val q65Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, least(len(text), 64)),
+      |                       i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS h
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+      |FROM h WHERE h < CASE WHEN lang = 'en' THEN 80 ELSE 30 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- Q57: near-dup clusters — connected components ------------------
   // Min-label propagation + pointer jumping over the Jaccard≥0.7 pair
   // graph: every doc starts as its own label; each round takes the min
