@@ -83,7 +83,11 @@ object LlmOps3 {
   // need a total order over 100 TB — a non-starter), so the window
   // cumsum is partitioned, embarrassingly parallel, and deterministic
   // on any engine: shard = hash(text) % 8, order by doc_id within
-  // shard, contiguous-fill bins of 512 tokens.
+  // shard, contiguous-fill bins of 512 tokens. Shard count is pinned
+  // to 8 here because it is part of the DECLARED output (the oracle
+  // computes the same shards); at 100 TB the shard modulus scales with
+  // the cluster (thousands) — it's data layout, not semantics, and
+  // parallelism equals the shard count.
   def q64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val budget = 512
