@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, RollingHash}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
-  * functions available to pure-SQL users at session build time:
+  * functions and its one custom planner strategy available at session
+  * build time:
   *
   * {{{
   * SparkSession.builder()
@@ -14,17 +15,34 @@ import graft.functions.CosineSimilarity
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * Per SURVEY §4.2 the engine deliberately injects NO optimizer rules or
-  * planner strategies — every relational operator is expressible in
-  * declarative DataFrame programs that Catalyst already optimizes; the
-  * extension surface is scalar functions only.
+  * Per SURVEY §4.2 the engine injects NO optimizer rules and changes no
+  * stock plans — the relational surface is declarative DataFrame code
+  * that Catalyst already optimizes. The injected pieces are additive
+  * only: two scalar functions for pure-SQL users, and the
+  * [[graft.plans.TopKStrategy]] planner strategy, which pattern-matches
+  * exclusively on the engine's own [[graft.plans.TopKPerGroup]] logical
+  * node (every other plan passes through untouched).
+  * `GraftOps.topKPerGroup` also self-registers the strategy lazily, so
+  * DataFrame-API callers work without this class; injecting it here
+  * makes cluster-wide `--conf spark.sql.extensions=graft.GraftExtensions`
+  * the single switch that enables the full engine surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => RollingHash(s, Int.MaxValue)
+        case Seq(s, len) if len.foldable =>
+          RollingHash(s, len.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "rolling_hash(str[, maxLen]) requires a literal maxLen")
+      }))
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

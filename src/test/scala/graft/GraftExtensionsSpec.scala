@@ -15,6 +15,32 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("rolling_hash is callable from SQL via session extensions") {
+    // matches the portable SQL formulation for ASCII input
+    val got = spark.sql("SELECT rolling_hash('abc', 64) h")
+      .collect().head.getLong(0)
+    val want = "abc".getBytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(got == want)
+    // one-arg form hashes the whole string
+    assert(spark.sql("SELECT rolling_hash('abc') h").collect().head.getLong(0) == want)
+  }
+
+  test("cosine_sim auto-casts float arrays from SQL (ADVICE regression)") {
+    val r = spark.sql(
+      "SELECT round(cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6) c")
+      .collect().head.getDouble(0)
+    assert(r == 1.0)
+  }
+
+  test("TopKStrategy is injected: DataFrame top-k plans without manual registration") {
+    import spark.implicits._
+    // fresh strategy path: GraftOps also lazily registers, so assert the
+    // extension injection independently via the session's planner
+    assert(spark.sessionState.planner.strategies.exists(
+      _.getClass.getName.contains("TopKStrategy")))
+  }
+
   test("cosine_sim is callable from SQL via session extensions") {
     val r = spark.sql(
       "SELECT round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) c")
