@@ -55,17 +55,30 @@ class TopKPerGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // task, and the final pass must still produce the exact top-2
     val df = (0 until 2000).map(i => (i % 500, i, (i * 37 % 101).toDouble))
       .toDF("g", "id", "score").repartition(4)
-    val got = GraftOps.topKPerGroup(df, 2, Seq("g"),
-      Seq(GraftOps.Order("score", desc = true), GraftOps.Order("id")),
-      partialFlushRows = 8)
-      .select($"g", $"rnk", $"id")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
     val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
     val want = df.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 2)
       .select($"g", $"rnk", $"id")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-    assert(got == want)
-    assert(got.size == 1000)
+    // every flush bound — pathological (1) through no-flush (default) —
+    // must produce the identical exact result
+    for (bound <- Seq(1L, 3L, 8L, Long.MaxValue)) {
+      val got = GraftOps.topKPerGroup(df, 2, Seq("g"),
+        Seq(GraftOps.Order("score", desc = true), GraftOps.Order("id")),
+        partialFlushRows = bound)
+        .select($"g", $"rnk", $"id")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == want, s"flush bound $bound broke top-k")
+    }
+    assert(want.size == 1000)
+  }
+
+  test("empty input yields an empty ranked result") {
+    import spark.implicits._
+    val df = Seq.empty[(Int, Double)].toDF("g", "score")
+    val out = GraftOps.topKPerGroup(df, 3, Seq("g"),
+      Seq(GraftOps.Order("score", desc = true)))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("g", "score", "rnk"))
   }
 
   test("k larger than any group returns every row ranked") {
