@@ -46,7 +46,11 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      val t = Seq(once(), once(), once()).sorted.apply(1) // median of 3
+      val runs = Seq(once(), once(), once())
+      // any failed run poisons the whole query's number — a 1-in-3 flake
+      // must surface as a failure, not bias the median toward the
+      // surviving (faster) runs
+      val t = if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(1)
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

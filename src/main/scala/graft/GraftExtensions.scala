@@ -39,7 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => exprs match {
         case Seq(s) => RollingHash(s, Int.MaxValue)
         case Seq(s, len) if len.foldable =>
-          RollingHash(s, len.eval().asInstanceOf[Number].intValue())
+          len.eval() match {
+            case n: Number => RollingHash(s, n.intValue())
+            case other => throw new IllegalArgumentException(
+              s"rolling_hash maxLen must be a non-null integer literal, got $other")
+          }
         case _ => throw new IllegalArgumentException(
           "rolling_hash(str[, maxLen]) requires a literal maxLen")
       }))

@@ -14,7 +14,15 @@ object RunTmp {
       java.util.UUID.randomUUID().toString.take(8)
     val f = new java.io.File(r)
     f.mkdirs()
-    f.deleteOnExit()
+    // recursive cleanup at JVM exit (File.deleteOnExit cannot remove
+    // non-empty directories — without this every run leaks its outputs)
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(f)
+    }
     r
   }
 

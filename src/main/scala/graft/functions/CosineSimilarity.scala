@@ -35,6 +35,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  // A null ELEMENT in either array yields SQL NULL (matching the
+  // declared ARRAY<DOUBLE> contract, whose containsNull is permissive):
+  // silently reading the slot would produce garbage — the exact failure
+  // class the input-type contract exists to close.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,6 +48,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i)
       val yv = y.getDouble(i)
       dot += xv * yv
@@ -63,17 +68,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $x.getDouble($i);
-         |  double $yv = $y.getDouble($i);
-         |  $dot += $xv * $yv;
-         |  $nx += $xv * $xv;
-         |  $ny += $yv * $yv;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; }
+         |  else {
+         |    double $xv = $x.getDouble($i);
+         |    double $yv = $y.getDouble($i);
+         |    $dot += $xv * $yv;
+         |    $nx += $xv * $xv;
+         |    $ny += $yv * $yv;
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 

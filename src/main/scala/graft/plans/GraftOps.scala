@@ -28,9 +28,15 @@ object GraftOps {
       partialFlushRows: Long = TopKPerGroup.DefaultPartialFlushRows): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(orderCols.nonEmpty, "at least one order column is required")
+    require(partialFlushRows > 0,
+      s"partialFlushRows must be positive, got $partialFlushRows")
     val spark = df.sparkSession
-    // idempotently register the planner strategy on this session
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+    // idempotently register the planner strategy on this session —
+    // planner.strategies covers both experimental.extraStrategies and
+    // extension-injected strategies (GraftExtensions), so a session
+    // built with spark.sql.extensions never gets a second copy
+    if (!spark.sessionState.planner.strategies.contains(TopKStrategy) &&
+        !spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     }

@@ -87,7 +87,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     val kk = k
     val isPartial = partial
     val finalOutput = output
-    val flushRows = partialFlushRows
+    val flushRows = math.max(1L, partialFlushRows) // a non-positive bound must not hang the task
     child.execute().mapPartitions ({ it =>
       val groupProj = UnsafeProjection.create(groupE, childOutput)
       // BaseOrdering compares "row A before row B" as < 0; the heap keeps

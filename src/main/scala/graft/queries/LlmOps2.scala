@@ -133,7 +133,9 @@ object LlmOps2 {
       .orderBy($"doc_a", $"doc_b")
     // materialize the (small) surviving pair set, then release the cache:
     // the caller gets a lineage-truncated frame and no trigram relation
-    // stays pinned in storage after this call returns
+    // stays pinned in storage after this call returns. (Corollary: a
+    // Hygiene.clearAll invalidates this frame — consume it first, as
+    // the harness mains do; see Hygiene's contract note.)
     val out = pairs.localCheckpoint(eager = true)
     d.unpersist(blocking = false)
     out
