@@ -25,6 +25,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT rolling_hash('abc') h").collect().head.getLong(0) == want)
   }
 
+  test("cosine_sim returns NULL for arrays containing null elements") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) c")
+      .collect().head
+    assert(r.isNullAt(0), "null element must yield SQL NULL, not garbage")
+  }
+
   test("cosine_sim auto-casts float arrays from SQL (ADVICE regression)") {
     val r = spark.sql(
       "SELECT round(cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
