@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline operators round 4: trained language identification and
+  * Gopher-style repetition quality signals.
+  *
+  * Both follow the repo's portability rule (SURVEY §2.C.0): every score
+  * that reaches the output is integer arithmetic (or a `round(..., 4)`
+  * of an exact integer ratio), so the DuckDB oracle hash-matches
+  * bit-for-bit on any engine.
+  */
+object LlmOps4 {
+
+  // ---- Q66: language-ID — trained character-trigram profile -----------
+  // The classic Cavnar–Trenkle shape: learn per-language character
+  // n-gram profiles from a training split, score unseen docs by profile
+  // overlap, argmax. Differences from the usual float formulation, all
+  // deliberate:
+  //  * the train/test split is the same portable content-hash bucket as
+  //    q62 (no RNG, engine-independent membership);
+  //  * profile weights are integer per-million frequencies
+  //    (n * 1e6 div total), so scores are BIGINTs and the oracle
+  //    hash-matches exactly;
+  //  * the argmax runs through the bounded-heap TopKPerGroup operator
+  //    (k=1 per doc), not a row_number window.
+  // Scale shape: the profile is bounded by the trigram space (≤ |Σ|³),
+  // so it BROADCASTS; the doc side pre-aggregates (doc_id, tri) counts
+  // before the join (map-side combine), and nothing ever shuffles by
+  // language. On this synthetic corpus the labels are nearly independent
+  // of the text — a float log-likelihood naive Bayes probe measured only
+  // 27.6% accuracy at sf0.01 (5 classes, chance 20%) — so correctness is
+  // verified by determinism + oracle hash, not accuracy.
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = Tables(s, dir, "documents")
+      .withColumn("t", lower($"text"))
+      .filter(length($"t") >= 3)
+      .withColumn("h",
+        graft.functions.RollingHash.rollingHash($"text", 64) % 100)
+      .select($"doc_id", $"lang", $"h",
+        explode(expr(
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .as("tri"))
+    // per-doc trigram multiset, aggregated once and reused by both the
+    // profile build (train rows) and the scoring join (test rows)
+    val docTri = tri.groupBy($"doc_id", $"lang", $"h", $"tri")
+      .agg(count(lit(1)).as("cnt"))
+    val prof = docTri.filter($"h" < 80)
+      .groupBy($"lang".as("plang"), $"tri").agg(sum($"cnt").as("n"))
+    val tot = prof.groupBy($"plang").agg(sum($"n").as("total"))
+    val profW = prof.join(tot, "plang")
+      .select($"plang", $"tri", expr("n * 1000000L div total").as("w"))
+    val scored = docTri.filter($"h" >= 80)
+      .join(broadcast(profW), "tri")
+      .groupBy($"doc_id", $"lang", $"plang")
+      .agg(sum($"cnt" * $"w").as("score"))
+    graft.plans.GraftOps.topKPerGroup(scored, 1, Seq("doc_id"),
+        Seq(graft.plans.GraftOps.Order("score", desc = true),
+          graft.plans.GraftOps.Order("plang")), rankName = "rnk")
+      .select($"doc_id", $"lang".as("true_lang"), $"plang".as("pred_lang"),
+        $"score")
+      .orderBy($"doc_id")
+  }
+  val q66Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, lower(text) AS t,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, least(len(text), 64)),
+      |                       i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS h
+      |  FROM documents WHERE len(text) >= 3),
+      |tri AS (
+      |  SELECT doc_id, lang, h,
+      |    unnest(list_transform(generate_series(1, len(t) - 2),
+      |                          i -> substring(t, i, 3))) AS tri
+      |  FROM d),
+      |doc_tri AS (
+      |  SELECT doc_id, lang, h, tri, COUNT(*) AS cnt FROM tri GROUP BY ALL),
+      |prof AS (
+      |  SELECT lang AS plang, tri, CAST(SUM(cnt) AS BIGINT) AS n
+      |  FROM doc_tri WHERE h < 80 GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT plang, CAST(SUM(n) AS BIGINT) AS total FROM prof GROUP BY 1),
+      |prof_w AS (
+      |  SELECT p.plang, p.tri, CAST(p.n * 1000000 // t.total AS BIGINT) AS w
+      |  FROM prof p JOIN tot t USING (plang)),
+      |score AS (
+      |  SELECT dt.doc_id, dt.lang AS true_lang, p.plang,
+      |         CAST(SUM(dt.cnt * p.w) AS BIGINT) AS score
+      |  FROM doc_tri dt JOIN prof_w p ON dt.tri = p.tri
+      |  WHERE dt.h >= 80
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_id, true_lang, plang AS pred_lang, score
+      |FROM score
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY score DESC, plang) = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- Q67: repetition quality signals (Gopher-style) -----------------
+  // Per-document duplicate-bigram fraction and top-bigram fraction — the
+  // standard "excessive repetition" filters from the Gopher/MassiveText
+  // rules, at word-bigram granularity (the same pass generalizes to any
+  // n by changing the transform). The keep decision uses integer
+  // cross-multiplication (a*1000 <= thresh*b), never a float compare, so
+  // boundary documents land on the same side in every engine; the float
+  // ratio columns are display-only `round(..., 4)` projections of exact
+  // integer counts. Scale shape: one explode + two hash aggregations,
+  // both keyed by doc_id (map-side combine, no skew — a key is one doc).
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id",
+        explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
+    val counts = grams.groupBy($"doc_id", $"bigram")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy($"doc_id")
+      .agg(sum($"n").as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max($"n").as("top_n"))
+      .select($"doc_id", $"n_bigrams", $"n_distinct",
+        round(($"n_bigrams" - $"n_distinct").cast("double") / $"n_bigrams", 4)
+          .as("dup_bigram_frac"),
+        round($"top_n".cast("double") / $"n_bigrams", 4)
+          .as("top_bigram_frac"),
+        // keep = dup_frac <= 0.6 AND top_frac <= 0.18, in exact integers
+        ((($"n_bigrams" - $"n_distinct") * 1000 <= $"n_bigrams" * 600) &&
+          ($"top_n" * 1000 <= $"n_bigrams" * 180)).cast("int").as("keep"))
+      .orderBy($"doc_id")
+  }
+  val q67Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM d WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM g GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |  COUNT(*) AS n_distinct,
+      |  round(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 4) AS dup_bigram_frac,
+      |  round(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS top_bigram_frac,
+      |  CAST((SUM(n) - COUNT(*)) * 1000 <= SUM(n) * 600
+      |       AND MAX(n) * 1000 <= SUM(n) * 180 AS INT) AS keep
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}
