@@ -139,17 +139,18 @@ object ApproxOps {
     crossGroup.unionAll(intraGroup).orderBy($"doc_a", $"doc_b")
   }
 
-  /** Q48 ≈: IVF top-k ANN. Coarse centroids are the first C vectors
-    * (deterministic); every vector joins its nearest centroid, queries
-    * probe the `nprobe` nearest cells only. */
+  /** Q48 ≈: IVF top-k ANN. Coarse centroids come from the deterministic
+    * k-means quantizer (seeded from the first C vectors, refined by
+    * exact-decimal Lloyd iterations — [[graft.operators.KMeans]]); every
+    * vector joins its nearest centroid, queries probe the `nprobe`
+    * nearest cells only. */
   def q48(s: SparkSession, dir: String, k: Int = 10, c: Int = 16,
       nprobe: Int = 4): DataFrame = {
     import s.implicits._
     import graft.plans.GraftOps
     val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    val cents = emb.filter($"vec_id" < c)
-      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val cents = graft.operators.KMeans.fit(emb, c)
     // assign every vector to its nearest centroid: broadcast join +
     // bounded-heap argmax (k=1). The partial pass collapses the C
     // candidate rows per vector to 1 before any exchange — a row_number

@@ -232,9 +232,11 @@ object LlmOps2 {
     import graft.plans.GraftOps
     def ang(cos: Column): Column = // numerically safe arccos
       acos(least(lit(1.0), greatest(lit(-1.0), cos)))
-    // deterministic coarse centroids: the c lowest vec_ids
-    val cents = emb.orderBy($"vec_id").limit(c)
-      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    // deterministic k-means coarse centroids (seeded from the c lowest
+    // vec_ids, refined by exact-decimal Lloyd iterations): tighter cells
+    // mean smaller radii, so the triangle bound prunes MORE cell pairs
+    // than raw seed vectors would on clusterable data
+    val cents = graft.operators.KMeans.fit(emb, c)
     // nearest-centroid assignment via the bounded-heap operator (the
     // partial pass collapses c candidate rows per vector pre-shuffle)
     val assigned = GraftOps.topKPerGroup(

@@ -36,10 +36,12 @@ class ApproxOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val approx = ApproxOps.q48(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // nprobe=4 of 16 cells scans ~25% of vectors; on near-uniform random
-    // embeddings (no cluster structure, max cosine ~0.5) recall tracks
-    // the scan fraction — this asserts the machinery, not magic.
-    assert(recall >= 0.2, s"recall $recall")
+    // nprobe=4 of 16 cells scans ~25% of vectors, but the probed cells
+    // are the query's NEAREST cells, which hold most of its true top-10
+    // even on near-uniform data: measured 0.87 at sf0.001 and sf0.01,
+    // identical for k-means and raw-seed quantizers (no cluster
+    // structure to exploit). Floor leaves margin for fixture changes.
+    assert(recall >= 0.6, s"recall $recall")
     assert(approx.size == 30) // 3 queries x k=10, all cells non-empty
   }
 
