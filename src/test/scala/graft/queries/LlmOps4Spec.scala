@@ -32,6 +32,7 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q66 plan: profile join broadcasts, argmax is TopKPerGroupExec, no Window") {
+    graft.Hygiene.clearAll(spark) // other suites may share this session
     val df = graft.SparkEntry.queries("q66_langid")(spark, dir)
     df.collect()
     val p = df.queryExecution.explainString(
@@ -39,6 +40,8 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TopKPerGroup"), s"argmax not routed through the heap operator:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"profile join did not broadcast:\n$p")
     assert(!p.contains("Window"), s"plan still contains a Window:\n$p")
+    // instance-level aggregation: no persist, no checkpoint, no residue
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("q66 classifies perfectly when the languages are actually separable") {
