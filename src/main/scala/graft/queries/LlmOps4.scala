@@ -157,4 +157,88 @@ object LlmOps4 {
       |  CAST((SUM(n) - COUNT(*)) * 1000 <= SUM(n) * 600
       |       AND MAX(n) * 1000 <= SUM(n) * 180 AS INT) AS keep
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- Q68: benchmark decontamination -------------------------------
+  // The Dolma/C4-style eval-overlap filter: a training document is
+  // contaminated if it shares any word n-gram with a held-out benchmark
+  // set. The eval split is the top content-hash bucket (same portable
+  // hash as q62 — membership is engine-independent); n=3 here because
+  // the fixture docs are ~25 tokens (real pipelines use 8–13-grams —
+  // n is config, the plan does not change). Scale shape: the eval side
+  // is benchmark-sized by definition, so its n-gram set BROADCASTS and
+  // the whole check is one map-side join over the training corpus —
+  // no shuffle touches the big side until the per-doc count (which the
+  // partial aggregation collapses to one row per contaminated doc).
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def grams = Tables(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .withColumn("h",
+        graft.functions.RollingHash.rollingHash($"text", 64) % 100)
+      .select($"doc_id", $"h",
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("ng"))
+    val evalG = grams.filter($"h" >= 98)
+      .select($"doc_id".as("eval_id"), $"ng")
+    grams.filter($"h" < 98)
+      .join(broadcast(evalG), "ng")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"eval_id").as("n_eval_docs"),
+        countDistinct($"ng").as("n_shared"))
+      .orderBy($"doc_id")
+  }
+  val q68Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, least(len(text), 64)),
+      |                       i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, h, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS ng
+      |  FROM d WHERE len(toks) >= 3)
+      |SELECT t.doc_id,
+      |  COUNT(DISTINCT e.doc_id) AS n_eval_docs,
+      |  COUNT(DISTINCT t.ng) AS n_shared
+      |FROM g t JOIN g e ON t.ng = e.ng AND t.h < 98 AND e.h >= 98
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // ---- Q69: fixed-size overlapping token chunking --------------------
+  // The RAG/context-window primitive: each document becomes chunks of
+  // `size` tokens starting every `stride` tokens (trailing chunk may be
+  // short). Pure per-row computation — explode + projections, no
+  // shuffle at all until the output sort; parallelism is the scan's.
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (size0, stride) = (8, 6)
+    Tables(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"toks",
+        explode(expr(s"sequence(1, size(toks), $stride)")).as("start_tok"))
+      .select($"doc_id",
+        expr(s"(start_tok - 1) div $stride").as("chunk_idx"),
+        $"start_tok",
+        expr(s"slice(toks, start_tok, $size0)").as("chunk"))
+      .select($"doc_id", $"chunk_idx", $"start_tok",
+        size($"chunk").as("n_chunk_tokens"),
+        array_join($"chunk", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+  val q69Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(toks), 6)) AS start_tok, toks
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST((start_tok - 1) // 6 AS BIGINT) AS chunk_idx,
+      |  CAST(start_tok AS BIGINT) AS start_tok,
+      |  len(toks[start_tok:start_tok + 7]) AS n_chunk_tokens,
+      |  list_aggregate(toks[start_tok:start_tok + 7], 'string_agg', ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 }

@@ -73,6 +73,30 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("q68 plan: the eval n-gram side broadcasts") {
+    val df = graft.SparkEntry.queries("q68_decontaminate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"eval side did not broadcast:\n$p")
+  }
+
+  test("q69 chunking covers every token with the declared stride and sizes") {
+    // "a b c ... m" = 13 tokens; size 8, stride 6 → starts 1, 7, 13 with
+    // lengths 8, 7, 1 — trailing chunks shorten, none are dropped
+    val tmp = writeDocs(Seq(
+      (1L, (0 until 13).map(i => ('a' + i).toChar.toString).mkString(" "), "en")))
+    try {
+      val rows = LlmOps4.q69(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Int]("start_tok"),
+          r.getAs[Int]("n_chunk_tokens"), r.getAs[String]("chunk_text")))
+      assert(rows.toSeq == Seq(
+        (0L, 1, 8, "a b c d e f g h"),
+        (1L, 7, 7, "g h i j k l m"),
+        (2L, 13, 1, "m")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("q67 flags repetitive documents and keeps diverse ones") {
     // doc 1: 10 distinct tokens -> 9 distinct bigrams, top frac 1/9 ≈ .111
     // doc 2: "x y" * 5           -> 9 bigrams, 2 distinct, dup frac 7/9 ≈ .778
