@@ -173,8 +173,11 @@ object ApproxOps {
         Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
       .select($"query_id", $"qv", $"cent_id")
     // score only vectors in probed cells; final top-k through the same
-    // partial-heap operator (only k×|queries| rows per partition shuffle)
-    val scored = probes.join(assigned, "cent_id")
+    // partial-heap operator (only k×|queries| rows per partition shuffle).
+    // probes is |queries|×nprobe rows but carries no stats (topK output),
+    // so without the hint the planner sort-merge-joins on cent_id — a
+    // shuffle of every vector into ≤C partitions
+    val scored = broadcast(probes).join(assigned, "cent_id")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         round(CosineSimilarity.cosineSim($"qv", $"v"), 6).as("score"))
