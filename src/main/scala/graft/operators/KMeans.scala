@@ -49,7 +49,11 @@ object KMeans {
     // deterministic pseudo-shuffled sample, id-sorted for stable sums
     val sample: Array[(Long, Array[Double])] = emb
       .select(col(idCol).cast(LongType).as("id"), col(vecCol).as("v"))
-      .withColumn("sk", expr("pmod(id * 2654435761, 2147483647)"))
+      // inner pmod first: id * 2654435761 overflows Long for ids past
+      // ~3.5e9, which is a runtime ARITHMETIC_OVERFLOW under ANSI mode;
+      // reducing the id mod 2^31-1 first keeps the product ≤ ~5.7e18
+      .withColumn("sk",
+        expr("pmod(pmod(id, 2147483647) * 2654435761, 2147483647)"))
       .orderBy(col("sk"), col("id"))
       .limit(sampleCap)
       .select(col("id"), col("v")).collect()

@@ -140,10 +140,11 @@ object ApproxOps {
   }
 
   /** Q48 ≈: IVF top-k ANN. Coarse centroids come from the deterministic
-    * k-means quantizer (seeded from the first C vectors, refined by
-    * exact-decimal Lloyd iterations — [[graft.operators.KMeans]]); every
-    * vector joins its nearest centroid, queries probe the `nprobe`
-    * nearest cells only. */
+    * k-means quantizer ([[graft.operators.KMeans]]: farthest-first
+    * seeding and Lloyd iterations over a config-bounded, deterministic
+    * pseudo-shuffled sample, trained driver-side); every vector joins
+    * its nearest centroid, queries probe the `nprobe` nearest cells
+    * only. */
   def q48(s: SparkSession, dir: String, k: Int = 10, c: Int = 16,
       nprobe: Int = 4): DataFrame = {
     import s.implicits._

@@ -232,8 +232,8 @@ object LlmOps2 {
     import graft.plans.GraftOps
     def ang(cos: Column): Column = // numerically safe arccos
       acos(least(lit(1.0), greatest(lit(-1.0), cos)))
-    // deterministic k-means coarse centroids (seeded from the c lowest
-    // vec_ids, refined by exact-decimal Lloyd iterations): tighter cells
+    // deterministic k-means coarse centroids (farthest-first seeded,
+    // Lloyd-refined on a bounded driver-side sample): tighter cells
     // mean smaller radii, so the triangle bound prunes MORE cell pairs
     // than raw seed vectors would on clusterable data
     val cents = graft.operators.KMeans.fit(emb, c)

@@ -24,8 +24,8 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"vec_id",
         org.apache.spark.sql.functions.transform(
           $"embedding", _.cast("double")).as("v"))
-    // float sums are partition-order-dependent; the decimal component
-    // sums must make the fit bit-identical across layouts
+    // the deterministic sample selection + single-threaded id-ordered
+    // local sums must make the fit bit-identical across layouts
     val a = centroids(KMeans.fit(emb.repartition(7), 8, iters = 4))
     val b = centroids(KMeans.fit(emb.repartition(3), 8, iters = 4))
     assert(a == b)

@@ -18,10 +18,12 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
   private val dir = "/root/testdata/sf0.001"
 
   /** Same portable content hash as RollingHash/q62 (base-31 fold mod
-    * 1e9+7 over the first 64 chars) — used to predict split membership
-    * for handcrafted fixtures. */
+    * 1e9+7 over the first 64 BYTES — the production expression folds
+    * UTF-8 bytes, so chars would diverge on non-ASCII text) — used to
+    * predict split membership for handcrafted fixtures. */
   private def bucket(text: String): Long =
-    text.take(64).foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L) % 100
+    text.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(64)
+      .foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L) % 100
 
   private def writeDocs(rows: Seq[(Long, String, String)]): String = {
     import spark.implicits._
