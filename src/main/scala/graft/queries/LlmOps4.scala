@@ -208,6 +208,56 @@ object LlmOps4 {
       |FROM g t JOIN g e ON t.ng = e.ng AND t.h < 98 AND e.h >= 98
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---- Q70: PII detection + redaction --------------------------------
+  // The standard pre-training scrub: count and mask emails, IPv4
+  // addresses, and phone-shaped digit runs. Patterns are restricted to
+  // syntax Java regex and RE2 (DuckDB) interpret identically (character
+  // classes, bounded repetition, \d — no backrefs/lookaround), applied
+  // in a fixed order (email → ip → phone) so overlapping matches
+  // resolve the same way everywhere. Columnar regexp_* only — one scan,
+  // no shuffle before the output sort. The fixture corpus contains no
+  // PII-shaped spans (measured: zero digits or '@' at every sf), so the
+  // oracle verifies the no-op path end-to-end; detection and masking
+  // behavior is asserted on handcrafted text in LlmOps4Spec.
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val Ipv4Re =
+    "\\b(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\\b"
+  private val PhoneRe = "\\+?\\d{3}[- ]?\\d{3,4}[- ]?\\d{4}"
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("r1", regexp_replace($"text", EmailRe, "[EMAIL]"))
+      .withColumn("r2", regexp_replace($"r1", Ipv4Re, "[IP]"))
+      .withColumn("red", regexp_replace($"r2", PhoneRe, "[PHONE]"))
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"r1", lit(Ipv4Re), lit(0))).as("n_ipv4"),
+        size(regexp_extract_all($"r2", lit(PhoneRe), lit(0))).as("n_phones"),
+        length($"red").as("red_len"),
+        sha2(encode($"red", "UTF-8"), 256).as("red_digest"))
+      .orderBy($"doc_id")
+  }
+  val q70Sql: String =
+    s"""WITH r AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(text, '$EmailRe', '[EMAIL]', 'g') AS r1
+      |  FROM documents),
+      |r2 AS (
+      |  SELECT doc_id, text, r1,
+      |    regexp_replace(r1, '$Ipv4Re', '[IP]', 'g') AS r2
+      |  FROM r),
+      |red AS (
+      |  SELECT doc_id, text, r1, r2,
+      |    regexp_replace(r2, '$PhoneRe', '[PHONE]', 'g') AS red
+      |  FROM r2)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+      |  len(regexp_extract_all(r1, '$Ipv4Re')) AS n_ipv4,
+      |  len(regexp_extract_all(r2, '$PhoneRe')) AS n_phones,
+      |  len(red) AS red_len,
+      |  sha256(red) AS red_digest
+      |FROM red ORDER BY doc_id""".stripMargin
+
   // ---- Q69: fixed-size overlapping token chunking --------------------
   // The RAG/context-window primitive: each document becomes chunks of
   // `size` tokens starting every `stride` tokens (trailing chunk may be

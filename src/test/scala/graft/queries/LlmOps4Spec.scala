@@ -99,6 +99,39 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("q70 detects and masks PII-shaped spans on handcrafted text") {
+    // the fixture corpus has no digits or '@' (so the oracle hash only
+    // proves the no-op path); this pins the actual behavior
+    val tmp = writeDocs(Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 192.168.0.1 now", "en"),
+      (2L, "call +1 555-123-4567 or 555 9876 0000 today", "en"),
+      (3L, "clean text with no sensitive spans", "en"),
+      (4L, "999.999.999.999 is not an ip but 10.0.0.255 is", "en")))
+    try {
+      val rows = LlmOps4.q70(spark, tmp).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ipv4"),
+            r.getAs[Int]("n_phones"), r.getAs[Int]("red_len"))).toMap
+      assert(rows(1L)._1 == 1 && rows(1L)._2 == 1 && rows(1L)._3 == 0)
+      // the lone "+1 " prefix survives: the match anchors at the first
+      // 3-digit group, so the country-code fragment stays unmasked
+      assert(rows(2L) == ((0, 0, 2,
+        "call +1 [PHONE] or [PHONE] today".length)))
+      assert(rows(3L) == ((0, 0, 0, 34)))
+      // 999.* octets exceed 255 → not an IPv4; 10.0.0.255 is one. The
+      // out-of-range digit run then matches the phone shape (digits
+      // with separators) — redaction is deliberately conservative
+      assert(rows(4L)._2 == 1)
+      // a doc with no matches must round-trip byte-identical
+      val clean = LlmOps4.q70(spark, tmp).collect()
+        .find(_.getAs[Long]("doc_id") == 3L).get.getAs[String]("red_digest")
+      val expected = java.security.MessageDigest.getInstance("SHA-256")
+        .digest("clean text with no sensitive spans".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(clean == expected)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("q67 flags repetitive documents and keeps diverse ones") {
     // doc 1: 10 distinct tokens -> 9 distinct bigrams, top frac 1/9 ≈ .111
     // doc 2: "x y" * 5           -> 9 bigrams, 2 distinct, dup frac 7/9 ≈ .778
