@@ -34,6 +34,39 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before == after && before.size == 500)
   }
 
+  test("binaryFile source ingests raw media files with glob filtering") {
+    // the 100 TB ingest path: media lands as FILES, not table rows —
+    // spark.read.format("binaryFile") turns a directory tree into
+    // (path, modificationTime, length, content) with partition-parallel
+    // listing; downstream is the same opaque-BINARY pipeline as E03
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("binsrc")
+    val sub = java.nio.file.Files.createDirectory(tmp.resolve("nested"))
+    val payloads = Map(
+      "a.jpg" -> Array[Byte](1, 2, 3, 4),
+      "b.jpg" -> Array.tabulate[Byte](300)(_.toByte),
+      "skip.txt" -> Array[Byte](9, 9))
+    payloads.foreach { case (name, bytes) =>
+      val base = if (name == "b.jpg") sub else tmp
+      java.nio.file.Files.write(base.resolve(name), bytes)
+    }
+    try {
+      val df = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .option("recursiveFileLookup", "true")
+        .load(tmp.toString)
+        .select(element_at(split($"path", "/"), -1).as("name"),
+          $"length", sha2($"content", 256).as("digest"))
+      val rows = df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+      assert(rows.keySet == Set("a.jpg", "b.jpg"), "glob/recursion wrong")
+      payloads.filter(_._1.endsWith(".jpg")).foreach { case (name, bytes) =>
+        assert(rows(name)._1 == bytes.length)
+        assert(rows(name)._2 == Multimodal.Codecs.sha256Hex(bytes))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("batched feature extraction preserves rows and is deterministic") {
     val media = Multimodal.mediaTable(spark, dir).repartition(8)
     val f1 = Multimodal.extractImageFeatures(media, batchSize = 16)
