@@ -68,6 +68,30 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** E06: stream-stream inner join — "clicks" matched to "impressions"
+    * for the same user within a bounded event-time range. BOTH sides
+    * carry watermarks and the join condition bounds event time in BOTH
+    * directions; that pair of constraints is what lets Spark evict join
+    * state once the watermark passes the range, keeping state
+    * proportional to the window, not the stream. Works unchanged on
+    * batch frames (the watermark is a no-op there) — the spec asserts
+    * stream==batch on scripted data. */
+  def clickImpressionJoin(impressions: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+    val clk = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    imp.join(clk,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("imp_id"), col("user_id"), unix_micros(col("imp_ts")).as("imp_us"),
+        col("click_id"), unix_micros(col("click_ts")).as("click_us"))
+  }
+
   /** E05: full custom sessionization via flatMapGroupsWithState with
     * EVENT-TIME timeout — the pattern session_window can't express when
     * per-session logic is arbitrary (here: sessions also close when the

@@ -91,6 +91,42 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.get("2024-01-01 13:00:00").contains(1L))
   }
 
+  test("E06: stream-stream range join matches its batch twin and bounds matches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def e(id: Long, uid: Long, t: String) =
+      Ev(id, Timestamp.valueOf(t), uid, "x", 0.0)
+    val impressions = Seq(
+      e(1, 1, "2024-01-01 10:00:00"),
+      e(2, 2, "2024-01-01 10:00:00"),
+      e(3, 3, "2024-01-01 12:00:00"))
+    val clicks = Seq(
+      e(101, 1, "2024-01-01 10:10:00"), // in range  → joins imp 1
+      e(102, 1, "2024-01-01 10:45:00"), // >30 min   → dropped
+      e(103, 2, "2024-01-01 09:55:00"), // before    → dropped
+      e(104, 4, "2024-01-01 10:10:00"), // no imp    → dropped
+      e(105, 3, "2024-01-01 12:30:00")) // boundary  → joins imp 3
+    val impStream = MemoryStream[Ev]
+    val clkStream = MemoryStream[Ev]
+    val q = EventStreams.clickImpressionJoin(impStream.toDF(), clkStream.toDF())
+      .writeStream.format("memory").queryName("e06")
+      .outputMode(OutputMode.Append()).start()
+    impStream.addData(impressions)
+    clkStream.addData(clicks.take(3))
+    q.processAllAvailable()
+    clkStream.addData(clicks.drop(3)) // matches may span micro-batches
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("e06").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == Set((1L, 101L), (3L, 105L)))
+    // batch twin: identical code over static frames (watermark a no-op)
+    val batch = EventStreams.clickImpressionJoin(
+        impressions.toDF(), clicks.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(batch == got)
+  }
+
   test("E04: mapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
