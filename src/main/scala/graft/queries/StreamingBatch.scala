@@ -78,4 +78,48 @@ object StreamingBatch {
       |SELECT user_id, MIN(us) AS start_us, MAX(us) - MIN(us) AS span_us,
       |  COUNT(*) AS n_events
       |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
+  // ---- Q74: time-series resample + gap fill ---------------------------
+  // The dashboard/feature-store primitive: hourly per-type counts over a
+  // DENSE time spine — (hour, type) cells with no events emit zeros
+  // instead of disappearing (215 such cells at sf0.01). The spine is
+  // generated from the data's own bounds (sequence of hours) and
+  // cross-joined with the type dimension; both are tiny by construction
+  // (hours × |types|), so the gap-fill join broadcasts and the only
+  // data-sized work is the pre-aggregation, which map-side combines.
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.queries.Relational.{dec, rd}
+    val ev = Tables(s, dir, "events")
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type", $"value")
+    val hourly = ev.groupBy($"h", $"event_type")
+      .agg(count(lit(1)).as("n"), rd(sum(dec($"value"))).as("sum_value"))
+    val spine = ev.agg(min($"h").as("mn"), max($"h").as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+    val types = ev.select($"event_type").distinct()
+    spine.crossJoin(types)
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+  val q74Sql: String =
+    """WITH ev AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+      |hourly AS (
+      |  SELECT h, event_type, COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      |  FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM ev),
+      |spine AS (
+      |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM ev)
+      |SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  t.event_type AS event_type,
+      |  COALESCE(hh.n, 0) AS n, COALESCE(hh.sum_value, 0.0) AS sum_value
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN hourly hh ON hh.h = s.h AND hh.event_type = t.event_type
+      |ORDER BY hour, t.event_type""".stripMargin
 }
