@@ -15,13 +15,16 @@ import graft.functions.{CosineSimilarity, RollingHash}
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   *
-  * Per SURVEY §4.2 the engine injects NO optimizer rules and changes no
-  * stock plans — the relational surface is declarative DataFrame code
-  * that Catalyst already optimizes. The injected pieces are additive
-  * only: two scalar functions for pure-SQL users, and the
-  * [[graft.plans.TopKStrategy]] planner strategy, which pattern-matches
-  * exclusively on the engine's own [[graft.plans.TopKPerGroup]] logical
-  * node (every other plan passes through untouched).
+  * Per SURVEY §4.2 the engine changes no stock plans BY DEFAULT — the
+  * relational surface is declarative DataFrame code that Catalyst
+  * already optimizes. The injected pieces are additive: two scalar
+  * functions for pure-SQL users, the [[graft.plans.TopKStrategy]]
+  * planner strategy, which pattern-matches exclusively on the engine's
+  * own [[graft.plans.TopKPerGroup]] logical node (every other plan
+  * passes through untouched), and the [[graft.plans.TopKRewrite]]
+  * optimizer rule, which is INERT unless the session opts in with
+  * `spark.graft.rewriteWindowTopK=true` (it then rewrites the
+  * row_number-filter window-top-k pattern onto the heap operator).
   * `GraftOps.topKPerGroup` also self-registers the strategy lazily, so
   * DataFrame-API callers work without this class; injecting it here
   * makes cluster-wide `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -48,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "rolling_hash(str[, maxLen]) requires a literal maxLen")
       }))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

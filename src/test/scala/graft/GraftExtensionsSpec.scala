@@ -48,6 +48,37 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       _.getClass.getName.contains("TopKStrategy")))
   }
 
+  private def windowTopK = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (0 until 100).map(i => (i % 5, i)).toDF("grp", "v")
+    val w = Window.partitionBy($"grp").orderBy($"v".desc, $"grp")
+    df.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      .select($"grp", $"rnk", $"v")
+  }
+
+  test("TopKRewrite is inert without the opt-in conf") {
+    val df = windowTopK
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window") && !p.contains("TopKPerGroup"),
+      s"stock plan was altered without opt-in:\n$p")
+  }
+
+  test("TopKRewrite rewrites the window-top-k pattern when opted in") {
+    val baseline = windowTopK.collect().map(_.toSeq).toSet
+    spark.conf.set(graft.plans.TopKRewrite.ConfKey, "true")
+    try {
+      val df = windowTopK
+      val rows = df.collect().map(_.toSeq).toSet
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"), s"rewrite did not fire:\n$p")
+      assert(!p.contains("Window"), s"Window survived the rewrite:\n$p")
+      assert(rows == baseline, "rewritten plan changed the result")
+    } finally spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+  }
+
   test("cosine_sim is callable from SQL via session extensions") {
     val r = spark.sql(
       "SELECT round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) c")
