@@ -40,14 +40,21 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
+    // lenient parse: a malformed value must not detonate every plan in
+    // the session (this rule runs in the optimizer for all queries)
+    if (!conf.getConfString(ConfKey, "false").trim.equalsIgnoreCase("true"))
+      return plan
     plan.transformUp {
       case f @ Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
             part, order, windowChild, _)) =>
         val rnk = alias.toAttribute.asInstanceOf[AttributeReference]
         limitOf(cond, rnk) match {
-          case Some(k) if k > 0 && order.nonEmpty =>
+          // part.nonEmpty: the exec's final pass requires clustering on
+          // the group keys, and ClusteredDistribution(Nil) is illegal —
+          // a GLOBAL top-N (no PARTITION BY) stays a window, where
+          // Spark's own TakeOrdered/WindowGroupLimit machinery applies
+          case Some(k) if k > 0 && order.nonEmpty && part.nonEmpty =>
             // WindowGroupLimit (inserted by InferWindowGroupLimit for
             // this very pattern) is subsumed by the heap's partial pass
             val child = windowChild match {

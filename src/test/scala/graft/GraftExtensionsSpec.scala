@@ -79,6 +79,24 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
   }
 
+  test("TopKRewrite leaves global (no PARTITION BY) top-N untouched and working") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    spark.conf.set(graft.plans.TopKRewrite.ConfKey, "true")
+    try {
+      val df = (0 until 50).map(i => (i % 5, i)).toDF("grp", "v")
+        .withColumn("rnk", row_number().over(Window.orderBy($"v".desc)))
+        .filter($"rnk" <= 3).select($"rnk", $"v")
+      // ClusteredDistribution(Nil) is illegal, so the rule must skip
+      // this shape — an opted-in session must not break queries that
+      // work without the opt-in
+      val rows = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(rows == Set((1, 49), (2, 48), (3, 47)))
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    } finally spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+  }
+
   test("cosine_sim is callable from SQL via session extensions") {
     val r = spark.sql(
       "SELECT round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) c")

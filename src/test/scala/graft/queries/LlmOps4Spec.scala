@@ -119,9 +119,9 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
         "call +1 [PHONE] or [PHONE] today".length)))
       assert(rows(3L) == ((0, 0, 0, 34)))
       // 999.* octets exceed 255 → not an IPv4; 10.0.0.255 is one. The
-      // out-of-range digit run then matches the phone shape (digits
-      // with separators) — redaction is deliberately conservative
-      assert(rows(4L)._2 == 1)
+      // out-of-range blob stays untouched entirely: dots are not phone
+      // separators and each run is only 3 digits, so PhoneRe skips it too
+      assert(rows(4L)._2 == 1 && rows(4L)._3 == 0)
       // a doc with no matches must round-trip byte-identical
       val clean = LlmOps4.q70(spark, tmp).collect()
         .find(_.getAs[Long]("doc_id") == 3L).get.getAs[String]("red_digest")
