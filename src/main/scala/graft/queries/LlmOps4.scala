@@ -258,6 +258,44 @@ object LlmOps4 {
       |  sha256(red) AS red_digest
       |FROM red ORDER BY doc_id""".stripMargin
 
+  // ---- Q75: int8 scalar quantization of embeddings -------------------
+  // The memory-compression leg of vector search at scale: per-vector
+  // max-abs scale, codes = floor(x·127/scale + 0.5) as INT8-range ints
+  // (4× smaller than float32; 8× than the double working form). floor
+  // is used instead of round() because both engines compute the SAME
+  // IEEE-754 double for x·127/scale + 0.5 and floor of equal doubles is
+  // equal — engine round() half-way conventions never enter. Zero
+  // vectors quantize to zero codes (guard, not NaN). Pure per-row math:
+  // no shuffle before the output sort.
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .select($"vec_id", $"scale",
+        expr("transform(v, x -> IF(scale = 0D, 0, " +
+          "CAST(floor(x * 127.0D / scale + 0.5D) AS INT)))").as("codes"),
+        round(expr("IF(scale = 0D, 0D, array_max(transform(v, x -> " +
+          "abs(floor(x * 127.0D / scale + 0.5D) * scale / 127.0D - x))))"),
+          6).as("max_err"))
+      .orderBy($"vec_id")
+  }
+  val q75Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+      |  FROM e)
+      |SELECT vec_id, scale,
+      |  list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+      |    ELSE CAST(floor(x * 127.0 / scale + 0.5) AS INT) END) AS codes,
+      |  round(CASE WHEN scale = 0 THEN 0
+      |    ELSE list_max(list_transform(v, x ->
+      |      abs(floor(x * 127.0 / scale + 0.5) * scale / 127.0 - x))) END,
+      |    6) AS max_err
+      |FROM s ORDER BY vec_id""".stripMargin
+
   // ---- Q69: fixed-size overlapping token chunking --------------------
   // The RAG/context-window primitive: each document becomes chunks of
   // `size` tokens starting every `stride` tokens (trailing chunk may be

@@ -132,6 +132,36 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("q75 quantization error is bounded by scale/254 and zero vectors are safe") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q75_").toString
+    try {
+      (Seq((0L, Seq(0.5f, -0.25f, 0.125f)), (1L, Seq(0.0f, 0.0f, 0.0f))))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val rows = LlmOps4.q75(spark, tmp).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Double]("scale"),
+            r.getSeq[Int](r.fieldIndex("codes")).toList,
+            r.getAs[Double]("max_err"))).toMap
+      // codes scale to the max-abs element; half the step bounds the
+      // error. floor(x+0.5) rounds halves toward +inf: -0.25 maps to
+      // -63.5 -> -63 (identical in both engines — that's the contract)
+      assert(rows(0L)._2 == List(127, -63, 32))
+      assert(rows(0L)._3 <= rows(0L)._1 / 254.0 + 1e-6)
+      // zero vector: zero codes, zero error, no NaN/ANSI cast failure
+      assert(rows(1L) == ((0.0, List(0, 0, 0), 0.0)))
+      // fixture-wide: the bound holds for every vector (+1e-6: max_err
+      // is rounded to 6 dp in the output, which can round past the bound)
+      val full = LlmOps4.q75(spark, dir).collect()
+      assert(full.nonEmpty)
+      full.foreach { r =>
+        assert(r.getAs[Double]("max_err") <=
+          r.getAs[Double]("scale") / 254.0 + 1e-6, s"bound violated: $r")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("q67 flags repetitive documents and keeps diverse ones") {
     // doc 1: 10 distinct tokens -> 9 distinct bigrams, top frac 1/9 ≈ .111
     // doc 2: "x y" * 5           -> 9 bigrams, 2 distinct, dup frac 7/9 ≈ .778
