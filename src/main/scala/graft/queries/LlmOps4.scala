@@ -260,8 +260,9 @@ object LlmOps4 {
 
   // ---- Q75: int8 scalar quantization of embeddings -------------------
   // The memory-compression leg of vector search at scale: per-vector
-  // max-abs scale, codes = floor(x·127/scale + 0.5) as INT8-range ints
-  // (4× smaller than float32; 8× than the double working form). floor
+  // max-abs scale, codes = floor(x·127/scale + 0.5) stored as TINYINT
+  // (actually 4× smaller than float32 — an INT code column would be
+  // the same size as the input it compresses). floor
   // is used instead of round() because both engines compute the SAME
   // IEEE-754 double for x·127/scale + 0.5 and floor of equal doubles is
   // equal — engine round() half-way conventions never enter. Zero
@@ -273,8 +274,8 @@ object LlmOps4 {
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
       .select($"vec_id", $"scale",
-        expr("transform(v, x -> IF(scale = 0D, 0, " +
-          "CAST(floor(x * 127.0D / scale + 0.5D) AS INT)))").as("codes"),
+        expr("transform(v, x -> IF(scale = 0D, CAST(0 AS TINYINT), " +
+          "CAST(floor(x * 127.0D / scale + 0.5D) AS TINYINT)))").as("codes"),
         round(expr("IF(scale = 0D, 0D, array_max(transform(v, x -> " +
           "abs(floor(x * 127.0D / scale + 0.5D) * scale / 127.0D - x))))"),
           6).as("max_err"))
@@ -288,8 +289,8 @@ object LlmOps4 {
       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
       |  FROM e)
       |SELECT vec_id, scale,
-      |  list_transform(v, x -> CASE WHEN scale = 0 THEN 0
-      |    ELSE CAST(floor(x * 127.0 / scale + 0.5) AS INT) END) AS codes,
+      |  list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS TINYINT)
+      |    ELSE CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT) END) AS codes,
       |  round(CASE WHEN scale = 0 THEN 0
       |    ELSE list_max(list_transform(v, x ->
       |      abs(floor(x * 127.0 / scale + 0.5) * scale / 127.0 - x))) END,

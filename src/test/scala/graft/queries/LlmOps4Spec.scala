@@ -142,7 +142,7 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = LlmOps4.q75(spark, tmp).collect()
         .map(r => r.getAs[Long]("vec_id") ->
           (r.getAs[Double]("scale"),
-            r.getSeq[Int](r.fieldIndex("codes")).toList,
+            r.getSeq[Byte](r.fieldIndex("codes")).map(_.toInt).toList,
             r.getAs[Double]("max_err"))).toMap
       // codes scale to the max-abs element; half the step bounds the
       // error. floor(x+0.5) rounds halves toward +inf: -0.25 maps to
