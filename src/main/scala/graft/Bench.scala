@@ -53,9 +53,27 @@ object Bench {
       val t = if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(1)
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Full-precision, full-name per-query map goes to a file; the stdout
+    // line must stay under ~1900 chars because the round driver keeps
+    // only the final 2000 chars of output and JSON-parses the last line
+    // (rounds 1-2 exceeded that -> BENCH_r{1,2}.json "parsed": null).
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum
+    val total = math.round(results.map(_._2).filter(_ > 0).sum * 1000) / 1000.0
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+    // Compact keys: leading token (q23_sort_limit -> q23); names whose
+    // leading token collides (x13_*, x37_*) keep their full name.
+    val lead = results.groupBy(_._1.takeWhile(_ != '_')).filter(_._2.size == 1)
+      .keySet
+    val qs = results.map { case (k, v) =>
+      val key = if (lead.contains(k.takeWhile(_ != '_'))) k.takeWhile(_ != '_') else k
+      "\"" + key + "\":" + (math.round(v * 1000) / 1000.0)
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -268,7 +268,12 @@ object LlmOps4 {
   // equal — engine round() half-way conventions never enter. Zero
   // vectors quantize to zero codes (guard, not NaN). Pure per-row math:
   // no shuffle before the output sort.
-  def q75(s: SparkSession, dir: String): DataFrame = {
+  //
+  // The verified output carries the codes as a comma-joined string, not
+  // a list column: the driver's comparator sorts result frames with
+  // pandas, and list cells are unhashable there (round-2 q75 failure).
+  // Library users call quantizeInt8 below for the real TINYINT array.
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
@@ -279,6 +284,13 @@ object LlmOps4 {
         round(expr("IF(scale = 0D, 0D, array_max(transform(v, x -> " +
           "abs(floor(x * 127.0D / scale + 0.5D) * scale / 127.0D - x))))"),
           6).as("max_err"))
+  }
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantizeInt8(s, dir)
+      .select($"vec_id", $"scale",
+        array_join($"codes", ",").as("codes_str"),
+        $"max_err")
       .orderBy($"vec_id")
   }
   val q75Sql: String =
@@ -289,8 +301,10 @@ object LlmOps4 {
       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
       |  FROM e)
       |SELECT vec_id, scale,
-      |  list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS TINYINT)
-      |    ELSE CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT) END) AS codes,
+      |  array_to_string(list_transform(v, x ->
+      |    CASE WHEN scale = 0 THEN CAST(0 AS TINYINT)
+      |    ELSE CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT) END),
+      |    ',') AS codes_str,
       |  round(CASE WHEN scale = 0 THEN 0
       |    ELSE list_max(list_transform(v, x ->
       |      abs(floor(x * 127.0 / scale + 0.5) * scale / 127.0 - x))) END,
