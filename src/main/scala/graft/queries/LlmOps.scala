@@ -98,7 +98,7 @@ object LlmOps {
     * inverted-index token join is the right plan. */
   private[queries] def neardupPairs(docsWithToks: DataFrame,
       threshold: Double = 0.7, forceInverted: Boolean = false,
-      maxDistinctMasks: Long = 16384): DataFrame = {
+      maxDistinctMasks: Long = 16384, sorted: Boolean = true): DataFrame = {
     val s = docsWithToks.sparkSession
     import s.implicits._
     val d = docsWithToks.select($"doc_id", $"toks", size($"toks").as("sz"))
@@ -142,7 +142,7 @@ object LlmOps {
           .filter($"jac" >= threshold)
           .select($"a".as("doc_a"), $"b".as("doc_b"), round($"jac", 6).as("jaccard"))
       }
-    pairs.orderBy($"doc_a", $"doc_b")
+    if (sorted) pairs.orderBy($"doc_a", $"doc_b") else pairs
   }
   val q36Sql: String =
     """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks

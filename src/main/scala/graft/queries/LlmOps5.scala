@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline operators round 5 (session 3): the retention/selection leg
+  * of corpus deduplication, a cross-document repetition signal, and a
+  * hyperplane-LSH similarity search — the three pieces that turn the
+  * repo's pair/cluster machinery into an end-to-end "which rows survive"
+  * pipeline.
+  *
+  * Portability rule (SURVEY §2.C.0) holds throughout: every oracle-
+  * checked value is integer arithmetic or `round(exact-ratio, 6)`.
+  */
+object LlmOps5 {
+
+  // ---- Q76: greedy near-dup retention (the DROP step of dedup) --------
+  // Policy: a document is dropped iff ANY earlier document (smaller
+  // doc_id) is a near-duplicate (exact Jaccard >= 0.7 on token sets) —
+  // the standard pair-list retention rule in production dedup: it needs
+  // only the canonical (doc_a < doc_b) pair set, is deterministic, and
+  // is embarrassingly parallel (one anti-join). It deliberately does NOT
+  // require the earlier doc to itself survive (that transitive variant
+  // is cluster-canonical retention = q57's component labels; this one is
+  // a single pass with no iteration).
+  // Scale shape: pair generation is q36's adaptive dispatch (bitmask or
+  // inverted index — never blind all-pairs); the drop set is tiny
+  // relative to the corpus (distinct doc_b <= pair count), so the final
+  // anti-join broadcasts the drop side.
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+    val withToks = d.select($"doc_id",
+      array_distinct(split($"text", " ")).as("toks"))
+    val drops = LlmOps.neardupPairs(withToks, sorted = false)
+      .select($"doc_b".as("doc_id")).distinct()
+    d.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+  val q76Sql: String =
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |           FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- Q77: duplicated-n-gram fraction (cross-doc repetition) ---------
+  // RefinedWeb-style contamination signal: per document, the fraction of
+  // its token 8-gram OCCURRENCES whose gram appears in more than one
+  // distinct document. Distinct-doc frequency (not raw occurrences) so a
+  // gram repeated only within one doc does not count as cross-doc dup —
+  // within-doc repetition is q67's signal.
+  // Scale shape: the gram explosion is the inverted-index pattern — both
+  // the doc-frequency aggregation and the gram join shuffle on the gram
+  // key (sparse, high-cardinality), and the second shuffle reuses the
+  // first's partitioning. Nothing is quadratic; docs with < 8 tokens are
+  // re-attached by a left join (0 grams, fraction 0).
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+    // sequence(1, n) with n <= 0 generates a DESCENDING [1, 0] in Spark,
+    // so the short-doc case must be guarded to an empty array explicitly.
+    val grams = d.select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(toks) >= 8
+          |THEN transform(sequence(1, size(toks) - 7),
+          |               i -> array_join(slice(toks, i, 8), ' '))
+          |ELSE array() END""".stripMargin)).as("gram"))
+    val docFreq = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("docfreq"))
+    val perDoc = grams.join(docFreq, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"docfreq" > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_grams",
+        round($"n_dup".cast("double") / $"n_grams", 6).as("dup_frac"))
+    d.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"dup_frac", lit(0.0)).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+  val q77Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+      |    i -> array_to_string(toks[i:i+7], ' '))) AS gram FROM t),
+      |df AS (
+      |  SELECT gram, count(DISTINCT doc_id) AS docfreq FROM g GROUP BY gram),
+      |per_doc AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |    round(CAST(sum(CASE WHEN df.docfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*), 6) AS dup_frac
+      |  FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+      |SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+      |  coalesce(p.dup_frac, 0.0) AS dup_frac
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---- Q78: sign-random-projection LSH ANN (hyperplane banding) -------
+  // The third similarity-search formulation next to q37 (exact
+  // brute-force) and q48 (IVF): each vector gets a `SigBits`-bit
+  // signature — bit h is the sign of the dot product with hyperplane h,
+  // whose components are pseudo-random ±1 derived from xxhash64(h, j)
+  // (deterministic, seedless, engine-portable; no RNG state to ship).
+  // Signatures band into `Bands` groups of `SigBits / Bands` bits; a
+  // candidate is any vector sharing >= 1 exact band value with the
+  // probe. Exact cosine verify + bounded-heap top-k after.
+  //
+  // Scale shape: signatures are one pass over the scan (codegen'd HOFs,
+  // no shuffle); the data side explodes x Bands (constant factor); the
+  // probe side is tiny and broadcasts; candidate volume is controlled by
+  // band width (wider bands = fewer collisions) — at 100 TB raise
+  // SigBits/Bands so each bucket holds ~constant rows. No oracle entry:
+  // candidate recall is data-dependent; the spec asserts recall vs q37's
+  // exact top-k and full determinism across runs.
+  //
+  // Band-width tradeoff, measured on the fixture: per-bit collision
+  // probability for an angle-θ pair is 1 − θ/π, and the fixture
+  // embeddings are near-uniform (top-10 neighbors sit at cos ≈ 0.3,
+  // θ ≈ 72° ⇒ p ≈ 0.6) — 4-bit bands gave recall 0.50, so the shipped
+  // default is 8 bands × 2 bits (expected ≥1-band-match ≈ 0.97 at
+  // θ = 72°). On real embedding corpora (clustered, neighbors at
+  // cos ≥ 0.8 ⇒ p ≥ 0.8) the same 16 bits in 4×4 bands prunes ~10×
+  // harder at equal recall; both knobs are just these constants.
+  private val SigBits = 16
+  private val Bands = 8
+  private val BandBits = SigBits / Bands
+
+  /** Signature + banded (band_id, band_val) rows for a (vec_id, v)
+    * frame. v must be array<double>. */
+  private[queries] def srpBands(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    // bit h = sign of sum_j v[j] * s(h, j), s = +-1 from xxhash64 parity
+    val sig = expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${SigBits - 1}), h ->
+         |    IF(aggregate(
+         |         zip_with(v, sequence(0, size(v) - 1),
+         |           (x, j) -> x * IF(pmod(xxhash64(h * 1000003 + j), 2) = 0, 1.0D, -1.0D)),
+         |         0D, (acc, x) -> acc + x) >= 0D, 1, 0)),
+         |  0, (acc, b) -> acc * 2 + b)""".stripMargin)
+    vecs.withColumn("sig", sig)
+      .select($"vec_id", $"v", $"sig",
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
+          s"named_struct('band', b, 'bval', (sig div shiftleft(1, b * $BandBits)) % ${1 << BandBits}))")).as("bb"))
+      .select($"vec_id", $"v", $"bb.band".as("band"), $"bb.bval".as("bval"))
+  }
+
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val banded = srpBands(emb)
+    val probes = banded.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"band", $"bval")
+    val cands = banded.join(broadcast(probes),
+        Seq("band", "bval"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"qv", $"v")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands.select($"query_id", $"vec_id",
+      round(LlmOps.cosineCols($"qv", $"v"), 6).as("score"))
+    LlmOps.topKByScore(scored, 10)
+  }
+}

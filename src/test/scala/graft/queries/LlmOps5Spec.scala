@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-3 operators: near-dup retention (q76), cross-doc repetition
+  * (q77), SRP-LSH ANN (q78). q76/q77 are oracle-checked by the driver;
+  * these tests pin the invariants the oracle can't see (policy
+  * semantics, short-doc edge, recall, determinism, plan shape). */
+class LlmOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("Q76 keeps exactly the docs with no earlier near-duplicate") {
+    import spark.implicits._
+    val all = graft.Tables(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect().toSet
+    val kept = LlmOps5.q76(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val dropped = LlmOps.neardupPairs(
+      graft.Tables(spark, dir, "documents").select($"doc_id",
+        org.apache.spark.sql.functions.array_distinct(
+          org.apache.spark.sql.functions.split($"text", " ")).as("toks")))
+      .select($"doc_b").as[Long].collect().toSet
+    assert(kept == all -- dropped)
+    assert(kept.contains(all.min)) // the earliest doc can never drop
+    assert(kept.nonEmpty && dropped.nonEmpty)
+  }
+
+  test("Q77 short docs (< 8 tokens) report 0 grams, fraction 0") {
+    import spark.implicits._
+    val rows = LlmOps5.q77(spark, dir).collect()
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.length == nDocs) // left join keeps every doc
+    val toks = graft.Tables(spark, dir, "documents")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (id, nGrams) = (r.getLong(0), r.getLong(1))
+      val expected = math.max(toks(id) - 7, 0)
+      assert(nGrams == expected, s"doc $id: $nGrams grams, ${toks(id)} toks")
+      if (nGrams == 0) assert(r.getDouble(2) == 0.0)
+    }
+  }
+
+  test("Q78 SRP-LSH recalls most of the exact top-10 and is deterministic") {
+    val exact = LlmOps.q37(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val run1 = LlmOps5.q78(spark, dir).collect()
+    val run2 = LlmOps5.q78(spark, dir).collect()
+    assert(run1.toSeq == run2.toSeq) // hash-derived planes: no RNG
+    val approx = run1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 8 bands x 2 bits at the fixture's near-uniform geometry
+    // (neighbors at cos≈0.3 ⇒ per-bit p≈0.6 ⇒ ≥1-band ≈ 0.97);
+    // measured 0.93 at sf0.01. Floor leaves fixture margin.
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("Q78 plan broadcasts the probe side and avoids cartesian products") {
+    val df = LlmOps5.q78(spark, dir)
+    df.collect() // let AQE finalize
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(s.contains("TopKPerGroup"), "final top-k must be the heap op")
+    assert(!s.contains("CartesianProduct"), "band join must be equi-key")
+    assert(s.contains("BroadcastHashJoin"), "probe bands must broadcast")
+  }
+}
