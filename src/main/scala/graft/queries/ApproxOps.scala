@@ -60,34 +60,39 @@ object ApproxOps {
       .agg(min($"doc_id").as("rep"), sort_array(collect_list($"doc_id")).as("ids"))
       .persist()
 
-    // minhash only the representatives
-    val repTok = groups.select($"rep".as("doc_id"))
-      .join(tok, "doc_id")
-    val tokHash = tok.select($"tok").distinct()
-      .withColumn("th", expr(
-        """aggregate(
-           transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),
-           0L, (acc, x) -> (acc * 131 + x) % 2147483647)"""))
-    val minhashes = repTok.join(broadcast(tokHash), "tok")
-      .select($"doc_id", $"th",
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))
-      // linear congruential families are NOT min-wise independent enough
-      // on dense sets (measured recall plateaus: 0.85 with small
-      // multipliers, 0.91 with large); xxhash64 mixing restores the
-      // binomial recall model. Engine-only operator → an engine-specific
-      // hash is fine here (the verification step stays portable-exact).
-      .withColumn("hv", expr(s"pmod(xxhash64(th, i), $P)"))
-      .groupBy($"doc_id", $"i")
-      .agg(min($"hv").as("mh"))
-
-    // polynomial band signature; a band collision is only a CANDIDATE —
-    // verification below is exact, so signature collisions are harmless
-    val bands = minhashes
-      .withColumn("band", expr(s"i div $BandRows"))
-      .withColumn("contrib", expr(
-        s"mh * CAST(pow(31, i % $BandRows) AS BIGINT) % $P"))
-      .groupBy($"doc_id", $"band")
-      .agg(expr(s"sum(contrib) % $P").as("sig"))
+    // minhash only the representatives — entirely MAP-SIDE via nested
+    // HOFs: per doc, hash each token once (same base-131 polynomial the
+    // round-1 formulation used), then mh_i = min over tokens of
+    // pmod(xxhash64(th, i), P), then the 16 polynomial band signatures —
+    // all inside one projection over the (rep, toks) rows. The round-1/2
+    // shape (explode tokens ×48 hash indices → groupBy(doc_id, i) min →
+    // groupBy(doc_id, band) sum) shuffled reps×48 rows twice and needed
+    // a distinct+broadcast token-hash dictionary; this computes the
+    // identical values with zero shuffles and no dictionary (measured
+    // 13.8 s → 10.2 s for the whole query at sf0.1).
+    // xxhash64 mixing is still the hash family: linear congruential
+    // families are NOT min-wise independent enough on dense sets
+    // (measured recall plateaus: 0.85 with small multipliers, 0.91 with
+    // large). Engine-only operator → an engine-specific hash is fine
+    // here (the verification step stays portable-exact).
+    val repToks = groups.select($"rep".as("doc_id")).join(d, "doc_id")
+    val bands = repToks
+      .withColumn("ths", expr(
+        """transform(toks, t -> aggregate(
+           transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
+           0L, (acc, x) -> (acc * 131 + x) % 2147483647))"""))
+      .withColumn("mhs", expr(
+        s"""transform(sequence(0, ${NumHashes - 1}),
+            i -> array_min(transform(ths, h -> pmod(xxhash64(h, i), $P))))"""))
+      // polynomial band signature; a band collision is only a CANDIDATE —
+      // verification below is exact, so signature collisions are harmless
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, ${NumHashes / BandRows - 1}),
+            b -> named_struct('band', b, 'sig',
+              aggregate(sequence(0, ${BandRows - 1}), 0L,
+                (acc, r) -> acc + mhs[b * $BandRows + r]
+                  * CAST(pow(31, r) AS BIGINT) % $P) % $P))""")).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
 
     // NOTE deliberately NO distinct here: a pair colliding in several
     // bands is verified several times (26.4M raw candidates vs 6.1M

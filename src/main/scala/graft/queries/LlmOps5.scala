@@ -155,6 +155,80 @@ object LlmOps5 {
       .select($"vec_id", $"v", $"bb.band".as("band"), $"bb.bval".as("bval"))
   }
 
+  // ---- Q79: quality-based data selection (top 25% per language) -------
+  // The selection step downstream of q41's scoring: keep the best
+  // quarter of each language's documents by the exact integer quality
+  // score, deterministic tie-break by doc_id. Semantically identical to
+  //   row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+  //     <= ceil(cnt / 4)
+  // but NOT computed that way: a per-language row_number sorts every
+  // row of the largest language through one task at 100 TB. Instead the
+  // scale-safe exact algorithm:
+  //   1. histogram: count per (lang, score) — the score domain is
+  //      bounded (0..10000 + 3000 cap term), so the histogram is tiny
+  //      regardless of corpus size;
+  //   2. per-language running totals over the histogram (window over
+  //      ≤ |langs|×|scores| rows, not over documents) → the cutoff
+  //      score and how many tie rows at the cutoff are admitted;
+  //   3. one broadcast join: score > cutoff keeps the row outright;
+  //      score == cutoff ranks ONLY the tie rows (window input is the
+  //      cutoff-score slice, a few rows per language).
+  // No full-corpus sort, no single-task group: the only per-document
+  // work is a map-side score + broadcast-join filter.
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "data", "value", "table")
+    val scored = Tables(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"lang",
+        (expr(("(4000 * size(array_distinct(toks)) + 3000 * size(filter(toks, " +
+          s"t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))) div size(toks)")) +
+          lit(30) * least(size($"toks"), lit(100))).cast("long").as("quality_score"))
+    val hist = scored.groupBy($"lang", $"quality_score")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"quality_score".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum($"n").over(w))
+      .withColumn("total", sum($"n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+      .withColumn("quota", expr("(total + 3) div 4"))
+    // cutoff row: highest score whose running total reaches the quota
+    val cutoffs = cum.filter($"cum" >= $"quota")
+      .groupBy($"lang")
+      .agg(max($"quality_score").as("cutoff"),
+        first($"quota").as("quota"))
+      .join(cum.select($"lang", $"quality_score".as("cutoff"),
+        ($"cum" - $"n").as("cum_above")), Seq("lang", "cutoff"))
+      .select($"lang", $"cutoff", ($"quota" - $"cum_above").as("admit"))
+    val withCut = scored.join(broadcast(cutoffs), "lang")
+    val above = withCut.filter($"quality_score" > $"cutoff")
+      .select($"doc_id", $"lang", $"quality_score")
+    val atCutoff = withCut.filter($"quality_score" === $"cutoff")
+    val admitted = atCutoff.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"doc_id")))
+      .filter($"rn" <= $"admit")
+      .select($"doc_id", $"lang", $"quality_score")
+    above.unionAll(admitted).orderBy($"doc_id")
+  }
+  val q79Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    CAST((4000 * len(list_distinct(toks))
+      |        + 3000 * len(list_filter(toks, t -> t IN ('the','a','data','value','table'))))
+      |        // len(toks) + 30 * least(len(toks), 100) AS BIGINT) AS quality_score
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, lang, quality_score,
+      |    row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM s)
+      |SELECT doc_id, lang, quality_score FROM r
+      |WHERE rn <= (cnt + 3) // 4 ORDER BY doc_id""".stripMargin
+
   def q78(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")

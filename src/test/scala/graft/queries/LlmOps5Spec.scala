@@ -55,6 +55,38 @@ class LlmOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Q79 histogram selection == per-language row_number formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = LlmOps5.q79(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the definitional (but not scale-safe) formulation
+    val stop = Seq("the", "a", "data", "value", "table")
+    val scored = graft.Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"lang",
+        (expr("(4000 * size(array_distinct(toks)) + 3000 * size(filter(toks, " +
+          s"t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))) div size(toks)") +
+          lit(30) * least(size($"toks"), lit(100))).cast("long").as("quality_score"))
+    val want = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"quality_score".desc, $"doc_id")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"lang")))
+      .filter($"rn" <= expr("(cnt + 3) div 4"))
+      .select($"doc_id", $"lang", $"quality_score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // quota check: every language keeps exactly ceil(n/4) docs
+    val perLang = scored.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPerLang = got.groupBy(_._2).view.mapValues(_.size).toMap
+    perLang.foreach { case (l, n) =>
+      assert(keptPerLang.getOrElse(l, 0) == ((n + 3) / 4).toInt, s"lang $l")
+    }
+  }
+
   test("Q78 SRP-LSH recalls most of the exact top-10 and is deterministic") {
     val exact = LlmOps.q37(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
