@@ -169,6 +169,18 @@ object LlmOps3 {
   // isn't warranted. Cluster id = min doc_id in the component.
   def q57(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    clusterLabels(s, dir)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select($"label".as("cluster_id"), $"cluster_size")
+      .orderBy($"cluster_id")
+  }
+
+  /** Connected-component labels (doc_id, label) over the exact Jaccard
+    * ≥ 0.7 near-dup graph; label = min doc_id in the component. Shared
+    * by q57 (component sizes) and q80 (cluster-canonical retention). */
+  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
     val pairs = LlmOps.q36(s, dir).select($"doc_a", $"doc_b")
     // edges persisted PRE-PARTITIONED on the join key: when labels can't
@@ -217,9 +229,24 @@ object LlmOps3 {
           s"($changed labels still changing)")
     }
     edges.unpersist() // labels are localCheckpointed; edges no longer needed
-    labels.groupBy($"label")
-      .agg(count(lit(1)).as("cluster_size"))
-      .select($"label".as("cluster_id"), $"cluster_size")
-      .orderBy($"cluster_id")
+    labels
+  }
+
+  // ---- Q80: cluster-canonical retention ------------------------------
+  // The transitive counterpart of q76's greedy retention: keep exactly
+  // one document (the min doc_id) per connected component of the
+  // near-dup graph. Unlike q76, a doc with only DROPPED near-dup
+  // neighbors is still dropped if it's not its component's min — chains
+  // collapse to a single survivor. Cost beyond the q57 labels: one
+  // filter (label == doc_id, i.e. "I am my component's canonical") and
+  // one join back to the documents table.
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canonical = clusterLabels(s, dir)
+      .filter($"doc_id" === $"label").select($"doc_id")
+    Tables(s, dir, "documents")
+      .join(canonical, "doc_id")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
   }
 }

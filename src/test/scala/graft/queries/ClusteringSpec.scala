@@ -44,4 +44,32 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
     assert(got.size < docs.length, "expected at least one non-trivial cluster")
   }
+
+  test("Q80 keeps exactly the union-find canonical (min) doc per component") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = LlmOps.q36(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docs.groupBy(find).values.map(_.min).toSet
+    val got = LlmOps3.q80(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // cluster-canonical keeps a subset of what greedy retention keeps:
+    // q76 drops only docs with an earlier near-dup; q80 also collapses
+    // chains through dropped intermediates
+    val greedy = LlmOps5.q76(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(greedy))
+  }
 }

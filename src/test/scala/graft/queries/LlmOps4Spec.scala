@@ -139,7 +139,10 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
       (Seq((0L, Seq(0.5f, -0.25f, 0.125f)), (1L, Seq(0.0f, 0.0f, 0.0f))))
         .toDF("vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-      val rows = LlmOps4.q75(spark, tmp).collect()
+      // quantizeInt8 is the library API with real TINYINT code arrays;
+      // q75 (the verified query) joins them to a string for the
+      // pandas-based driver comparator
+      val rows = LlmOps4.quantizeInt8(spark, tmp).collect()
         .map(r => r.getAs[Long]("vec_id") ->
           (r.getAs[Double]("scale"),
             r.getSeq[Byte](r.fieldIndex("codes")).map(_.toInt).toList,
@@ -159,6 +162,10 @@ class LlmOps4Spec extends AnyFunSuite with BeforeAndAfterAll {
         assert(r.getAs[Double]("max_err") <=
           r.getAs[Double]("scale") / 254.0 + 1e-6, s"bound violated: $r")
       }
+      // the verified q75 surface carries the same codes, comma-joined
+      val joined = LlmOps4.q75(spark, tmp).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("codes_str")).toMap
+      assert(joined(0L) == "127,-63,32" && joined(1L) == "0,0,0")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
