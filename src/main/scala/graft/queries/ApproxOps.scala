@@ -43,8 +43,7 @@ object ApproxOps {
     * and hashing it once. */
   def q47(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = Tables(s, dir, "documents")
-      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+    val d = LlmOps.docTokens(s, dir) // shared token-set definition
     val tok = d.select($"doc_id", explode($"toks").as("tok"))
 
     // group identical token sets; one representative per distinct set.

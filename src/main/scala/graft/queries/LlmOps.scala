@@ -22,6 +22,16 @@ object LlmOps {
         array_distinct(split($"text", " ")).as("toks"))
   }
 
+  /** THE token-set definition for every Jaccard-based operator
+    * (q36/q47/q76/q80 all derive their pair sets from this frame) —
+    * single definition so a tokenization change can't silently diverge
+    * one operator's pair set from another's. */
+  private[queries] def docTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+  }
+
   /** If the global vocabulary fits in an int64 (≤ 62 distinct tokens),
     * return each doc's token set as a bitmask — set intersection then
     * costs one AND + popcount instead of an array walk. `None` when the

@@ -25,17 +25,17 @@ object LlmOps5 {
   // is cluster-canonical retention = q57's component labels; this one is
   // a single pass with no iteration).
   // Scale shape: pair generation is q36's adaptive dispatch (bitmask or
-  // inverted index — never blind all-pairs); the drop set is tiny
-  // relative to the corpus (distinct doc_b <= pair count), so the final
-  // anti-join broadcasts the drop side.
+  // inverted index — never blind all-pairs). The drop set is O(corpus)
+  // exactly when dedup matters (heavily duplicated corpora), so it is
+  // NOT broadcast-hinted — the anti-join shuffles on doc_id and AQE
+  // demotes it to a broadcast join at runtime when the set turns out
+  // small.
   def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables(s, dir, "documents")
-    val withToks = d.select($"doc_id",
-      array_distinct(split($"text", " ")).as("toks"))
-    val drops = LlmOps.neardupPairs(withToks, sorted = false)
+    val drops = LlmOps.neardupPairs(LlmOps.docTokens(s, dir), sorted = false)
       .select($"doc_b".as("doc_id")).distinct()
-    d.join(broadcast(drops), Seq("doc_id"), "left_anti")
+    d.join(drops, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }
@@ -178,12 +178,18 @@ object LlmOps5 {
   def q79(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "a", "data", "value", "table")
+    // persisted: consumed by the histogram AND (twice) by the final
+    // filter — without it the corpus is tokenized+scored 3×. The cached
+    // projection is 3 narrow columns (no text), ~24 bytes/row; consumed
+    // lazily by the returned frame, so freed by the caller's cache
+    // hygiene (Verify/Bench clearAll), same contract as q47's masks.
     val scored = Tables(s, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", $"lang",
         (expr(("(4000 * size(array_distinct(toks)) + 3000 * size(filter(toks, " +
           s"t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))) div size(toks)")) +
           lit(30) * least(size($"toks"), lit(100))).cast("long").as("quality_score"))
+      .persist()
     val hist = scored.groupBy($"lang", $"quality_score")
       .agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
