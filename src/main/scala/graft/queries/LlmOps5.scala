@@ -136,18 +136,23 @@ object LlmOps5 {
   private val BandBits = SigBits / Bands
 
   /** Signature + banded (band_id, band_val) rows for a (vec_id, v)
-    * frame. v must be array<double>. */
-  private[queries] def srpBands(vecs: DataFrame): DataFrame = {
+    * frame. v must be array<double>. `useExpr` swaps the nested-HOF
+    * signature for the fused codegen twin
+    * ([[graft.functions.SrpSignature]]) — bit-identical by spec. */
+  private[queries] def srpBands(vecs: DataFrame,
+      useExpr: Boolean = false): DataFrame = {
     import vecs.sparkSession.implicits._
     // bit h = sign of sum_j v[j] * s(h, j), s = +-1 from xxhash64 parity
-    val sig = expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${SigBits - 1}), h ->
-         |    IF(aggregate(
-         |         zip_with(v, sequence(0, size(v) - 1),
-         |           (x, j) -> x * IF(pmod(xxhash64(h * 1000003 + j), 2) = 0, 1.0D, -1.0D)),
-         |         0D, (acc, x) -> acc + x) >= 0D, 1, 0)),
-         |  0, (acc, b) -> acc * 2 + b)""".stripMargin)
+    val sig =
+      if (useExpr) graft.functions.SrpSignature.srpSignature($"v", SigBits)
+      else expr(
+        s"""aggregate(
+           |  transform(sequence(0, ${SigBits - 1}), h ->
+           |    IF(aggregate(
+           |         zip_with(v, sequence(0, size(v) - 1),
+           |           (x, j) -> x * IF(pmod(xxhash64(h * 1000003 + j), 2) = 0, 1.0D, -1.0D)),
+           |         0D, (acc, x) -> acc + x) >= 0D, 1, 0)),
+           |  0, (acc, b) -> acc * 2 + b)""".stripMargin)
     vecs.withColumn("sig", sig)
       .select($"vec_id", $"v", $"sig",
         explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> " +
@@ -235,11 +240,18 @@ object LlmOps5 {
       |SELECT doc_id, lang, quality_score FROM r
       |WHERE rn <= (cnt + 3) // 4 ORDER BY doc_id""".stripMargin
 
-  def q78(s: SparkSession, dir: String): DataFrame = {
+  def q78(s: SparkSession, dir: String): DataFrame = q78Impl(s, dir, false)
+
+  /** q78 twin with the signature computed by the fused codegen
+    * Expression instead of the nested-HOF chain (x78_srp_expr). */
+  def q78Expr(s: SparkSession, dir: String): DataFrame = q78Impl(s, dir, true)
+
+  private def q78Impl(s: SparkSession, dir: String,
+      useExpr: Boolean): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    val banded = srpBands(emb)
+    val banded = srpBands(emb, useExpr)
     val probes = banded.filter($"vec_id".isin(0, 1, 2))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"band", $"bval")
     val cands = banded.join(broadcast(probes),

@@ -101,6 +101,35 @@ class LlmOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("x78 codegen signature expression == q78 HOF chain, bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // full-query equality (same candidates, same ranks, same scores)
+    val hof = LlmOps5.q78(spark, dir).collect().toSeq
+    val ex = LlmOps5.q78Expr(spark, dir).collect().toSeq
+    assert(hof == ex)
+    // signature-level equality on raw vectors, incl. a null element
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val sigs = vecs.select(
+        expr("""aggregate(
+          transform(sequence(0, 15), h ->
+            IF(aggregate(
+                 zip_with(v, sequence(0, size(v) - 1),
+                   (x, j) -> x * IF(pmod(xxhash64(h * 1000003 + j), 2) = 0, 1.0D, -1.0D)),
+                 0D, (acc, x) -> acc + x) >= 0D, 1, 0)),
+          0, (acc, b) -> acc * 2 + b)""").cast("long").as("hof"),
+        graft.functions.SrpSignature.srpSignature($"v").as("ex"))
+      .collect()
+    assert(sigs.nonEmpty)
+    sigs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, null, 2.0)))
+      .toDF("vec_id", "v")
+      .select(graft.functions.SrpSignature.srpSignature($"v").as("s"))
+      .collect()
+    assert(withNull.head.isNullAt(0), "null element must yield SQL NULL")
+  }
+
   test("Q78 plan broadcasts the probe side and avoids cartesian products") {
     val df = LlmOps5.q78(spark, dir)
     df.collect() // let AQE finalize
