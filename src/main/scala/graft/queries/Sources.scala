@@ -45,6 +45,27 @@ object Sources {
   val q60Sql: String =
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
 
+  // ---- Q81: XML round-trip (customer projection) ----------------------
+  // Spark 4 ships the (formerly spark-xml) XML source built in; rowTag
+  // is mandatory on both sides. Strings survive XML entity escaping
+  // losslessly, so the round-trip is value-exact for this projection.
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = graft.RunTmp.dir("q81_xml")
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment")
+    cust.write.mode("overwrite").option("rowTag", "customer").xml(out)
+    s.read.schema(cust.schema).option("rowTag", "customer").xml(out)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        min($"c_custkey").as("min_key"), max($"c_custkey").as("max_key"))
+      .orderBy($"c_mktsegment")
+  }
+  val q81Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---- Q51: ORC round-trip (nation) -----------------------------------
   def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
