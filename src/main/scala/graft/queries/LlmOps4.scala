@@ -189,6 +189,45 @@ object LlmOps4 {
         countDistinct($"ng").as("n_shared"))
       .orderBy($"doc_id")
   }
+  /** x68: q68 with a bloom-filter PRE-prune of the training side — the
+    * shape for when the eval n-gram set outgrows a cheap broadcast-join
+    * hash table: a bloom over the eval grams is orders of magnitude
+    * smaller than the gram set (9.6 bits/item at 1% FP vs full strings),
+    * so the training corpus is filtered map-side BEFORE any join, and
+    * only candidate grams reach the exact join that removes the false
+    * positives (blooms have no false negatives, so output == q68
+    * exactly — same oracle). This is InjectRuntimeFilter's pattern
+    * (proven plan-level in RuntimeFilterSpec) applied explicitly at the
+    * operator level where the planner can't infer it. The membership
+    * probe is a Scala udf over the broadcast sketch: Spark's
+    * might_contain expression is runtime-filter-internal, and the probe
+    * sits behind the map-side gram explosion, outside any codegen-
+    * sensitive aggregation path. */
+  def q68Bloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def grams = Tables(s, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .withColumn("h",
+        graft.functions.RollingHash.rollingHash($"text", 64) % 100)
+      .select($"doc_id", $"h",
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("ng"))
+    val evalG = grams.filter($"h" >= 98)
+      .select($"doc_id".as("eval_id"), $"ng")
+    val bloom = evalG.stat.bloomFilter("ng", 100000L, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((ng: String) => bc.value.mightContainString(ng))
+    grams.filter($"h" < 98)
+      .filter(mightContain($"ng")) // map-side prune, ~99% of misses drop here
+      .join(broadcast(evalG), "ng") // exact verify: false positives die
+      .groupBy($"doc_id")
+      .agg(countDistinct($"eval_id").as("n_eval_docs"),
+        countDistinct($"ng").as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
   val q68Sql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
