@@ -21,7 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * public `XXH64.hashInt` static Spark's own xxhash64 uses.
   *
   * Null handling mirrors CosineSimilarity: a null ELEMENT yields SQL
-  * NULL (the HOF chain nulls out the same way).
+  * NULL (the HOF chain nulls out the same way). Two non-obvious corners
+  * matched deliberately (both diverge under naive Java semantics):
+  * NaN dot products take bit 1 (Spark's double `>=` ranks NaN greatest
+  * — SQLOrderingUtil.compareDoubles, not Java's `>=`), and EMPTY arrays
+  * yield signature 0 (the HOF's zip_with over sequence(0, -1) null-pads
+  * every dot product and IF(null, 1, 0) takes the 0 branch).
   */
 case class SrpSignature(child: Expression, sigBits: Int = 16)
   extends UnaryExpression with ImplicitCastInputTypes {
@@ -40,9 +45,18 @@ case class SrpSignature(child: Expression, sigBits: Int = 16)
   }
   override def nullable: Boolean = child.nullable || elemNullable
 
+  // Sign test via the same comparator Spark's codegen emits for
+  // `>= 0D` on doubles (SQLOrderingUtil.compareDoubles): NaN compares
+  // GREATER than everything (bit 1) and -0.0 == 0.0 — a plain Java
+  // `dot >= 0.0` is false for NaN and would flip every bit of a
+  // NaN-containing vector relative to the HOF chain.
+  // Empty arrays: the HOF's zip_with over sequence(0, -1) null-pads and
+  // nulls every dot product, so IF(null >= 0, 1, 0) takes the 0 branch
+  // — signature 0. Matched explicitly here.
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
+    if (n == 0) return 0L
     var j = 0
     while (j < n) {
       if (v.isNullAt(j)) return null
@@ -59,7 +73,9 @@ case class SrpSignature(child: Expression, sigBits: Int = 16)
         dot += v.getDouble(i) * (if ((hash & 1L) == 0L) 1.0 else -1.0)
         i += 1
       }
-      sig = sig * 2 + (if (dot >= 0.0) 1L else 0L)
+      val nonNeg = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(dot, 0.0) >= 0
+      sig = sig * 2 + (if (nonNeg) 1L else 0L)
       h += 1
     }
     sig
@@ -74,28 +90,45 @@ case class SrpSignature(child: Expression, sigBits: Int = 16)
       val dot = ctx.freshName("dot")
       val hash = ctx.freshName("hash")
       val sig = ctx.freshName("sig")
+      val anyNull = ctx.freshName("anyNull")
       val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
-      s"""
-         |final int $n = $v.numElements();
-         |boolean hasNullElem = false;
-         |for (int $j = 0; $j < $n; $j++) {
-         |  if ($v.isNullAt($j)) { hasNullElem = true; break; }
-         |}
-         |if (hasNullElem) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long $sig = 0L;
-         |  for (int $h = 0; $h < $sigBits; $h++) {
-         |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      final long $hash = $xxh.hashInt($h * $Mult + $i, ${Seed}L);
-         |      $dot += $v.getDouble($i) * ((($hash & 1L) == 0L) ? 1.0 : -1.0);
-         |    }
-         |    $sig = $sig * 2 + (($dot >= 0.0) ? 1L : 0L);
-         |  }
-         |  ${ev.value} = $sig;
-         |}
-       """.stripMargin
+      val ord = "org.apache.spark.sql.catalyst.util.SQLOrderingUtil"
+      val loop =
+        s"""
+           |long $sig = 0L;
+           |for (int $h = 0; $h < $sigBits; $h++) {
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    final long $hash = $xxh.hashInt($h * $Mult + $i, ${Seed}L);
+           |    $dot += $v.getDouble($i) * ((($hash & 1L) == 0L) ? 1.0 : -1.0);
+           |  }
+           |  $sig = $sig * 2 + (($ord.compareDoubles($dot, 0.0) >= 0) ? 1L : 0L);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      if (!elemNullable) {
+        // schema proves no null elements: no scan, never touch ev.isNull
+        // (it may be a FalseLiteral when the child is non-nullable too)
+        s"""
+           |final int $n = $v.numElements();
+           |if ($n == 0) { ${ev.value} = 0L; } else { $loop }
+         """.stripMargin
+      } else {
+        s"""
+           |final int $n = $v.numElements();
+           |boolean $anyNull = false;
+           |for (int $j = 0; $j < $n; $j++) {
+           |  if ($v.isNullAt($j)) { $anyNull = true; break; }
+           |}
+           |if ($anyNull) {
+           |  ${ev.isNull} = true;
+           |} else if ($n == 0) {
+           |  ${ev.value} = 0L;
+           |} else {
+           |  $loop
+           |}
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildInternal(newChild: Expression): SrpSignature =

@@ -123,11 +123,46 @@ class LlmOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(sigs.nonEmpty)
     sigs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
-    val withNull = Seq((1L, Seq[java.lang.Double](1.0, null, 2.0)))
-      .toDF("vec_id", "v")
-      .select(graft.functions.SrpSignature.srpSignature($"v").as("s"))
-      .collect()
-    assert(withNull.head.isNullAt(0), "null element must yield SQL NULL")
+    // corner cases THROUGH THE CODEGEN PATH: a LocalRelation would be
+    // folded by ConvertToLocalRelation into interpreted eval, so the
+    // frame goes through parquet. Covers: null element (NULL), NaN
+    // (Spark ranks NaN greatest in >=, not Java), empty array (HOF
+    // null-pads to signature 0), and a containsNull=false schema (the
+    // no-scan codegen branch that must not touch ev.isNull).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srp_").toString
+    try {
+      Seq(
+        (1L, Seq[java.lang.Double](1.0, null, 2.0)),
+        (2L, Seq[java.lang.Double](Double.NaN, 1.0, 2.0)),
+        (3L, Seq[java.lang.Double]()),
+        (4L, Seq[java.lang.Double](-1.0, 0.5, 2.0))
+      ).toDF("vec_id", "v").write.mode("overwrite").parquet(tmp)
+      val pq = spark.read.parquet(tmp)
+      val both = pq.select($"vec_id",
+          graft.functions.SrpSignature.srpSignature($"v").as("ex"),
+          expr("""aggregate(
+            transform(sequence(0, 15), h ->
+              IF(aggregate(
+                   zip_with(v, sequence(0, size(v) - 1),
+                     (x, j) -> x * IF(pmod(xxhash64(h * 1000003 + j), 2) = 0, 1.0D, -1.0D)),
+                   0D, (acc, x) -> acc + x) >= 0D, 1, 0)),
+            0, (acc, b) -> acc * 2 + b)""").cast("long").as("hof"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getLong(1),
+            if (r.isNullAt(2)) null else r.getLong(2))).toMap
+      assert(both(1L)._1 == null, "null element must yield SQL NULL")
+      Seq(2L, 3L, 4L).foreach { id =>
+        assert(both(id)._1 == both(id)._2, s"vec $id: expr != HOF: ${both(id)}")
+      }
+      // non-nullable elements (containsNull=false): the no-null-scan
+      // codegen branch; values must still match the permissive path
+      val dense = pq.filter($"vec_id" === 4L)
+        .select($"vec_id", expr("transform(v, x -> coalesce(x, 0D))").as("v"))
+      val denseSig = dense
+        .select(graft.functions.SrpSignature.srpSignature($"v").as("s"))
+        .collect().head.getLong(0)
+      assert(denseSig == both(4L)._1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
   test("Q78 plan broadcasts the probe side and avoids cartesian products") {
