@@ -240,6 +240,40 @@ object LlmOps5 {
       |SELECT doc_id, lang, quality_score FROM r
       |WHERE rn <= (cnt + 3) // 4 ORDER BY doc_id""".stripMargin
 
+  // ---- Q84: deterministic per-group sample (N docs per source) --------
+  // "Take N examples per source" without RNG: rank docs inside each
+  // source by (portable content hash, doc_id) and keep the first 20 —
+  // reproducible on any engine, stable under repartitioning, and
+  // streaming-friendly (membership is a pure row property plus a
+  // bounded rank). The rank runs through TopKPerGroup's partial
+  // bounded-heap pass, so only 20 rows per (partition, source) reach
+  // the exchange — a row_number window would shuffle every doc into
+  // |sources| partitions first.
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        graft.functions.RollingHash.rollingHash($"text", 64).as("h"))
+    graft.plans.GraftOps.topKPerGroup(ranked, 20, Seq("source"),
+        Seq(graft.plans.GraftOps.Order("h"),
+          graft.plans.GraftOps.Order("doc_id")), rankName = "rk")
+      .select($"source", $"rk", $"doc_id", $"lang", $"n_chars")
+      .orderBy($"source", $"rk")
+  }
+  val q84Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, least(len(text), 64)),
+      |                       i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      |  FROM h)
+      |SELECT source, rk, doc_id, lang, n_chars FROM r
+      |WHERE rk <= 20 ORDER BY source, rk""".stripMargin
+
   def q78(s: SparkSession, dir: String): DataFrame = q78Impl(s, dir, false)
 
   /** q78 twin with the signature computed by the fused codegen

@@ -2,10 +2,12 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Relational surface part 3: the SQL-only query shapes — correlated
-  * scalar subqueries, LATERAL joins, and explicit GROUPING SETS. Each
-  * query is ONE portable SQL string executed verbatim by both engines
+  * scalar subqueries, LATERAL joins, explicit GROUPING SETS — plus the
+  * multi-join TPC-H Q3/Q5 shapes (q82/q83) in DataFrame form. The
+  * SQL-only queries are ONE portable SQL string executed verbatim by both engines
   * (`spark.sql` over temp views here, DuckDB as the oracle), proving
   * the engine's pure-SQL surface without a DataFrame translation in
   * between. Catalyst decorrelates the subqueries into the same
@@ -75,4 +77,87 @@ object Relational3 {
     views(s, dir, "orders")
     s.sql(q73Sql)
   }
+
+  // ---- Q82: TPC-H Q3 shape (shipping priority) ------------------------
+  // The classic 3-table selective join + agg + top-k: filters push into
+  // all three scans, the filtered customer key set is the smallest side
+  // (1/5 of customers, one column — AQE broadcasts it), lineitem⋈orders
+  // carries the only real shuffle, and the rounded-decimal revenue
+  // keeps the oracle exact. Top-10 via sort+limit plans as
+  // TakeOrderedAndProject (no global sort).
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import Relational.{dec, rd}
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val cust = Tables(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables(s, dir, "orders")
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey",
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(rd(sum($"rev")).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+  val q82Sql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  // ---- Q83: TPC-H Q5 shape (local-supplier volume) --------------------
+  // The join-reorder stress test: six tables, where the planner must
+  // route lineitem (the fact) through orders/supplier while the
+  // region→nation→customer dimension chain broadcasts. The
+  // c_nationkey = s_nationkey "local supplier" equi-condition is the
+  // interesting bit — it correlates two dimension FKs through the fact.
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import Relational.{dec, rd}
+    val asia = Tables(s, dir, "region").filter($"r_name" === "ASIA")
+    val nat = Tables(s, dir, "nation")
+      .join(asia, $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val ord = Tables(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val sup = Tables(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey",
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(rd(sum($"rev")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+  val q83Sql: String =
+    """SELECT n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 }

@@ -73,4 +73,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
+
+  test("q82: filters reach all three scans; top-10 is TakeOrderedAndProject") {
+    val p = plan("q82_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), s"no global sort for top-10:\n$p")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q83: six-table join broadcasts the dimension chain, no cartesian") {
+    val p = plan("q83_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), s"dims should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must be an equi-join:\n$p")
+  }
+
+  test("q84: per-source sample ranks through TopKPerGroupExec, never a Window") {
+    val p = plan("q84_group_sample")
+    assert(p.contains("TopKPerGroup"), s"expected the bounded-heap operator:\n$p")
+    assert(!p.contains("Window"), s"must not window-shuffle every doc:\n$p")
+  }
 }
