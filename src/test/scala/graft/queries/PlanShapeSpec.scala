@@ -77,9 +77,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q82: filters reach all three scans; top-10 is TakeOrderedAndProject") {
     val p = plan("q82_tpch_q3")
     assert(p.contains("TakeOrderedAndProject"), s"no global sort for top-10:\n$p")
-    assert(p.contains("PushedFilters"))
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
       s"segment filter must reach the customer scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate,"),
+      s"date filter must reach the orders scan:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate,"),
+      s"ship-date filter must reach the lineitem scan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
