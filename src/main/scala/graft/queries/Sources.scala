@@ -66,6 +66,32 @@ object Sources {
       |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---- Q85: raw-text round-trip (documents corpus) --------------------
+  // The most common LLM-pipeline ingest format: one document per line
+  // via the text source (single string column on write; fixture text is
+  // newline-free, which the write would silently corrupt otherwise —
+  // production pipelines escape or frame multi-line docs, e.g. JSONL =
+  // q50's path). Verified content-sensitively: the read-back lines are
+  // aggregated with an order-independent sum of the portable content
+  // hash, so a mangled or dropped line changes the output.
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = graft.RunTmp.dir("q85_text")
+    Tables(s, dir, "documents").select($"text").write.mode("overwrite").text(out)
+    s.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length($"value")).as("total_chars"),
+        sum(graft.functions.RollingHash.rollingHash($"value", 64)).as("hash_sum"))
+  }
+  val q85Sql: String =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+      |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, least(len(text), 64)),
+      |                     i -> CAST(ascii(text[i]) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS hash_sum
+      |FROM documents""".stripMargin
+
   // ---- Q51: ORC round-trip (nation) -----------------------------------
   def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

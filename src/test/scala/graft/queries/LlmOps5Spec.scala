@@ -165,6 +165,28 @@ class LlmOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("Q84 sample membership is invariant under partition layout") {
+    // THE distributed-sampling property: membership must be a pure row
+    // property + bounded rank, never a function of which partition a
+    // row landed in. Vary the shuffle layout and the scan split size;
+    // the sample must not move.
+    def run(): Seq[(String, Int, Long)] =
+      LlmOps5.q84(spark, dir).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val base = run()
+    val conf = spark.conf
+    val oldShuffle = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      assert(run() == base, "sample changed with partition layout")
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      conf.set("spark.sql.files.maxPartitionBytes", String.valueOf(128 * 1024 * 1024))
+    }
+    assert(base.map(_._1).distinct.size > 1, "expect multiple sources")
+  }
+
   test("Q78 plan broadcasts the probe side and avoids cartesian products") {
     val df = LlmOps5.q78(spark, dir)
     df.collect() // let AQE finalize
