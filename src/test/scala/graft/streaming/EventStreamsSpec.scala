@@ -252,6 +252,39 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("E07: the stateless doc pipeline (score+redact+split) streams == batch") {
+    // The LLM-ops transforms are plain column expressions, so the SAME
+    // function object runs as a micro-batch stream and as batch — the
+    // composition proof that the text pipeline is streaming-ready
+    // (stateless ops need no watermark; per-corpus ops like dedup are
+    // the stateful E02-family instead).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val pipeline: DataFrame => DataFrame = df => df
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        (expr("(4000 * size(array_distinct(toks)) + 3000 * size(filter(toks, " +
+          "t -> t IN ('the','a','data','value','table')))) div size(toks)") +
+          lit(30) * least(size($"toks"), lit(100))).as("quality_score"),
+        length(regexp_replace($"text",
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]")).as("red_len"),
+        (graft.functions.RollingHash.rollingHash($"text", 64) % 100 < 80).as("is_train"))
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = pipeline(mem.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("e07").outputMode(OutputMode.Append()).start()
+    docs.grouped(40).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = canon(spark.table("e07"))
+    val want = canon(pipeline(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select($"doc_id", $"text")))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("E02: dropDuplicatesWithinWatermark dedups within the watermark") {
     val batches = Seq(
       Seq(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
