@@ -175,6 +175,25 @@ object Relational2 {
       |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** x53: q53's scale path — approx_percentile (a positional-error
+    * sketch: rank error ≤ n/accuracy, mergeable across partitions with
+    * one partial-agg shuffle like any hash aggregate). Exact percentile
+    * collects per-group value multisets, which stops being feasible
+    * when a group outgrows an executor; the sketch never holds more
+    * than O(accuracy) items per group. No oracle (sketch internals are
+    * engine-specific) — ApproxOpsSpec bounds it against exact q53. */
+  def q53Approx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_quantity, 0.25, 10000)"), 4).as("qty_p25"),
+        round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4).as("qty_p50"),
+        round(expr("approx_percentile(l_quantity, 0.75, 10000)"), 4).as("qty_p75"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("price_p50"))
+      .orderBy($"l_returnflag")
+  }
+
   // ---- Q54: PIVOT (long → wide) ----------------------------------------
   // Pivot column values are pinned explicitly (never inferred by a scan
   // at 100 TB); the oracle spells the equivalent conditional aggregation.

@@ -45,6 +45,23 @@ class ApproxOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.size == 30) // 3 queries x k=10, all cells non-empty
   }
 
+  test("x53 approx_percentile tracks exact percentiles within 2%") {
+    val exact = Relational2.q53(spark, dir).collect()
+      .map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    val approx = Relational2.q53Approx(spark, dir).collect()
+      .map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (flag, es) =>
+      es.zip(approx(flag)).foreach { case (e, a) =>
+        // accuracy=10000 over ~2k rows/group at sf0.001 → rank-exact;
+        // 2% value tolerance leaves margin for interpolation differences
+        // (exact percentile interpolates, the sketch returns a sample)
+        assert(math.abs(a - e) <= math.max(0.02 * math.abs(e), 1e-9),
+          s"$flag: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("Q15 approx_count_distinct is within 5% of exact") {
     val rows = Relational2.q15(spark, dir).collect()
     rows.foreach { r =>
