@@ -92,6 +92,45 @@ object Sources {
       |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS hash_sum
       |FROM documents""".stripMargin
 
+  // ---- Q86: multi-source federation (parquet ⋈ CSV ⋈ JSON) ------------
+  // One query over three formats: parquet lineitem joined to a
+  // CSV-materialized orders projection and a JSON-materialized customer
+  // projection. The planner treats every source as a relation — filters
+  // push into each scan in its format's capability (parquet: real
+  // pushdown; csv/json: Spark-side filters after parse) and the join
+  // strategy is chosen by size as usual. The oracle runs on the
+  // original tables, so the materialization steps must be lossless.
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import Relational.{dec, rd}
+    val out = graft.RunTmp.dir("q86_multi")
+    val ordProj = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+    ordProj.write.mode("overwrite").option("header", "true").csv(s"$out/orders")
+    val custProj = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    custProj.write.mode("overwrite").json(s"$out/customer")
+    val ordCsv = s.read.schema(ordProj.schema).option("header", "true")
+      .csv(s"$out/orders")
+    val custJson = s.read.schema(custProj.schema).json(s"$out/customer")
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", dec($"l_quantity").as("qty"))
+      .join(ordCsv.filter($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(custJson, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_items"), rd(sum($"qty")).as("total_qty"))
+      .orderBy($"c_mktsegment")
+  }
+  val q86Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_items,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---- Q51: ORC round-trip (nation) -----------------------------------
   def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
