@@ -15,9 +15,22 @@ import org.apache.spark.sql.functions._
 object LlmOps2 {
 
   // ---- Q41: text quality + n-gram-free language-ID heuristic ----------
+
+  private[graft] val StopWords = Seq("the", "a", "data", "value", "table")
+
+  /** THE exact-integer quality score over a token-array column — shared
+    * by q41, q79's selection, and the E07 streaming spec so the formula
+    * cannot drift between the scorer, the selector, and the
+    * streaming-readiness proof. `toksCol` is the column NAME of a
+    * string-array column in scope. */
+  private[graft] def qualityScore(toksCol: String): Column =
+    (expr(s"(4000 * size(array_distinct($toksCol)) + 3000 * size(filter($toksCol, " +
+      s"t -> t IN (${StopWords.map("'" + _ + "'").mkString(",")})))) div size($toksCol)") +
+      lit(30) * least(size(col(toksCol)), lit(100))).cast("long")
+
   def q41(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stop = Seq("the", "a", "data", "value", "table")
+    val stop = StopWords
     Tables(s, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .withColumn("n_tokens", size($"toks"))
@@ -31,9 +44,8 @@ object LlmOps2 {
         round($"n_stop".cast("double") / $"n_tokens", 4).as("stop_ratio"),
         round($"sum_len".cast("double") / $"n_tokens", 4).as("avg_token_len"),
         // exact integer arithmetic (0..10000): no float rounding at
-        // half-way boundaries, identical in any engine
-        (expr("(4000 * n_distinct + 3000 * n_stop) div n_tokens")
-          + lit(30) * least($"n_tokens", lit(100))).as("quality_score"),
+        // half-way boundaries, identical in any engine; shared formula
+        qualityScore("toks").as("quality_score"),
         when($"n_stop".cast("double") / $"n_tokens" >= 0.1, "en")
           .otherwise("other").as("pred_lang"))
       .orderBy($"doc_id")

@@ -263,7 +263,7 @@ object LlmOps4 {
   // PII-shaped spans (measured: zero digits or '@' at every sf), so the
   // oracle verifies the no-op path end-to-end; detection and masking
   // behavior is asserted on handcrafted text in LlmOps4Spec.
-  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val Ipv4Re =
     "\\b(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\\b"
   private val PhoneRe = "\\+?\\d{3}[- ]?\\d{3,4}[- ]?\\d{4}"

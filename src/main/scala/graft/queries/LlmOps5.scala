@@ -182,7 +182,6 @@ object LlmOps5 {
   // work is a map-side score + broadcast-join filter.
   def q79(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stop = Seq("the", "a", "data", "value", "table")
     // persisted: consumed by the histogram AND (twice) by the final
     // filter — without it the corpus is tokenized+scored 3×. The cached
     // projection is 3 narrow columns (no text), ~24 bytes/row; consumed
@@ -191,9 +190,7 @@ object LlmOps5 {
     val scored = Tables(s, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", $"lang",
-        (expr(("(4000 * size(array_distinct(toks)) + 3000 * size(filter(toks, " +
-          s"t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))) div size(toks)")) +
-          lit(30) * least(size($"toks"), lit(100))).cast("long").as("quality_score"))
+        LlmOps2.qualityScore("toks").as("quality_score"))
       .persist()
     val hist = scored.groupBy($"lang", $"quality_score")
       .agg(count(lit(1)).as("n"))

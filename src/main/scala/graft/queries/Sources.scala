@@ -73,7 +73,10 @@ object Sources {
   // production pipelines escape or frame multi-line docs, e.g. JSONL =
   // q50's path). Verified content-sensitively: the read-back lines are
   // aggregated with an order-independent sum of the portable content
-  // hash, so a mangled or dropped line changes the output.
+  // hash over the FULL line (4096-byte cap ≫ the fixture's max doc
+  // length — the 64-byte prefix q84 uses as a sort key would miss
+  // length-preserving corruption past position 64), so any mangled or
+  // dropped line changes the output.
   def q85(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = graft.RunTmp.dir("q85_text")
@@ -81,13 +84,13 @@ object Sources {
     s.read.text(out)
       .agg(count(lit(1)).as("n_lines"),
         sum(length($"value")).as("total_chars"),
-        sum(graft.functions.RollingHash.rollingHash($"value", 64)).as("hash_sum"))
+        sum(graft.functions.RollingHash.rollingHash($"value", 4096)).as("hash_sum"))
   }
   val q85Sql: String =
     """SELECT COUNT(*) AS n_lines,
       |  CAST(SUM(len(text)) AS BIGINT) AS total_chars,
       |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(generate_series(1, least(len(text), 64)),
+      |      list_transform(generate_series(1, least(len(text), 4096)),
       |                     i -> CAST(ascii(text[i]) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS hash_sum
       |FROM documents""".stripMargin

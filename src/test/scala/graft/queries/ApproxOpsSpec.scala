@@ -53,10 +53,12 @@ class ApproxOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.keySet == approx.keySet && exact.nonEmpty)
     exact.foreach { case (flag, es) =>
       es.zip(approx(flag)).foreach { case (e, a) =>
-        // accuracy=10000 over ~2k rows/group at sf0.001 → rank-exact;
-        // 2% value tolerance leaves margin for interpolation differences
-        // (exact percentile interpolates, the sketch returns a sample)
-        assert(math.abs(a - e) <= math.max(0.02 * math.abs(e), 1e-9),
+        // accuracy=10000 over ~2k rows/group at sf0.001 → rank-exact,
+        // but exact percentile() INTERPOLATES between order statistics
+        // while the sketch returns an actual sample — so allow one
+        // inter-value step (l_quantity is integer-valued, step 1.0) on
+        // top of the 2% relative band
+        assert(math.abs(a - e) <= math.max(0.02 * math.abs(e), 1.0),
           s"$flag: approx $a vs exact $e")
       }
     }

@@ -61,14 +61,12 @@ class LlmOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.expressions.Window
     val got = LlmOps5.q79(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    // the definitional (but not scale-safe) formulation
-    val stop = Seq("the", "a", "data", "value", "table")
+    // the definitional (but not scale-safe) formulation, same shared
+    // score expression as production
     val scored = graft.Tables(spark, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", $"lang",
-        (expr("(4000 * size(array_distinct(toks)) + 3000 * size(filter(toks, " +
-          s"t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))) div size(toks)") +
-          lit(30) * least(size($"toks"), lit(100))).cast("long").as("quality_score"))
+        LlmOps2.qualityScore("toks").as("quality_score"))
     val want = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy($"lang").orderBy($"quality_score".desc, $"doc_id")))
@@ -176,13 +174,17 @@ class LlmOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
     val base = run()
     val conf = spark.conf
     val oldShuffle = conf.get("spark.sql.shuffle.partitions")
+    val oldSplit = conf.getOption("spark.sql.files.maxPartitionBytes")
     try {
       conf.set("spark.sql.shuffle.partitions", "7")
       conf.set("spark.sql.files.maxPartitionBytes", "65536")
       assert(run() == base, "sample changed with partition layout")
     } finally {
       conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      conf.set("spark.sql.files.maxPartitionBytes", String.valueOf(128 * 1024 * 1024))
+      oldSplit match {
+        case Some(v) => conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => conf.unset("spark.sql.files.maxPartitionBytes")
+      }
     }
     assert(base.map(_._1).distinct.size > 1, "expect multiple sources")
   }

@@ -261,14 +261,14 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     implicit val sq = spark.sqlContext
+    // the PRODUCTION expressions, not test-local copies: the shared
+    // quality-score builder (q41/q79), q70's email regex, q62's split
     val pipeline: DataFrame => DataFrame = df => df
       .withColumn("toks", split($"text", " "))
       .select($"doc_id",
-        (expr("(4000 * size(array_distinct(toks)) + 3000 * size(filter(toks, " +
-          "t -> t IN ('the','a','data','value','table')))) div size(toks)") +
-          lit(30) * least(size($"toks"), lit(100))).as("quality_score"),
+        graft.queries.LlmOps2.qualityScore("toks").as("quality_score"),
         length(regexp_replace($"text",
-          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]")).as("red_len"),
+          graft.queries.LlmOps4.EmailRe, "[EMAIL]")).as("red_len"),
         (graft.functions.RollingHash.rollingHash($"text", 64) % 100 < 80).as("is_train"))
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
