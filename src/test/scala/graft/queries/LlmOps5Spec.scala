@@ -5,9 +5,10 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Session-3 operators: near-dup retention (q76), cross-doc repetition
-  * (q77), SRP-LSH ANN (q78). q76/q77 are oracle-checked by the driver;
-  * these tests pin the invariants the oracle can't see (policy
-  * semantics, short-doc edge, recall, determinism, plan shape). */
+  * (q77), SRP-LSH ANN (q78 + x78 codegen twin), quality selection
+  * (q79), per-group sampling (q84). Oracle-checked queries get their
+  * invariants pinned here too (policy semantics, short-doc edge,
+  * recall, determinism, plan shape, layout invariance). */
 class LlmOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
