@@ -74,6 +74,12 @@ object ApproxOps {
     // (measured recall plateaus: 0.85 with small multipliers, 0.91 with
     // large). Engine-only operator → an engine-specific hash is fine
     // here (the verification step stays portable-exact).
+    // PERSISTED like masks/groups above: the band relation is tiny
+    // (reps × 16 rows) but its lineage carries the whole signature
+    // computation, and the self-join below would otherwise compute it
+    // on BOTH sides — lambda-bearing HOF plans don't canonicalize
+    // equal, so ReuseExchange (which deduped the round-1 explode-based
+    // formulation) cannot fire on this shape.
     val repToks = groups.select($"rep".as("doc_id")).join(d, "doc_id")
     val bands = repToks
       .withColumn("ths", expr(
@@ -92,6 +98,7 @@ object ApproxOps {
                 (acc, r) -> acc + mhs[b * $BandRows + r]
                   * CAST(pow(31, r) AS BIGINT) % $P) % $P))""")).as("bs"))
       .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+      .persist()
 
     // NOTE deliberately NO distinct here: a pair colliding in several
     // bands is verified several times (26.4M raw candidates vs 6.1M
