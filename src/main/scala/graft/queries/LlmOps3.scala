@@ -205,21 +205,22 @@ object LlmOps3 {
         .groupBy($"src").agg(min($"label").as("nlabel"))
       val propagated = labels.as("l")
         .join(neighborMin.as("n"), $"l.doc_id" === $"n.src", "left")
-        .select($"l.doc_id".as("doc_id"),
+        .select($"l.doc_id".as("doc_id"), $"l.label".as("prev"),
           least($"l.label", coalesce($"nlabel", $"l.label")).as("label"))
       // pointer jump: label ← label(label) (labels are node ids). Jumps
       // through the PREVIOUS round's checkpointed labels — rescanning
       // them is free, while jumping through `propagated` would recompute
-      // the neighbor join twice per round.
+      // the neighbor join twice per round. The previous label rides
+      // along so convergence is a filter+count over this frame — not a
+      // fourth (next ⋈ labels) join per round.
       val next = propagated.as("x")
         .join(labels.select($"doc_id".as("jid"), $"label".as("jlabel")).as("y"),
           $"x.label" === $"y.jid", "left")
-        .select($"x.doc_id".as("doc_id"),
+        .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"),
           least($"x.label", coalesce($"jlabel", $"x.label")).as("label"))
         .localCheckpoint()
-      changed = next.as("a").join(labels.as("b"), $"a.doc_id" === $"b.doc_id")
-        .filter($"a.label" =!= $"b.label").count()
-      labels = next
+      changed = next.filter($"label" =!= $"prev").count()
+      labels = next.select($"doc_id", $"label")
       iter += 1
     }
     if (changed > 0) {
