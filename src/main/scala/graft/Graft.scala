@@ -30,7 +30,7 @@ object Graft {
 
   /** Per-write option carrying the rename template (reference:
     * MoveFilesOutputCommitter.scala:16). */
-  val MoveFilesOption = "spark.writer.movefiles"
+  val MoveFilesOption: String = filemover.MoveFilesCommitProtocol.MOVE_FILES_OPTION
 
   /** Route this session's file-sink writes through the move-files
     * commit protocol (no-op for writes without [[MoveFilesOption]]). */
@@ -43,7 +43,7 @@ object Graft {
     * the `spark.sql.extensions` conf: registers the SQL functions
     * (`cosine_sim`, `rolling_hash`) and the TopK planner strategy. */
   def extensions: org.apache.spark.sql.SparkSessionExtensions => Unit =
-    new GraftExtensions().apply _
+    new GraftExtensions() // GraftExtensions IS the installer function
 
   // ---- scale operators ------------------------------------------------
 

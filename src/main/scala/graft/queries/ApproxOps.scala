@@ -47,10 +47,11 @@ object ApproxOps {
     val tok = d.select($"doc_id", explode($"toks").as("tok"))
 
     // group identical token sets; one representative per distinct set.
-    // (persisted relations here are consumed lazily when the RETURNED
-    // frame is materialized, so they cannot be unpersisted inside this
-    // method; they are small — masks/groups are per-distinct-set rows —
-    // and are reused across reruns because the plans are identical.)
+    // All three within-call persists (masks, groups, bands) are freed
+    // before returning: the result is eager-cut (q44's pattern) so the
+    // caches never outlive the call — they cannot be deduped across
+    // invocations anyway (lambda-bearing plans don't canonicalize
+    // equal; see the bands note below).
     val masksOpt = LlmOps.tokenBitmasks(tok).map(_.persist())
     val masks = masksOpt.getOrElse(
       // generic fallback: the sorted token array is the set identity
@@ -147,7 +148,14 @@ object ApproxOps {
       .filter($"a" < $"b")
       .select($"a".as("doc_a"), $"b".as("doc_b"), lit(1.0).as("jaccard"))
 
-    crossGroup.unionAll(intraGroup).orderBy($"doc_a", $"doc_b")
+    // eager-cut: materialize the pair set, then free every within-call
+    // cache (the checkpointed result carries no lineage back to them)
+    val result = crossGroup.unionAll(intraGroup).orderBy($"doc_a", $"doc_b")
+      .localCheckpoint(true)
+    bands.unpersist()
+    groups.unpersist()
+    masksOpt.foreach(_.unpersist())
+    result
   }
 
   /** Q48 ≈: IVF top-k ANN. Coarse centroids come from the deterministic
