@@ -184,9 +184,9 @@ object LlmOps5 {
     import s.implicits._
     // persisted: consumed by the histogram AND (twice) by the final
     // filter — without it the corpus is tokenized+scored 3×. The cached
-    // projection is 3 narrow columns (no text), ~24 bytes/row; consumed
-    // lazily by the returned frame, so freed by the caller's cache
-    // hygiene (Verify/Bench clearAll), same contract as q47's masks.
+    // projection is 3 narrow columns (no text), ~24 bytes/row; freed
+    // before returning via the eager-cut below (the kept quarter is
+    // small by definition).
     val scored = Tables(s, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", $"lang",
@@ -218,7 +218,10 @@ object LlmOps5 {
           .partitionBy($"lang").orderBy($"doc_id")))
       .filter($"rn" <= $"admit")
       .select($"doc_id", $"lang", $"quality_score")
-    above.unionAll(admitted).orderBy($"doc_id")
+    val result = above.unionAll(admitted).orderBy($"doc_id")
+      .localCheckpoint(true)
+    scored.unpersist()
+    result
   }
   val q79Sql: String =
     """WITH d AS (
