@@ -100,10 +100,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q44 left its trigram cache registered")
     assert(spark.sparkContext.getPersistentRDDs.size <= 1,
       "q44 left more than its checkpointed result behind")
-    // q47's within-query persists are deliberate; the harness-level
-    // hygiene pass must reclaim them (as must q44's checkpoint residue)
-    graft.SparkEntry.queries("q47_minhash_lsh")(spark, dir).collect()
+    // q47 and q79 eager-cut ALL their within-call caches (masks,
+    // groups, bands / the score projection): after the call only the
+    // checkpointed result may remain in storage, nothing registered
+    // in the cache manager
     graft.Hygiene.clearAll(spark)
+    for (q <- Seq("q47_minhash_lsh", "q79_select_quality")) {
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$q left cache entries registered")
+      assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+        s"$q left more than its checkpointed result behind")
+      graft.Hygiene.clearAll(spark)
+    }
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
