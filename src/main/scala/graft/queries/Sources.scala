@@ -144,4 +144,26 @@ object Sources {
   }
   val q51Sql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  // ---- Q90: small-file compaction round-trip ---------------------------
+  // Fragment the documents table into 64 deliberately-tiny parquet
+  // files, compact them back toward an 8 MB target with the shuffle-free
+  // coalesce rewrite ([[graft.operators.Compaction]]), and verify the
+  // compacted copy is value-identical to the source table. The file-count
+  // collapse itself (64 → ceil(bytes/8 MB)) is asserted in
+  // IncrementalSpec; the oracle proves no row was lost or altered in
+  // the rewrite.
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val small = graft.RunTmp.dir("q90_small")
+    val packed = graft.RunTmp.dir("q90_packed")
+    Tables(s, dir, "documents").repartition(64)
+      .write.mode("overwrite").parquet(small)
+    graft.operators.Compaction.compact(s, small, packed, targetBytes = 8L << 20)
+    s.read.parquet(packed)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+  val q90Sql: String =
+    "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id"
 }
