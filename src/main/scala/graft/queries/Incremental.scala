@@ -115,38 +115,43 @@ object Incremental {
   // in an incremental pipeline |changes| ≪ |base|), then a single
   // equi-join applies it; AQE broadcasts the collapsed side when small.
   // Update prices are DECIMAL-exact (×1.1 / ×1.2 as DECIMAL literals).
-  def q89(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = Tables(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+  /** The base snapshot q89/q92/q93 operate on. */
+  private def ordersBase(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** The synthetic CDC change log, pre-collapse. Columns: key,
+    * op ∈ {U,D,I}, price, seq. Package-visible so the streaming twin
+    * (E08, [[graft.streaming.EventStreams.latestKeyState]]) replays the
+    * SAME log instead of re-deriving one that could drift.
+    */
+  private[graft] def changeLog(base: DataFrame): DataFrame = {
     def ch(pred: Column, key: Column, op: String, price: Column, seq: Int) =
       base.filter(pred).select(key.as("key"), lit(op).as("op"),
-        price.as("price"), lit(seq).as("seq"))
-    val changes =
-      ch($"o_orderkey" % 5 === 0, $"o_orderkey", "U",
-        rd(dec($"o_totalprice") * dec(lit(1.1))), 1)
-      .unionAll(ch($"o_orderkey" % 20 === 0, $"o_orderkey", "U",
-        rd(dec($"o_totalprice") * dec(lit(1.2))), 2))
-      .unionAll(ch($"o_orderkey" % 7 === 0, $"o_orderkey", "D",
-        lit(null).cast("double"), 3))
-      .unionAll(ch($"o_orderkey" % 13 === 0, -($"o_orderkey" + 1), "I",
-        $"o_totalprice", 1))
-    // seq values are unique per key by construction, so max_by is
-    // deterministic; struct packaging keeps the null update price
-    val latest = changes.groupBy($"key")
-      .agg(max_by(struct($"op", $"price"), $"seq").as("c"))
-      .select($"key", $"c.op".as("op"), $"c.price".as("price"))
-    base.join(latest, base("o_orderkey") === latest("key"), "full_outer")
-      .filter(coalesce($"op", lit("")) =!= "D")
-      .select(coalesce($"o_orderkey", $"key").as("o_orderkey"),
-        coalesce($"o_orderstatus", lit("NEW")).as("o_orderstatus"),
-        when($"op" === "U", $"price")
-          .otherwise(coalesce($"o_totalprice", $"price")).as("price"))
-      .orderBy($"o_orderkey")
+        price.as("price"), lit(seq.toLong).as("seq"))
+    val k = col("o_orderkey")
+    ch(k % 5 === 0, k, "U", rd(dec(col("o_totalprice")) * dec(lit(1.1))), 1)
+      .unionAll(ch(k % 20 === 0, k, "U",
+        rd(dec(col("o_totalprice")) * dec(lit(1.2))), 2))
+      .unionAll(ch(k % 7 === 0, k, "D", lit(null).cast("double"), 3))
+      .unionAll(ch(k % 13 === 0, -(k + 1), "I", col("o_totalprice"), 1))
   }
-  val q89Sql: String =
-    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-      |changes AS (
+
+  private[graft] def ordersBaseFor(s: SparkSession, dir: String): DataFrame =
+    ordersBase(s, dir)
+
+  /** The change log collapsed to the latest op per key (seq values are
+    * unique per key by construction, so max_by is deterministic; struct
+    * packaging keeps the null delete price). Columns: key, op, price.
+    */
+  private def latestChanges(base: DataFrame): DataFrame =
+    changeLog(base).groupBy(col("key"))
+      .agg(max_by(struct(col("op"), col("price")), col("seq")).as("c"))
+      .select(col("key"), col("c.op").as("op"), col("c.price").as("price"))
+
+  /** The changeset derivation above, as oracle SQL (shared CTE text). */
+  private val ChangesCte: String =
+    """changes AS (
       |  SELECT o_orderkey AS key, 'U' AS op,
       |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(18,4)), 2) AS DOUBLE) AS price,
       |    1 AS seq FROM orders WHERE o_orderkey % 5 = 0
@@ -158,14 +163,41 @@ object Incremental {
       |latest AS (SELECT key, op, price FROM (
       |  SELECT key, op, price,
       |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
-      |  FROM changes) WHERE rn = 1)
-      |SELECT COALESCE(b.o_orderkey, l.key) AS o_orderkey,
-      |  COALESCE(b.o_orderstatus, 'NEW') AS o_orderstatus,
-      |  CASE WHEN l.op = 'U' THEN l.price
-      |       ELSE COALESCE(b.o_totalprice, l.price) END AS price
-      |FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.key
-      |WHERE COALESCE(l.op, '') <> 'D'
-      |ORDER BY o_orderkey""".stripMargin
+      |  FROM changes) WHERE rn = 1)""".stripMargin
+
+  /** The merged (post-CDC) snapshot, as oracle SQL built on ChangesCte. */
+  private val MergedSql: String =
+    s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       |$ChangesCte,
+       |merged AS (
+       |  SELECT COALESCE(b.o_orderkey, l.key) AS o_orderkey,
+       |    COALESCE(b.o_orderstatus, 'NEW') AS o_orderstatus,
+       |    CASE WHEN l.op = 'U' THEN l.price
+       |         ELSE COALESCE(b.o_totalprice, l.price) END AS price
+       |  FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.key
+       |  WHERE COALESCE(l.op, '') <> 'D')""".stripMargin
+
+  /** q89's merge, unordered — also the "new snapshot" input of q92. */
+  private def mergedSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ordersBase(s, dir)
+    val latest = latestChanges(base)
+    base.join(latest, base("o_orderkey") === latest("key"), "full_outer")
+      .filter(coalesce($"op", lit("")) =!= "D")
+      .select(coalesce($"o_orderkey", $"key").as("o_orderkey"),
+        coalesce($"o_orderstatus", lit("NEW")).as("o_orderstatus"),
+        when($"op" === "U", $"price")
+          .otherwise(coalesce($"o_totalprice", $"price")).as("price"))
+  }
+
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mergedSnapshot(s, dir).orderBy($"o_orderkey")
+  }
+  val q89Sql: String =
+    s"""$MergedSql
+       |SELECT o_orderkey, o_orderstatus, price FROM merged
+       |ORDER BY o_orderkey""".stripMargin
 
   // ---- x15: mergeable HLL sketches (two-level union) -----------------
   // The scale path for Q14/Q15-style distinct counts when a single agg
@@ -188,4 +220,120 @@ object Incremental {
       .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_orders"))
       .orderBy($"l_returnflag")
   }
+
+  // ---- Q91: per-group winsorization (percentile clipping) ------------
+  // The standard outlier-cleaning step before training-data aggregation:
+  // clamp each event's value into its type's [p05, p95]. The per-group
+  // cutoffs are a tiny aggregate (|groups| rows) computed in one
+  // shuffle, then broadcast back — the clip itself is map-side, so the
+  // corpus is read once and never re-shuffled. The cutoffs use the
+  // exact continuous-quantile (bit-compatible with DuckDB, q53's
+  // contract); at 100 TB a group can outgrow the exact percentile
+  // buffer, and the drop-in scale path is x53's mergeable
+  // approx_percentile sketch at the cost of sketch-bounded cutoffs.
+  // Output rounds to 4 decimals (same guard as q53 — the clipped value
+  // is an engine-arithmetic result only at the two cutoff points).
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val cuts = ev.groupBy($"event_type").agg(
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(cuts), "event_type")
+      .select($"event_id", $"event_type",
+        round(greatest(least($"value", $"hi"), $"lo"), 4).as("v_clip"))
+      .orderBy($"event_id")
+  }
+  val q91Sql: String =
+    """WITH cuts AS (SELECT event_type,
+      |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, round(greatest(least(value, hi), lo), 4) AS v_clip
+      |FROM events e JOIN cuts USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- Q92: snapshot diff (reconciliation with change attribution) ---
+  // Compare two snapshots of the same keyed table and emit one row per
+  // difference: A (added), R (removed), C (changed, with the changed
+  // column names). This is the reconciliation/regression primitive for
+  // pipeline outputs — and composed with q89 it closes the CDC loop:
+  // diff(base, apply(base, changes)) must recover exactly the net
+  // changeset. One full-outer equi-join on the key, column compares
+  // map-side; at 100 TB both sides shuffle once on the key (or none if
+  // both snapshots are bucketed on it).
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val old = ordersBase(s, dir)
+    val neu = mergedSnapshot(s, dir)
+      .select($"o_orderkey".as("n_key"), $"o_orderstatus".as("n_status"),
+        $"price".as("n_price"))
+    old.join(neu, old("o_orderkey") === neu("n_key"), "full_outer")
+      .select(coalesce($"o_orderkey", $"n_key").as("key"),
+        when($"o_orderkey".isNull, "A")
+          .when($"n_key".isNull, "R").otherwise("C").as("change"),
+        when($"o_orderkey".isNull || $"n_key".isNull, lit(""))
+          .otherwise(concat_ws(",",
+            when($"o_orderstatus" =!= $"n_status", "o_orderstatus"),
+            when($"o_totalprice" =!= $"n_price", "price"))).as("changed_cols"))
+      .filter($"change" =!= "C" || $"changed_cols" =!= "")
+      .orderBy($"key")
+  }
+  val q92Sql: String =
+    s"""$MergedSql
+       |SELECT COALESCE(b.o_orderkey, m.o_orderkey) AS key,
+       |  CASE WHEN b.o_orderkey IS NULL THEN 'A'
+       |       WHEN m.o_orderkey IS NULL THEN 'R' ELSE 'C' END AS change,
+       |  CASE WHEN b.o_orderkey IS NULL OR m.o_orderkey IS NULL THEN ''
+       |       ELSE concat_ws(',',
+       |         CASE WHEN b.o_orderstatus <> m.o_orderstatus THEN 'o_orderstatus' END,
+       |         CASE WHEN b.o_totalprice <> m.price THEN 'price' END) END AS changed_cols
+       |FROM base b FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey
+       |WHERE NOT (b.o_orderkey IS NOT NULL AND m.o_orderkey IS NOT NULL
+       |           AND b.o_orderstatus = m.o_orderstatus
+       |           AND b.o_totalprice = m.price)
+       |ORDER BY key""".stripMargin
+
+  // ---- Q93: incremental aggregate maintenance (delta aggregation) ----
+  // Maintain a per-status (count, revenue) aggregate across the CDC
+  // changeset WITHOUT rescanning the base table: updates contribute
+  // (new − old), deletes (−old, −1), inserts (+new, +1), in exact
+  // DECIMAL so the maintained total is bit-equal to a full recompute —
+  // which is exactly what the oracle does (aggregate the merged
+  // snapshot). At 100 TB this is the difference between touching
+  // |changes| rows and touching the whole table; the base is read only
+  // by the (already-maintained) baseAgg and the old-value lookup join,
+  // which in a real deployment is an index/bucketed probe of the
+  // changed keys, not a scan.
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ordersBase(s, dir)
+    val baseAgg = base.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n0"), sum(dec($"o_totalprice")).as("s0"))
+    // old-value lookup: U/D need the base row they affect; I rows miss
+    // base by construction (negative keys) and land in status 'NEW'
+    val deltas = latestChanges(base)
+      .join(base, $"key" === $"o_orderkey", "left_outer")
+      .select(
+        when($"op" === "I", lit("NEW")).otherwise($"o_orderstatus").as("o_orderstatus"),
+        when($"op" === "U", lit(0L)).when($"op" === "D", lit(-1L))
+          .otherwise(lit(1L)).as("dn"),
+        when($"op" === "U", dec($"price") - dec($"o_totalprice"))
+          .when($"op" === "D", -dec($"o_totalprice"))
+          .otherwise(dec($"price")).as("ds"))
+      .groupBy($"o_orderstatus")
+      .agg(sum($"dn").as("dn"), sum($"ds").as("ds"))
+    baseAgg.join(deltas, Seq("o_orderstatus"), "full_outer")
+      .select($"o_orderstatus",
+        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+        rd(coalesce($"s0", lit(0).cast("decimal(18,4)")) +
+          coalesce($"ds", lit(0).cast("decimal(18,4)"))).as("revenue"))
+      .filter($"n_orders" > 0)
+      .orderBy($"o_orderstatus")
+  }
+  val q93Sql: String =
+    s"""$MergedSql
+       |SELECT o_orderstatus, COUNT(*) AS n_orders,
+       |  CAST(ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+       |FROM merged GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
 }

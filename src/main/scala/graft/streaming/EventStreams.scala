@@ -10,6 +10,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class Event(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+/** One CDC change record ([[EventStreams.latestKeyState]], E08) — the
+  * typed mirror of [[graft.queries.Incremental.changeLog]]'s schema. */
+case class Change(key: Long, op: String, price: Option[Double], seq: Long)
+
 /** Running per-user state emitted by [[EventStreams.runningUserStats]]. */
 case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
@@ -155,6 +159,30 @@ object EventStreams {
           evs.foreach { e => n += 1; sum += e.value }
           state.update((n, sum))
           UserStats(uid, n, sum)
+      }
+  }
+
+  /** E08: CDC latest-per-key state maintenance — the streaming twin of
+    * q89's changeset collapse. State per key is the highest-seq change
+    * seen so far; each micro-batch emits the keys it touched with their
+    * new current state, which is exactly the stream a downstream
+    * incremental materialization (q93's delta path) consumes. State is
+    * one record per live key — bounded by key cardinality, not stream
+    * length; production deployments add a TTL timeout for retired keys.
+    * In batch mode each key is processed once with empty initial state,
+    * so the same code is its own batch twin (asserted in
+    * EventStreamsSpec against q89's max_by collapse).
+    */
+  def latestKeyState(changes: Dataset[Change]): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[Change, Change](GroupStateTimeout.NoTimeout) {
+        (key: Long, cs: Iterator[Change], state: GroupState[Change]) =>
+          val init = state.getOption.getOrElse(
+            Change(key, "", None, Long.MinValue))
+          val cur = cs.foldLeft(init)((a, c) => if (c.seq > a.seq) c else a)
+          state.update(cur)
+          cur
       }
   }
 }

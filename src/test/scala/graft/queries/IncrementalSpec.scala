@@ -117,6 +117,62 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q91: clip bounds honored, row count preserved, interior untouched") {
+    import spark.implicits._
+    val ev = graft.Tables(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val out = Incremental.q91(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.length == ev.length)
+    val byType = out.groupBy(_._2)
+    byType.foreach { case (_, rows) =>
+      // at most 5% may sit clamped at each cutoff; everything else must
+      // be strictly inside, so min/max of the output ARE the cutoffs
+      val vs = rows.map(_._3)
+      val clampedLo = vs.count(_ == vs.min)
+      val clampedHi = vs.count(_ == vs.max)
+      assert(clampedLo <= math.max(1, (rows.length * 0.06).toInt))
+      assert(clampedHi <= math.max(1, (rows.length * 0.06).toInt))
+    }
+    val outById = out.map(t => t._1 -> t._3).toMap
+    val unchanged = ev.count { case (id, _, v) =>
+      math.abs(outById(id) - v) < 5e-5 // round-4 of an interior value
+    }
+    assert(unchanged >= (ev.length * 0.89).toInt, // ≥~90% interior
+      s"only $unchanged of ${ev.length} interior values preserved")
+  }
+
+  test("q92: diff recovers exactly the net CDC changeset") {
+    val rows = Incremental.q92(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keys = graft.Tables(spark, dir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expR = keys.filter(_ % 7 == 0)
+    val expA = keys.filter(_ % 13 == 0).map(k => -(k + 1))
+    val expC = keys.filter(k => k % 5 == 0 && k % 7 != 0)
+    assert(rows.collect { case (k, "R", _) => k }.toSet == expR)
+    assert(rows.collect { case (k, "A", _) => k }.toSet == expA)
+    assert(rows.collect { case (k, "C", _) => k }.toSet == expC)
+    rows.foreach {
+      case (k, "C", cols) => assert(cols == "price", s"key $k: $cols")
+      case (_, _, cols) => assert(cols == "")
+    }
+  }
+
+  test("q93: delta-maintained aggregate equals recompute over the merged snapshot") {
+    import spark.implicits._
+    val maintained = Incremental.q93(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = Incremental.q89(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.rd(sum(Relational.dec($"price"))).as("revenue"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(maintained == recomputed && maintained.nonEmpty)
+  }
+
   test("x15: two-level HLL union tracks the single-pass sketch and exact") {
     import spark.implicits._
     val twoLevel = Incremental.x15(spark, dir).collect()

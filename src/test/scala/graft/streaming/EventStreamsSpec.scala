@@ -155,6 +155,42 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == finalState)
   }
 
+  test("E08: streaming latest-per-key CDC state == q89's batch collapse") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // replay the EXACT change log q89 collapses, in seq order split
+    // across micro-batches (earlier ops arrive in earlier batches, the
+    // cross-key interleave within a batch is arbitrary — both realistic)
+    val log = graft.queries.Incremental
+      .changeLog(graft.queries.Incremental.ordersBaseFor(spark, dir))
+      .as[Change].collect().sortBy(c => (c.seq, c.key)).toSeq
+    val batches = log.grouped(math.max(1, log.length / 3)).toSeq
+    val mem = MemoryStream[Change]
+    val q = EventStreams.latestKeyState(mem.toDS()).writeStream
+      .format("memory").queryName("e08").outputMode(OutputMode.Update()).start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // update mode re-emits a key on every touching batch; its final
+    // state is the highest-seq emission
+    val got = spark.table("e08").as[Change].collect()
+      .groupBy(_.key).map(_._2.maxBy(_.seq)).toSet
+    val want = EventStreams.latestKeyState(log.toDS()).collect().toSet
+    assert(got == want && got.nonEmpty)
+    // and the state machine agrees with q89's declarative max_by: every
+    // key's surviving op/price matches the applied snapshot's semantics
+    val applied = graft.queries.Incremental.q89(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    got.foreach { c =>
+      c.op match {
+        case "D" => assert(!applied.contains(c.key), s"deleted ${c.key} present")
+        case "U" => assert(applied(c.key)._2 == c.price.get, s"key ${c.key}")
+        case "I" => assert(applied(c.key) == (("NEW", c.price.get)), s"key ${c.key}")
+        case other => fail(s"unexpected op $other")
+      }
+    }
+  }
+
   test("file source: readStream over parquet events == batch twin (end-to-end)") {
     import spark.implicits._
     // stage the events table as a streaming source directory, with the
