@@ -68,6 +68,52 @@ object Incremental {
       |FROM w JOIN p ON p.us >= w.ws AND p.us < w.we
       |GROUP BY w_id ORDER BY w_id""".stripMargin
 
+  // ---- Q94: interval join, variable-length windows -------------------
+  // q87's generalization: windows of heterogeneous length (5/10/15 min
+  // here, keyed off the event id) binned by the MAXIMUM length. The
+  // lemma holds unchanged — a window [s, e) with e−s ≤ B overlaps bins
+  // s div B .. (e−1) div B (still ≤2), a point sits in exactly one bin,
+  // so the bin equi-join remains lossless and duplicate-free. The cost
+  // of binning by the max is looser candidates for the short windows
+  // (the residual range predicate discards them); a length distribution
+  // with a long tail wants a two-level bin hierarchy (short windows in
+  // fine bins, long in coarse, points probe both) — not needed at a 3×
+  // spread.
+  private val MaxWinUs = 900L * 1000000L // 15 min: the max length = bin width
+
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val windows = ev.filter($"event_type" === "error")
+      .select($"event_id".as("w_id"),
+        (lit(1) + pmod($"event_id", lit(3))).as("w_len"),
+        unix_micros($"ts").as("w_start_us"))
+      .withColumn("w_end_us", $"w_start_us" + $"w_len" * (300L * 1000000L))
+      .withColumn("bin",
+        explode(sequence(expr(s"w_start_us div $MaxWinUs"),
+          expr(s"(w_end_us - 1) div $MaxWinUs"))))
+    val points = ev.filter($"event_type" === "view")
+      .select(unix_micros($"ts").as("p_us"))
+      .withColumn("bin", expr(s"p_us div $MaxWinUs"))
+    windows.join(points,
+        windows("bin") === points("bin") &&
+          points("p_us") >= windows("w_start_us") &&
+          points("p_us") < windows("w_end_us"))
+      .groupBy($"w_id", $"w_len")
+      .agg(count(lit(1)).as("n_views"))
+      .orderBy($"w_id")
+  }
+  val q94Sql: String =
+    """WITH w AS (SELECT event_id AS w_id,
+      |                  1 + (event_id % 3) AS w_len,
+      |                  epoch_us(ts) AS ws,
+      |                  epoch_us(ts) + (1 + (event_id % 3)) * 300000000 AS we
+      |           FROM events WHERE event_type = 'error'),
+      |p AS (SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'view')
+      |SELECT w_id, w_len, COUNT(*) AS n_views
+      |FROM w JOIN p ON p.us >= w.ws AND p.us < w.we
+      |GROUP BY w_id, w_len ORDER BY w_id""".stripMargin
+
   // ---- Q88: SCD2 history build (change-point compression) ------------
   // Collapse each user's event stream into type-2 validity intervals:
   // one row per *change* of event_type, valid [valid_from_us,

@@ -52,6 +52,27 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q94: variable-length binned join equals the naive theta join") {
+    import spark.implicits._
+    val binned = Incremental.q94(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = graft.Tables(spark, dir, "events")
+    val w = ev.filter($"event_type" === "error")
+      .select($"event_id".as("w_id"),
+        (lit(1) + pmod($"event_id", lit(3))).as("w_len"),
+        unix_micros($"ts").as("ws"))
+    val p = ev.filter($"event_type" === "view")
+      .select(unix_micros($"ts").as("us"))
+    val naive = w.join(p,
+        p("us") >= w("ws") && p("us") < w("ws") + w("w_len") * 300000000L)
+      .groupBy($"w_id", $"w_len").agg(count(lit(1)).as("n_views"))
+      .orderBy($"w_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(binned.nonEmpty && binned.sameElements(naive))
+    // the spread must actually exercise all three lengths
+    assert(binned.map(_._2).distinct.sorted.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("q88: intervals chain per user and versions are dense") {
     val rows = Incremental.q88(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
