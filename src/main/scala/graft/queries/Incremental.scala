@@ -382,4 +382,54 @@ object Incremental {
        |  CAST(ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
        |FROM merged GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- Q96: resample with forward fill (LOCF) ------------------------
+  // q74's zero-fill sibling for state-like metrics, where an empty hour
+  // means "unchanged", not "zero": build the dense hour×type spine,
+  // then carry the last observed hourly sum forward
+  // (last-observation-carried-forward) with an ignore-nulls running
+  // window. Hours before a type's first observation stay NULL — a
+  // fabricated zero would be a lie. Scale: the window partitions by
+  // type and runs over the SPINE (hours × types — calendar-sized, not
+  // corpus-sized), after the corpus collapsed to per-cell aggregates in
+  // one shuffle.
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type", $"value")
+    val hourly = ev.groupBy($"h", $"event_type")
+      .agg(count(lit(1)).as("n"), rd(sum(dec($"value"))).as("sum_value"))
+    val spine = ev.agg(min($"h").as("mn"), max($"h").as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+    val types = ev.select($"event_type").distinct()
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.crossJoin(types)
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type",
+        coalesce($"n", lit(0L)).as("n"),
+        last($"sum_value", ignoreNulls = true).over(w).as("filled_sum"))
+      .orderBy($"hour", $"event_type")
+  }
+  val q96Sql: String =
+    """WITH ev AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+      |hourly AS (
+      |  SELECT h, event_type, COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      |  FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM ev),
+      |spine AS (
+      |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |cells AS (
+      |  SELECT s.h, t.event_type, COALESCE(x.n, 0) AS n, x.sum_value
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN hourly x ON x.h = s.h AND x.event_type = t.event_type)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+      |  last_value(sum_value IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+      |FROM cells ORDER BY hour, event_type""".stripMargin
 }

@@ -194,6 +194,50 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maintained == recomputed && maintained.nonEmpty)
   }
 
+  test("q95: deletion-neighborhood join == naive cross-filter, no cartesian") {
+    import spark.implicits._
+    val df = LlmOps5.q95(spark, dir)
+    val banded = df.collect().map(r => (r.getString(0), r.getString(1)))
+    val names = graft.Tables(spark, dir, "customer")
+      .select($"c_name").collect().map(_.getString(0))
+    val naive = (for {
+      a <- names; b <- names if a < b
+      if { // reference Levenshtein == 1 for equal/±1-length strings
+        val d = math.abs(a.length - b.length)
+        d <= 1 && {
+          if (d == 0) a.zip(b).count { case (x, y) => x != y } == 1
+          else { val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+            (0 to s.length).exists(i =>
+              l.substring(0, i) == s.substring(0, i) &&
+                l.substring(i + 1) == s.substring(i)) }
+        }
+      }
+    } yield (a, b)).sortBy(identity)
+    assert(banded.nonEmpty && banded.sameElements(naive))
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q96: LOCF fills empty cells from the last observation, NULL before first") {
+    val rows = Incremental.q96(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.exists(_._3 == 0), "fixture has no empty cells — LOCF untested")
+    rows.groupBy(_._2).foreach { case (typ, cells0) =>
+      val cells = cells0.sortBy(_._1)
+      var lastSeen: Option[Double] = None
+      cells.foreach { case (hour, _, n, filled) =>
+        if (n > 0) {
+          assert(filled.isDefined, s"$typ $hour observed but NULL")
+          lastSeen = filled
+        } else assert(filled == lastSeen, s"$typ $hour: $filled != $lastSeen")
+      }
+    }
+  }
+
   test("x15: two-level HLL union tracks the single-pass sketch and exact") {
     import spark.implicits._
     val twoLevel = Incremental.x15(spark, dir).collect()
