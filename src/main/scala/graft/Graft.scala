@@ -56,6 +56,13 @@ object Graft {
       orders: Seq[plans.GraftOps.Order], rankName: String = "rnk"): DataFrame =
     plans.GraftOps.topKPerGroup(df, k, groupCols, orders, rankName)
 
+  /** Shuffle-free small-file compaction of a parquet directory toward a
+    * byte target (the standing maintenance job next to the mover);
+    * see [[operators.Compaction.compact]]. */
+  def compact(spark: SparkSession, in: String, out: String,
+      targetBytes: Long): operators.Compaction.Stats =
+    operators.Compaction.compact(spark, in, out, targetBytes)
+
   // ---- columnar functions ---------------------------------------------
 
   /** Codegen cosine similarity between two ARRAY&lt;DOUBLE&gt; columns. */

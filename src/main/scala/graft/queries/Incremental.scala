@@ -35,20 +35,27 @@ object Incremental {
   // bounded by the event rate, never by corpus size.
   private val WinUs = 600L * 1000000L // 10 min; also the bin width
 
+  /** Exact floor division for the bin id: `x div w` truncates toward
+    * zero, which misassigns pre-1970 (negative-µs) timestamps at bin
+    * boundaries; `pmod` is non-negative, so this is floor for any sign.
+    */
+  private def binExpr(x: String, w: Long): String =
+    s"(($x - pmod($x, ${w}L)) div ${w}L)"
+
   def q87(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")
     val windows = ev.filter($"event_type" === "error")
       .select($"event_id".as("w_id"), unix_micros($"ts").as("w_start_us"),
         (unix_micros($"ts") + WinUs).as("w_end_us"))
-      // a window [s, e) overlaps bins s div B .. (e-1) div B (≤2 here
-      // because the window is exactly one bin wide)
+      // a window [s, e) overlaps bins floor(s/B) .. floor((e-1)/B) (≤2
+      // here because the window is exactly one bin wide)
       .withColumn("bin",
-        explode(sequence(expr(s"w_start_us div $WinUs"),
-          expr(s"(w_end_us - 1) div $WinUs"))))
+        explode(sequence(expr(binExpr("w_start_us", WinUs)),
+          expr(binExpr("(w_end_us - 1)", WinUs)))))
     val points = ev.filter($"event_type" === "view")
       .select(unix_micros($"ts").as("p_us"), $"value")
-      .withColumn("bin", expr(s"p_us div $WinUs"))
+      .withColumn("bin", expr(binExpr("p_us", WinUs)))
     windows.join(points,
         windows("bin") === points("bin") &&
           points("p_us") >= windows("w_start_us") &&
@@ -90,11 +97,11 @@ object Incremental {
         unix_micros($"ts").as("w_start_us"))
       .withColumn("w_end_us", $"w_start_us" + $"w_len" * (300L * 1000000L))
       .withColumn("bin",
-        explode(sequence(expr(s"w_start_us div $MaxWinUs"),
-          expr(s"(w_end_us - 1) div $MaxWinUs"))))
+        explode(sequence(expr(binExpr("w_start_us", MaxWinUs)),
+          expr(binExpr("(w_end_us - 1)", MaxWinUs)))))
     val points = ev.filter($"event_type" === "view")
       .select(unix_micros($"ts").as("p_us"))
-      .withColumn("bin", expr(s"p_us div $MaxWinUs"))
+      .withColumn("bin", expr(binExpr("p_us", MaxWinUs)))
     windows.join(points,
         windows("bin") === points("bin") &&
           points("p_us") >= windows("w_start_us") &&

@@ -61,6 +61,16 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q > 0L)
   }
 
+  test("compaction via the facade: fewer files, same rows") {
+    import spark.implicits._
+    val in = RunTmp.dir("facade_compact_in")
+    val out = RunTmp.dir("facade_compact_out")
+    (1L to 1000L).toDF("id").repartition(16).write.mode("overwrite").parquet(in)
+    val stats = Graft.compact(spark, in, out, targetBytes = 64L << 20)
+    assert(stats.inFiles == 16 && stats.outFiles == 1)
+    assert(spark.read.parquet(out).count() == 1000L)
+  }
+
   // Graft.extensions (the installer function) is exercised end-to-end in
   // GraftExtensionsSpec, which builds a session with the extensions and
   // runs SQL through the injected functions and strategy.

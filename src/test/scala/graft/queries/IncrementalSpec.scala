@@ -6,10 +6,11 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantics + plan-shape checks for the incremental/temporal module
-  * (q87–q90, x15) beyond the DuckDB oracle: the binned interval join
-  * must be equi-keyed AND equal to the naive theta join; the CDC merge
-  * must honor the op lattice; the HLL two-level union must equal the
-  * single-pass sketch; compaction must shrink file counts losslessly.
+  * (q87–q96, x15) beyond the DuckDB oracle: the binned interval joins
+  * must be equi-keyed AND equal to their naive theta joins; the CDC
+  * merge/diff/delta trio must honor the op lattice; the HLL two-level
+  * union must track the single-pass sketch; compaction must shrink
+  * file counts losslessly; LOCF must fill only from the past.
   */
 class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
