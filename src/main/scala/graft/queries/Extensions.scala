@@ -158,4 +158,29 @@ object Extensions {
       .select($"lang", $"rnk", $"token", $"n", $"total_tokens", $"distinct_tokens")
       .orderBy($"lang", $"rnk")
   }
+
+  // ---- x58: Count-Min heavy hitters ----------------------------------
+  // The third mergeable sketch next to x15 (HLL) and x53 (percentile):
+  // a seeded Count-Min sketch over l_partkey — one map-side-combined
+  // agg whose binary state merges by counter addition, so per-shard
+  // sketches compose exactly (asserted in IncrementalSpec) — probed
+  // for the exact top-10 keys. CMS guarantees est ≥ true and
+  // est ≤ true + ε·N with ε = 1e-4 here; both bounds spec-asserted.
+  // Collecting the sketch (one row) and the k probe keys is bounded
+  // driver work, not data-sized. No oracle (sketch internals aren't
+  // SQL-portable); rows-only + spec.
+  def q58Cms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val bytes = li.agg(
+      expr("count_min_sketch(l_partkey, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val top = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"l_partkey").limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+    s.createDataFrame(top.toSeq).toDF("l_partkey", "exact_n", "est_n")
+      .orderBy($"l_partkey")
+  }
 }

@@ -121,6 +121,56 @@ object Incremental {
       |FROM w JOIN p ON p.us >= w.ws AND p.us < w.we
       |GROUP BY w_id, w_len ORDER BY w_id""".stripMargin
 
+  // ---- x94: interval join, multi-resolution bin hierarchy ------------
+  // The long-tail alternative to q94's bin-by-max: each window lands in
+  // the level whose bin width first fits its length (power-of-two
+  // widths over a 5-minute base), points replicate to EVERY level, and
+  // the equi-join key is (level, bin). Same lemma per level — a window
+  // spans ≤2 bins of its own level, a point sits in exactly 1 — so the
+  // join stays lossless and duplicate-free ACROSS levels too (a pair
+  // can only meet at the window's level). The trade vs q94: points
+  // shuffle |levels| times, but a 1000× length spread no longer drags
+  // every short window through 1000×-looser candidate bins — candidate
+  // volume per window is O(its own length), not O(max length). Output
+  // is identical to q94 by construction, so it shares q94's oracle.
+  private val BaseUs = 300L * 1000000L // 5 min: level-0 bin width
+  private val Levels = 3               // widths 5, 10, 20 min
+
+  def x94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val windows = ev.filter($"event_type" === "error")
+      .select($"event_id".as("w_id"),
+        (lit(1) + pmod($"event_id", lit(3))).as("w_len"),
+        unix_micros($"ts").as("w_start_us"))
+      .withColumn("w_end_us", $"w_start_us" + $"w_len" * BaseUs)
+      // smallest level whose width (base·2^level) fits the length —
+      // integer comparisons, never float log2 (log(2.0, 2.0) is not
+      // exactly 1.0 in doubles and a ceil would jump a level)
+      .withColumn("level", when($"w_len" <= 1, 0)
+        .when($"w_len" <= 2, 1).otherwise(2))
+      // SQL shiftleft accepts a column shift amount (the Scala helper
+      // pins it to a literal)
+      .withColumn("width", expr(s"shiftleft(${BaseUs}L, level)"))
+      // exact floor division against the per-row width column
+      .withColumn("bin", explode(sequence(
+        expr("(w_start_us - pmod(w_start_us, width)) div width"),
+        expr("((w_end_us - 1) - pmod(w_end_us - 1, width)) div width"))))
+    val points = ev.filter($"event_type" === "view")
+      .select(unix_micros($"ts").as("p_us"))
+      .withColumn("level", explode(sequence(lit(0), lit(Levels - 1))))
+      .withColumn("width", expr(s"shiftleft(${BaseUs}L, level)"))
+      .withColumn("bin", expr("(p_us - pmod(p_us, width)) div width"))
+    windows.join(points,
+        windows("level") === points("level") &&
+          windows("bin") === points("bin") &&
+          points("p_us") >= windows("w_start_us") &&
+          points("p_us") < windows("w_end_us"))
+      .groupBy($"w_id", $"w_len")
+      .agg(count(lit(1)).as("n_views"))
+      .orderBy($"w_id")
+  }
+
   // ---- Q88: SCD2 history build (change-point compression) ------------
   // Collapse each user's event stream into type-2 validity intervals:
   // one row per *change* of event_type, valid [valid_from_us,
@@ -389,6 +439,47 @@ object Incremental {
        |  CAST(ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
        |FROM merged GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- Q97: funnel conversion (ordered event-pattern match) ----------
+  // Per signup-day: how many signups converted (ANY purchase by the
+  // same user within the next hour). Existence, not counting — the
+  // purchase side is a LEFT SEMI join, so a user's 50 purchases in the
+  // window neither multiply the signup row nor survive past the first
+  // probe hit. The user_id equi key carries the one shuffle; the time
+  // range is a residual predicate (q11's pattern — here the equi key
+  // exists, so no binning is needed).
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("s_us"),
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), unix_micros($"ts").as("p_us"))
+    val converted = signups.join(purchases,
+        $"user_id" === $"p_user" && $"p_us" > $"s_us" &&
+          $"p_us" <= $"s_us" + 3600L * 1000000L, "left_semi")
+      .groupBy($"day").agg(count(lit(1)).as("n_converted"))
+    signups.groupBy($"day").agg(count(lit(1)).as("n_signups"))
+      .join(converted, Seq("day"), "left_outer")
+      .select($"day", $"n_signups",
+        coalesce($"n_converted", lit(0L)).as("n_converted"))
+      .orderBy($"day")
+  }
+  val q97Sql: String =
+    """WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS s_us,
+      |             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |           FROM events WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+      |      WHERE event_type = 'purchase'),
+      |conv AS (SELECT day, COUNT(*) AS n_converted FROM s
+      |         WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = s.user_id
+      |           AND p.p_us > s.s_us AND p.p_us <= s.s_us + 3600000000)
+      |         GROUP BY day),
+      |everyone AS (SELECT day, COUNT(*) AS n_signups FROM s GROUP BY day)
+      |SELECT day, n_signups, COALESCE(n_converted, 0) AS n_converted
+      |FROM everyone LEFT JOIN conv USING (day)
+      |ORDER BY day""".stripMargin
 
   // ---- Q96: resample with forward fill (LOCF) ------------------------
   // q74's zero-fill sibling for state-like metrics, where an empty hour

@@ -74,6 +74,18 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(binned.map(_._2).distinct.sorted.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("x94: multi-resolution hierarchy == q94, and stays equi-keyed") {
+    val hier = Incremental.x94(spark, dir)
+    val a = hier.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Incremental.q94(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.nonEmpty && a.sameElements(b))
+    val plan = hier.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q88: intervals chain per user and versions are dense") {
     val rows = Incremental.q88(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
@@ -236,6 +248,54 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
           lastSeen = filled
         } else assert(filled == lastSeen, s"$typ $hour: $filled != $lastSeen")
       }
+    }
+  }
+
+  test("q97: conversion flags match a brute-force funnel walk") {
+    import spark.implicits._
+    val ev = graft.Tables(spark, dir, "events")
+      .select($"event_type", $"user_id", unix_micros($"ts").as("us"),
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchases = ev.filter(_._1 == "purchase")
+      .groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    val signups = ev.filter(_._1 == "signup")
+    val expect = signups.groupBy(_._4).map { case (day, ss) =>
+      (day, ss.length.toLong, ss.count { case (_, uid, us, _) =>
+        purchases.getOrElse(uid, Array.empty[Long])
+          .exists(p => p > us && p <= us + 3600L * 1000000L)
+      }.toLong)
+    }.toSet
+    val got = Incremental.q97(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+    assert(got.exists(_._3 > 0), "no conversions — funnel untested")
+  }
+
+  test("x58: CMS bounds hold and per-shard sketches merge exactly") {
+    import spark.implicits._
+    val li = graft.Tables(spark, dir, "lineitem")
+    val n = li.count()
+    val rows = Extensions.q58Cms(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    rows.foreach { case (k, exact, est) =>
+      assert(est >= exact, s"CMS underestimated key $k")
+      assert(est <= exact + (1e-4 * n).ceil.toLong + 1,
+        s"key $k: est $est vs exact $exact beyond eps*N")
+    }
+    // mergeability: the sketch of the whole == the merge of disjoint
+    // half sketches (counter addition is exact)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(df.agg(expr(
+          "count_min_sketch(l_partkey, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+          .head.getAs[Array[Byte]](0)))
+    val whole = sketchOf(li)
+    val merged = sketchOf(li.filter($"l_orderkey" % 2 === 0))
+      .mergeInPlace(sketchOf(li.filter($"l_orderkey" % 2 =!= 0)))
+    rows.foreach { case (k, _, _) =>
+      assert(whole.estimateCount(k) == merged.estimateCount(k))
     }
   }
 
