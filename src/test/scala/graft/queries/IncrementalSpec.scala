@@ -232,6 +232,10 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the shuffle_hash hint is load-bearing: without it the planner
+    // broadcasts the whole variant relation (driver-built — measured 3×
+    // slower at sf0.1, and impossible for a self-join at scale)
+    assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
   test("q96: LOCF fills empty cells from the last observation, NULL before first") {
