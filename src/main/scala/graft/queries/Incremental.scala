@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Incremental / temporal processing operators: the shapes a pipeline
   * that maintains 100 TB of state needs between full rebuilds —
-  * point-in-interval joins without an equi key, SCD2 history
-  * construction, CDC changeset application, and mergeable-sketch
-  * aggregation. All exact except x15 (HLL, spec-bounded).
+  * point-in-interval joins without an equi key (fixed q87, var-length
+  * q94, multi-resolution x94), SCD2 history construction (q88), CDC
+  * changeset application / reconciliation / delta aggregation
+  * (q89/q92/q93), winsorization (q91), LOCF resample (q96), funnel
+  * conversion (q97), and mergeable-sketch aggregation (x15). All exact
+  * except x15 (HLL, spec-bounded).
   *
   * Portability follows SURVEY §2.C.0: event timestamps are compared in
   * integer microseconds (`unix_micros` / DuckDB `epoch_us` — both
