@@ -232,15 +232,23 @@ object Incremental {
     * SAME log instead of re-deriving one that could drift.
     */
   private[graft] def changeLog(base: DataFrame): DataFrame = {
-    def ch(pred: Column, key: Column, op: String, price: Column, seq: Int) =
+    def ch(pred: Column, key: Column, op: String, price: Column,
+        status: Column, seq: Int) =
       base.filter(pred).select(key.as("key"), lit(op).as("op"),
-        price.as("price"), lit(seq.toLong).as("seq"))
+        price.as("price"), status.as("status"), lit(seq.toLong).as("seq"))
     val k = col("o_orderkey")
-    ch(k % 5 === 0, k, "U", rd(dec(col("o_totalprice")) * dec(lit(1.1))), 1)
+    val noStatus = lit(null).cast("string")
+    // the seq-2 update also REPLACES the status ('P') — so the merge
+    // must apply a two-column update, the diff must attribute both
+    // columns, and the delta aggregation must migrate the row between
+    // status groups
+    ch(k % 5 === 0, k, "U", rd(dec(col("o_totalprice")) * dec(lit(1.1))),
+        noStatus, 1)
       .unionAll(ch(k % 20 === 0, k, "U",
-        rd(dec(col("o_totalprice")) * dec(lit(1.2))), 2))
-      .unionAll(ch(k % 7 === 0, k, "D", lit(null).cast("double"), 3))
-      .unionAll(ch(k % 13 === 0, -(k + 1), "I", col("o_totalprice"), 1))
+        rd(dec(col("o_totalprice")) * dec(lit(1.2))), lit("P"), 2))
+      .unionAll(ch(k % 7 === 0, k, "D", lit(null).cast("double"), noStatus, 3))
+      .unionAll(ch(k % 13 === 0, -(k + 1), "I", col("o_totalprice"),
+        noStatus, 1))
   }
 
   private[graft] def ordersBaseFor(s: SparkSession, dir: String): DataFrame =
@@ -252,22 +260,25 @@ object Incremental {
     */
   private def latestChanges(base: DataFrame): DataFrame =
     changeLog(base).groupBy(col("key"))
-      .agg(max_by(struct(col("op"), col("price")), col("seq")).as("c"))
-      .select(col("key"), col("c.op").as("op"), col("c.price").as("price"))
+      .agg(max_by(struct(col("op"), col("price"), col("status")),
+        col("seq")).as("c"))
+      .select(col("key"), col("c.op").as("op"), col("c.price").as("price"),
+        col("c.status").as("new_status"))
 
   /** The changeset derivation above, as oracle SQL (shared CTE text). */
   private val ChangesCte: String =
     """changes AS (
       |  SELECT o_orderkey AS key, 'U' AS op,
       |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(18,4)), 2) AS DOUBLE) AS price,
-      |    1 AS seq FROM orders WHERE o_orderkey % 5 = 0
+      |    CAST(NULL AS VARCHAR) AS status, 1 AS seq
+      |  FROM orders WHERE o_orderkey % 5 = 0
       |  UNION ALL SELECT o_orderkey, 'U',
       |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.2 AS DECIMAL(18,4)), 2) AS DOUBLE),
-      |    2 FROM orders WHERE o_orderkey % 20 = 0
-      |  UNION ALL SELECT o_orderkey, 'D', NULL, 3 FROM orders WHERE o_orderkey % 7 = 0
-      |  UNION ALL SELECT -(o_orderkey + 1), 'I', o_totalprice, 1 FROM orders WHERE o_orderkey % 13 = 0),
-      |latest AS (SELECT key, op, price FROM (
-      |  SELECT key, op, price,
+      |    'P', 2 FROM orders WHERE o_orderkey % 20 = 0
+      |  UNION ALL SELECT o_orderkey, 'D', NULL, NULL, 3 FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL SELECT -(o_orderkey + 1), 'I', o_totalprice, NULL, 1 FROM orders WHERE o_orderkey % 13 = 0),
+      |latest AS (SELECT key, op, price, status FROM (
+      |  SELECT key, op, price, status,
       |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
       |  FROM changes) WHERE rn = 1)""".stripMargin
 
@@ -277,7 +288,8 @@ object Incremental {
        |$ChangesCte,
        |merged AS (
        |  SELECT COALESCE(b.o_orderkey, l.key) AS o_orderkey,
-       |    COALESCE(b.o_orderstatus, 'NEW') AS o_orderstatus,
+       |    CASE WHEN l.op = 'U' AND l.status IS NOT NULL THEN l.status
+       |         ELSE COALESCE(b.o_orderstatus, 'NEW') END AS o_orderstatus,
        |    CASE WHEN l.op = 'U' THEN l.price
        |         ELSE COALESCE(b.o_totalprice, l.price) END AS price
        |  FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.key
@@ -291,7 +303,8 @@ object Incremental {
     base.join(latest, base("o_orderkey") === latest("key"), "full_outer")
       .filter(coalesce($"op", lit("")) =!= "D")
       .select(coalesce($"o_orderkey", $"key").as("o_orderkey"),
-        coalesce($"o_orderstatus", lit("NEW")).as("o_orderstatus"),
+        when($"op" === "U" && $"new_status".isNotNull, $"new_status")
+          .otherwise(coalesce($"o_orderstatus", lit("NEW"))).as("o_orderstatus"),
         when($"op" === "U", $"price")
           .otherwise(coalesce($"o_totalprice", $"price")).as("price"))
   }
@@ -401,15 +414,19 @@ object Incremental {
 
   // ---- Q93: incremental aggregate maintenance (delta aggregation) ----
   // Maintain a per-status (count, revenue) aggregate across the CDC
-  // changeset WITHOUT rescanning the base table: updates contribute
-  // (new − old), deletes (−old, −1), inserts (+new, +1), in exact
-  // DECIMAL so the maintained total is bit-equal to a full recompute —
-  // which is exactly what the oracle does (aggregate the merged
-  // snapshot). At 100 TB this is the difference between touching
-  // |changes| rows and touching the whole table; the base is read only
-  // by the (already-maintained) baseAgg and the old-value lookup join,
-  // which in a real deployment is an index/bucketed probe of the
-  // changed keys, not a scan.
+  // changeset WITHOUT rescanning the base table. Every change
+  // decomposes into remove-old + add-new: U/D retract the old row from
+  // its group (−1, −old price), U/I add the new row to its
+  // POST-CHANGE group (+1, +new price) — which handles the seq-2
+  // updates that move a row between status groups, the case a naive
+  // "same-group (new − old)" delta silently corrupts. All math is
+  // exact DECIMAL, so the maintained total is bit-equal to a full
+  // recompute — which is exactly what the oracle does (aggregate the
+  // merged snapshot). At 100 TB this is the difference between
+  // touching |changes| rows and touching the whole table; the base is
+  // read only by the (already-maintained) baseAgg and the old-value
+  // lookup join, which in a real deployment is an index/bucketed probe
+  // of the changed keys, not a scan.
   def q93(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = ordersBase(s, dir)
@@ -417,15 +434,18 @@ object Incremental {
       .agg(count(lit(1)).as("n0"), sum(dec($"o_totalprice")).as("s0"))
     // old-value lookup: U/D need the base row they affect; I rows miss
     // base by construction (negative keys) and land in status 'NEW'
-    val deltas = latestChanges(base)
+    val looked = latestChanges(base)
       .join(base, $"key" === $"o_orderkey", "left_outer")
+    val removeOld = looked.filter($"op".isin("U", "D"))
+      .select($"o_orderstatus", lit(-1L).as("dn"),
+        (-dec($"o_totalprice")).as("ds"))
+    val addNew = looked.filter($"op".isin("U", "I"))
       .select(
-        when($"op" === "I", lit("NEW")).otherwise($"o_orderstatus").as("o_orderstatus"),
-        when($"op" === "U", lit(0L)).when($"op" === "D", lit(-1L))
-          .otherwise(lit(1L)).as("dn"),
-        when($"op" === "U", dec($"price") - dec($"o_totalprice"))
-          .when($"op" === "D", -dec($"o_totalprice"))
-          .otherwise(dec($"price")).as("ds"))
+        when($"op" === "I", lit("NEW"))
+          .when($"new_status".isNotNull, $"new_status")
+          .otherwise($"o_orderstatus").as("o_orderstatus"),
+        lit(1L).as("dn"), dec($"price").as("ds"))
+    val deltas = removeOld.unionAll(addNew)
       .groupBy($"o_orderstatus")
       .agg(sum($"dn").as("dn"), sum($"ds").as("ds"))
     baseAgg.join(deltas, Seq("o_orderstatus"), "full_outer")

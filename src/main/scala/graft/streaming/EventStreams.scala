@@ -12,7 +12,8 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long,
 
 /** One CDC change record ([[EventStreams.latestKeyState]], E08) — the
   * typed mirror of [[graft.queries.Incremental.changeLog]]'s schema. */
-case class Change(key: Long, op: String, price: Option[Double], seq: Long)
+case class Change(key: Long, op: String, price: Option[Double],
+    status: Option[String], seq: Long)
 
 /** Running per-user state emitted by [[EventStreams.runningUserStats]]. */
 case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
@@ -179,7 +180,7 @@ object EventStreams {
       .mapGroupsWithState[Change, Change](GroupStateTimeout.NoTimeout) {
         (key: Long, cs: Iterator[Change], state: GroupState[Change]) =>
           val init = state.getOption.getOrElse(
-            Change(key, "", None, Long.MinValue))
+            Change(key, "", None, None, Long.MinValue))
           val cur = cs.foldLeft(init)((a, c) => if (c.seq > a.seq) c else a)
           state.update(cur)
           cur

@@ -136,7 +136,8 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (k % 7 == 0) assert(!byKey.contains(k), s"key $k not deleted")
       else {
         val (_, st, pr) = byKey(k)
-        assert(st == status)
+        // the seq-2 update also replaces the status
+        assert(st == (if (k % 20 == 0) "P" else status), s"key $k status $st")
         val want =
           if (k % 20 == 0) BigDecimal(price).setScale(4) * BigDecimal("1.2")
           else if (k % 5 == 0) BigDecimal(price).setScale(4) * BigDecimal("1.1")
@@ -177,11 +178,13 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only $unchanged of ${ev.length} interior values preserved")
   }
 
-  test("q92: diff recovers exactly the net CDC changeset") {
+  test("q92: diff recovers exactly the net CDC changeset, both columns attributed") {
     val rows = Incremental.q92(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val keys = graft.Tables(spark, dir, "orders")
-      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val orders = graft.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keys = orders.keySet
     val expR = keys.filter(_ % 7 == 0)
     val expA = keys.filter(_ % 13 == 0).map(k => -(k + 1))
     val expC = keys.filter(k => k % 5 == 0 && k % 7 != 0)
@@ -189,9 +192,16 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.collect { case (k, "A", _) => k }.toSet == expA)
     assert(rows.collect { case (k, "C", _) => k }.toSet == expC)
     rows.foreach {
-      case (k, "C", cols) => assert(cols == "price", s"key $k: $cols")
+      case (k, "C", cols) =>
+        // seq-2 updates move status to 'P'; attribution must list the
+        // status column exactly when the original wasn't already 'P'
+        val want = if (k % 20 == 0 && orders(k) != "P") "o_orderstatus,price"
+          else "price"
+        assert(cols == want, s"key $k: $cols != $want")
       case (_, _, cols) => assert(cols == "")
     }
+    assert(rows.exists(_._3 == "o_orderstatus,price"),
+      "no two-column attribution exercised")
   }
 
   test("q93: delta-maintained aggregate equals recompute over the merged snapshot") {

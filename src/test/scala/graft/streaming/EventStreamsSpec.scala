@@ -184,11 +184,16 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { c =>
       c.op match {
         case "D" => assert(!applied.contains(c.key), s"deleted ${c.key} present")
-        case "U" => assert(applied(c.key)._2 == c.price.get, s"key ${c.key}")
+        case "U" =>
+          assert(applied(c.key)._2 == c.price.get, s"key ${c.key}")
+          // a status-bearing update must have moved the applied row
+          c.status.foreach(st => assert(applied(c.key)._1 == st, s"key ${c.key}"))
         case "I" => assert(applied(c.key) == (("NEW", c.price.get)), s"key ${c.key}")
         case other => fail(s"unexpected op $other")
       }
     }
+    assert(got.exists(c => c.op == "U" && c.status.isDefined),
+      "no status-bearing update survived — group migration untested")
   }
 
   test("file source: readStream over parquet events == batch twin (end-to-end)") {
