@@ -63,6 +63,28 @@ object Graft {
       targetBytes: Long): operators.Compaction.Stats =
     operators.Compaction.compact(spark, in, out, targetBytes)
 
+  /** Materialized near-dup connected-component labels `(doc_id, label)`
+    * over the Jaccard ≥ 0.7 pair graph of `dir`'s documents table;
+    * label = min doc_id in the component. The propagation rounds run
+    * ONCE here (the result is checkpoint-pinned) — feed the returned
+    * frame to [[clusterSizes]] and [[clusterCanonicals]] (or any other
+    * consumer) so a pipeline that needs several views over one
+    * clustering never pays the graph computation twice.
+    * See [[queries.LlmOps3.clusterLabels]] for the 100 TB design notes
+    * (O(log diameter) rounds, edges shuffled once, labels broadcast). */
+  def nearDupLabels(spark: SparkSession, dir: String): DataFrame =
+    queries.LlmOps3.clusterLabels(spark, dir)
+
+  /** Cluster sizes from a [[nearDupLabels]] relation (q57 semantics). */
+  def clusterSizes(spark: SparkSession, labels: DataFrame): DataFrame =
+    queries.LlmOps3.q57From(spark, labels)
+
+  /** Cluster-canonical retention from a [[nearDupLabels]] relation
+    * (q80 semantics): keeps exactly the min doc per component. */
+  def clusterCanonicals(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame =
+    queries.LlmOps3.q80From(spark, dir, labels)
+
   // ---- columnar functions ---------------------------------------------
 
   /** Codegen cosine similarity between two ARRAY&lt;DOUBLE&gt; columns. */

@@ -137,8 +137,18 @@ object CosineSimilarity {
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** Register `cosine_sim` for SQL use on this session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  /** Register `cosine_sim` for SQL use on this session. Idempotent:
+    * re-registering an already-present function would log a
+    * `SimpleFunctionRegistry: ... replaced` warning per call, which
+    * pollutes every multi-query JVM (each bench/verify query calls
+    * through here). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident =
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
+    if (!registry.functionExists(ident)) {
+      registry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    }
+  }
 }

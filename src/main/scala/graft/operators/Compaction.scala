@@ -39,6 +39,14 @@ object Compaction {
     val fs = inPath.getFileSystem(conf)
     val parts = fs.listStatus(inPath)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    // Enforce the per-leaf-dir contract instead of trusting the caller:
+    // on a hive-partitioned (or empty) input the top-level listing holds
+    // no part- files, totalBytes would be 0 and n 1 — and the read below
+    // would still see the nested data, silently coalescing an arbitrarily
+    // large partitioned dataset into ONE file and discarding its layout.
+    require(parts.nonEmpty,
+      s"compact expects a flat parquet dir with part- files at the top " +
+        s"level, found none in $in (compact per leaf partition)")
     val totalBytes = parts.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(in).coalesce(n)

@@ -167,9 +167,15 @@ object LlmOps3 {
   // per round (localCheckpoint) so the plan does not grow with
   // iterations — the standard large-graph CC shape when a graph library
   // isn't warranted. Cluster id = min doc_id in the component.
-  def q57(s: SparkSession, dir: String): DataFrame = {
+  def q57(s: SparkSession, dir: String): DataFrame =
+    q57From(s, clusterLabels(s, dir))
+
+  /** q57 from an already-materialized label relation (see
+    * [[clusterLabels]] / `Graft.nearDupLabels`): component sizes only —
+    * no propagation rounds. */
+  def q57From(s: SparkSession, labels: DataFrame): DataFrame = {
     import s.implicits._
-    clusterLabels(s, dir)
+    labels
       .groupBy($"label")
       .agg(count(lit(1)).as("cluster_size"))
       .select($"label".as("cluster_id"), $"cluster_size")
@@ -178,8 +184,16 @@ object LlmOps3 {
 
   /** Connected-component labels (doc_id, label) over the exact Jaccard
     * ≥ 0.7 near-dup graph; label = min doc_id in the component. Shared
-    * by q57 (component sizes) and q80 (cluster-canonical retention). */
-  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    * by q57 (component sizes) and q80 (cluster-canonical retention).
+    *
+    * The returned frame is `localCheckpoint`ed — the propagation rounds
+    * have already run and their result is pinned, so downstream
+    * consumers (q57From/q80From, or both) reuse it without re-running
+    * the graph computation. This is the materialize-once entry point a
+    * real pipeline should call (via `Graft.nearDupLabels`) when it
+    * needs more than one view over the same clustering; the standalone
+    * q57/q80 remain for per-query verification. */
+  def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
     val pairs = LlmOps.q36(s, dir).select($"doc_a", $"doc_b")
@@ -241,9 +255,15 @@ object LlmOps3 {
   // collapse to a single survivor. Cost beyond the q57 labels: one
   // filter (label == doc_id, i.e. "I am my component's canonical") and
   // one join back to the documents table.
-  def q80(s: SparkSession, dir: String): DataFrame = {
+  def q80(s: SparkSession, dir: String): DataFrame =
+    q80From(s, dir, clusterLabels(s, dir))
+
+  /** q80 from an already-materialized label relation: one filter
+    * (label == doc_id, "I am my component's canonical") and one join
+    * back to documents — no propagation rounds. */
+  def q80From(s: SparkSession, dir: String, labels: DataFrame): DataFrame = {
     import s.implicits._
-    val canonical = clusterLabels(s, dir)
+    val canonical = labels
       .filter($"doc_id" === $"label").select($"doc_id")
     Tables(s, dir, "documents")
       .join(canonical, "doc_id")

@@ -15,6 +15,11 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long,
 case class Change(key: Long, op: String, price: Option[Double],
     status: Option[String], seq: Long)
 
+/** [[Change]] plus the event-time column the TTL variant
+  * ([[EventStreams.latestKeyStateTtl]]) keys its timeouts on. */
+case class TimedChange(key: Long, op: String, price: Option[Double],
+    status: Option[String], seq: Long, ts: Timestamp)
+
 /** Running per-user state emitted by [[EventStreams.runningUserStats]]. */
 case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
@@ -169,10 +174,17 @@ object EventStreams {
     * new current state, which is exactly the stream a downstream
     * incremental materialization (q93's delta path) consumes. State is
     * one record per live key — bounded by key cardinality, not stream
-    * length; production deployments add a TTL timeout for retired keys.
-    * In batch mode each key is processed once with empty initial state,
-    * so the same code is its own batch twin (asserted in
+    * length; [[latestKeyStateTtl]] adds the TTL timeout that retires
+    * idle keys. In batch mode each key is processed once with empty
+    * initial state, so the same code is its own batch twin (asserted in
     * EventStreamsSpec against q89's max_by collapse).
+    *
+    * PRECONDITION: `seq` values must be unique per key. Ties are kept
+    * in arrival order (`c.seq > a.seq` retains the first-seen change),
+    * and arrival order across micro-batch interleavings is
+    * nondeterministic — fine for [[graft.queries.Incremental.changeLog]]
+    * (unique seq per key by construction), not for arbitrary change
+    * streams with duplicate sequence numbers.
     */
   def latestKeyState(changes: Dataset[Change]): Dataset[Change] = {
     import changes.sparkSession.implicits._
@@ -184,6 +196,56 @@ object EventStreams {
           val cur = cs.foldLeft(init)((a, c) => if (c.seq > a.seq) c else a)
           state.update(cur)
           cur
+      }
+  }
+
+  /** E08 TTL variant: [[latestKeyState]] with EventTimeTimeout-based
+    * retirement of idle keys, bounding state by LIVE keys under churn —
+    * the missing piece that makes the CDC state maintainable on an
+    * unbounded key domain (think: session ids, request ids) where
+    * [[latestKeyState]]'s one-record-per-ever-seen-key state grows
+    * without bound.
+    *
+    * Policy (each point spec'd in EventStreamsSpec):
+    *  - a key with no change for `ttlMinutes` of EVENT time (watermark
+    *    past last-change ts + TTL) is evicted — its state is removed
+    *    and nothing is emitted (retirement is silent; a downstream
+    *    materialization keeps its last emitted value);
+    *  - a change arriving LATER than the watermark (late data) is
+    *    dropped by the watermark filter before the stateful operator —
+    *    an evicted key cannot be resurrected by stragglers;
+    *  - a FRESH change (ts above watermark) for an evicted key
+    *    reinstates it with EMPTY state: the new change wins regardless
+    *    of its seq vs the forgotten pre-eviction seq. That is the
+    *    explicit TTL contract — sequence monotonicity is only enforced
+    *    within a TTL window.
+    *
+    * Same unique-seq-per-key precondition as [[latestKeyState]].
+    */
+  def latestKeyStateTtl(changes: Dataset[TimedChange], ttlMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[TimedChange] = {
+    import changes.sparkSession.implicits._
+    val ttlMs = ttlMinutes * 60L * 1000L
+    changes.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TimedChange, TimedChange](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, cs: Iterator[TimedChange], state: GroupState[TimedChange]) =>
+          if (!cs.hasNext && state.hasTimedOut) {
+            state.remove() // idle past TTL: retire the key silently
+            Iterator.empty
+          } else {
+            val init = state.getOption.getOrElse(
+              TimedChange(key, "", None, None, Long.MinValue, new Timestamp(0)))
+            val cur = cs.foldLeft(init)((a, c) => if (c.seq > a.seq) c else a)
+            state.update(cur)
+            // timeout must land strictly after the current watermark —
+            // clamp for the case where this batch's own events already
+            // advanced the watermark past last-change + TTL
+            state.setTimeoutTimestamp(
+              math.max(cur.ts.getTime + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(cur)
+          }
       }
   }
 }

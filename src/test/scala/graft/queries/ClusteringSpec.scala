@@ -72,4 +72,29 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     val greedy = LlmOps5.q76(spark, dir).collect().map(_.getLong(0)).toSet
     assert(got.subsetOf(greedy))
   }
+
+  test("materialize-once labels: q57From/q80From from Graft.nearDupLabels " +
+      "≡ the standalone queries") {
+    val dir = "/root/testdata/sf0.001"
+    // ONE propagation run, two consumers — the facade path a real
+    // pipeline should take (VERDICT r3 task 1)
+    val labels = graft.Graft.nearDupLabels(spark, dir)
+    val sizes = graft.Graft.clusterSizes(spark, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val kept = graft.Graft.clusterCanonicals(spark, dir, labels).collect()
+      .map(_.getLong(0)).toSeq
+    // standalone queries each run their own propagation; outputs must be
+    // identical to the shared-label path
+    val wantSizes = LlmOps3.q57(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantKept = LlmOps3.q80(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(sizes == wantSizes)
+    assert(kept == wantKept)
+    // and the label relation itself is coherent: every kept doc is its
+    // own label, cluster sizes sum to the doc count
+    val labelMap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.foreach(d => assert(labelMap(d) == d))
+    assert(sizes.map(_._2).sum == labelMap.size)
+  }
 }

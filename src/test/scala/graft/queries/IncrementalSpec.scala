@@ -349,7 +349,11 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.inFiles == 64)
     val expectedOut =
       math.max(1L, (stats.inBytes + (8L << 20) - 1) / (8L << 20)).toInt
-    assert(stats.outFiles == expectedOut, stats.toString)
+    // <=, not ==: coalesce can only MERGE partitions, so if the scan
+    // already packed the 64 inputs into fewer partitions than the
+    // computed n (maxPartitionBytes/openCostInBytes dependent), the
+    // output legitimately lands below the formula's count
+    assert(stats.outFiles <= expectedOut, stats.toString)
     assert(stats.outFiles < stats.inFiles)
     val before = docs.orderBy($"doc_id").collect()
     val after = spark.read.parquet(packed).orderBy($"doc_id").collect()

@@ -336,4 +336,58 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = got.collect().map(_.getAs[Long]("event_id")).toSeq.sorted
     assert(ids == Seq(1L, 2L, 3L))
   }
+
+  test("E08 TTL: idle keys are evicted on event-time TTL, late stragglers " +
+      "are dropped, fresh changes reinstate with empty state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def tc(key: Long, seq: Long, t: String): TimedChange =
+      TimedChange(key, "U", Some(seq.toDouble), None, seq, Timestamp.valueOf(t))
+    val mem = MemoryStream[TimedChange]
+    // TTL 30 min of event time, watermark delay 10 min
+    val q = EventStreams
+      .latestKeyStateTtl(mem.toDS(), ttlMinutes = 30,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("e08ttl")
+      .outputMode(OutputMode.Update()).start()
+    def stateRows: Long = {
+      val p = q.lastProgress
+      p.stateOperators(0).numRowsTotal
+    }
+    def emitted: Set[(Long, Long)] = spark.table("e08ttl")
+      .as[TimedChange].collect().map(c => (c.key, c.seq)).toSet
+
+    // batch 1: keys A=1 (seq 10) and B=2 (seq 1) at 12:00
+    mem.addData(tc(1, 10, "2024-01-01 12:00:00"), tc(2, 1, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    assert(emitted == Set((1L, 10L), (2L, 1L)))
+    assert(stateRows == 2, "both keys live")
+
+    // batch 2: B advances to 13:30 → watermark after this batch is
+    // 13:20, past A's TTL deadline (12:00 + 30 min)
+    mem.addData(tc(2, 2, "2024-01-01 13:30:00"))
+    q.processAllAvailable()
+    // batch 3: timeouts fire against the advanced watermark → A evicted
+    // silently (no tombstone emission), state bounded by LIVE keys
+    mem.addData(tc(2, 3, "2024-01-01 13:35:00"))
+    q.processAllAvailable()
+    assert(stateRows == 1, s"A not evicted: $stateRows state rows")
+    assert(!emitted.exists(e => e._1 == 1L && e._2 != 10L))
+
+    // batch 4: straggler for evicted A at 12:05 — far below the
+    // watermark (~13:25) — must be dropped, not resurrect the key
+    mem.addData(tc(1, 99, "2024-01-01 12:05:00"))
+    q.processAllAvailable()
+    assert(!emitted.contains((1L, 99L)), "late change resurrected an evicted key")
+    assert(stateRows == 1)
+
+    // batch 5: FRESH change for A with seq 5 — LOWER than the
+    // pre-eviction seq 10. Accepted ⇒ the old state is provably gone
+    // (latestKeyState without TTL would have kept seq 10)
+    mem.addData(tc(1, 5, "2024-01-01 13:40:00"))
+    q.processAllAvailable()
+    assert(emitted.contains((1L, 5L)), "fresh change did not reinstate the key")
+    assert(stateRows == 2, "reinstated key missing from state")
+    q.stop()
+  }
 }
