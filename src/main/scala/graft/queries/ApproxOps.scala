@@ -41,6 +41,33 @@ object ApproxOps {
     * dedupe step alone removes ~20% of the LSH input; at real scale it
     * is the difference between hashing every copy of a boilerplate page
     * and hashing it once. */
+  /** MinHash band signatures `(doc_id, band, sig)` over a
+    * `(doc_id, toks)` frame — the LSH candidate key: two docs are a
+    * candidate pair iff they share a `(band, sig)` value. Extracted
+    * from [[q47]] so specs can count candidates with the EXACT
+    * production signature computation (ApproxOpsSpec's sparse-corpus
+    * case asserts the prune actually prunes when density allows). */
+  private[queries] def bandSignatures(docsWithToks: DataFrame): DataFrame = {
+    import docsWithToks.sparkSession.implicits._
+    docsWithToks
+      .withColumn("ths", expr(
+        """transform(toks, t -> aggregate(
+           transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
+           0L, (acc, x) -> (acc * 131 + x) % 2147483647))"""))
+      .withColumn("mhs", expr(
+        s"""transform(sequence(0, ${NumHashes - 1}),
+            i -> array_min(transform(ths, h -> pmod(xxhash64(h, i), $P))))"""))
+      // polynomial band signature; a band collision is only a CANDIDATE —
+      // verification in q47 is exact, so signature collisions are harmless
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, ${NumHashes / BandRows - 1}),
+            b -> named_struct('band', b, 'sig',
+              aggregate(sequence(0, ${BandRows - 1}), 0L,
+                (acc, r) -> acc + mhs[b * $BandRows + r]
+                  * CAST(pow(31, r) AS BIGINT) % $P) % $P))""")).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+  }
+
   def q47(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = LlmOps.docTokens(s, dir) // shared token-set definition
@@ -82,24 +109,7 @@ object ApproxOps {
     // equal, so ReuseExchange (which deduped the round-1 explode-based
     // formulation) cannot fire on this shape.
     val repToks = groups.select($"rep".as("doc_id")).join(d, "doc_id")
-    val bands = repToks
-      .withColumn("ths", expr(
-        """transform(toks, t -> aggregate(
-           transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
-           0L, (acc, x) -> (acc * 131 + x) % 2147483647))"""))
-      .withColumn("mhs", expr(
-        s"""transform(sequence(0, ${NumHashes - 1}),
-            i -> array_min(transform(ths, h -> pmod(xxhash64(h, i), $P))))"""))
-      // polynomial band signature; a band collision is only a CANDIDATE —
-      // verification below is exact, so signature collisions are harmless
-      .select($"doc_id", explode(expr(
-        s"""transform(sequence(0, ${NumHashes / BandRows - 1}),
-            b -> named_struct('band', b, 'sig',
-              aggregate(sequence(0, ${BandRows - 1}), 0L,
-                (acc, r) -> acc + mhs[b * $BandRows + r]
-                  * CAST(pow(31, r) AS BIGINT) % $P) % $P))""")).as("bs"))
-      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
-      .persist()
+    val bands = bandSignatures(repToks).persist()
 
     // NOTE deliberately NO distinct here: a pair colliding in several
     // bands is verified several times (26.4M raw candidates vs 6.1M

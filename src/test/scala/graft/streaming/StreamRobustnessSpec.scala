@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.max
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -61,6 +62,82 @@ class StreamRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.count() == 3) // f1 NOT reprocessed, f2 picked up
     assert(rows.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 3L))
+  }
+
+  test("windowed aggregation survives a deliberate mid-stream stop/restart " +
+      "(exactly-once from checkpoint)") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("mid_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("mid_sink").toString
+    val chk = java.nio.file.Files.createTempDirectory("mid_chk").toString
+    def addFile(name: String, data: Seq[Event]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage").toString
+      data.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, name))
+    }
+    // 8 hourly files, two event types per hour — all staged up front so
+    // the kill happens while input is still pending
+    val nFiles = 8
+    (0 until nFiles).foreach { h =>
+      addFile(s"f$h.parquet", Seq(
+        Event(h * 10 + 1, Timestamp.valueOf(f"2024-01-01 ${10 + h}%02d:00:00"),
+          1L, "click", 1.0),
+        Event(h * 10 + 2, Timestamp.valueOf(f"2024-01-01 ${10 + h}%02d:30:00"),
+          2L, "view", 2.0)))
+    }
+    val allEvents = spark.read
+      .schema(Seq.empty[Event].toDS().schema).parquet(src)
+    def stream = spark.readStream
+      .schema(Seq.empty[Event].toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    // run 1: one file per micro-batch, throttled — then a deliberate
+    // stop() while later files are still unprocessed. The window state
+    // and watermark at the kill point live only in the checkpoint.
+    val q1 = EventStreams.tumblingWithWatermark(stream).writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    val deadline = System.currentTimeMillis + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.currentTimeMillis < deadline) Thread.sleep(10)
+    q1.stop()
+    val batchesRun1 = q1.recentProgress.count(_.numInputRows > 0)
+    assert(batchesRun1 >= 2, "run 1 never got going")
+    assert(batchesRun1 < nFiles,
+      s"run 1 drained all $nFiles files before the kill — not mid-stream")
+    // run 2: same checkpoint, drain the remaining files to completion
+    val q2 = EventStreams.tumblingWithWatermark(stream).writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    // exactly-once: the sink (read through its _spark_metadata commit
+    // log, which hides any uncommitted files from the kill) must equal
+    // the batch twin's closed windows — nothing lost at the kill point,
+    // nothing emitted twice across the restart
+    val maxTs = allEvents.agg(max($"ts")).collect().head.getTimestamp(0)
+    val wmMillis = maxTs.getTime - 3600 * 1000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expected = EventStreams.tumblingWithWatermark(allEvents)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .filter { case (ws, _, _) =>
+        fmt.parse(ws).getTime + 3600 * 1000L <= wmMillis }
+      .sorted.toSeq
+    val got = spark.read.parquet(sink).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(expected.nonEmpty)
+    assert(got == expected, // Seq, not Set: a replayed window would show as a dup
+      s"sink windows diverged after restart:\n got $got\n want $expected")
   }
 
   test("stream-static join enriches events with a broadcast dimension") {
