@@ -85,6 +85,65 @@ object Graft {
       labels: DataFrame): DataFrame =
     queries.LlmOps3.q80From(spark, dir, labels)
 
+  // ---- dedup / similarity pipeline ------------------------------------
+
+  /** Exact dedup of `df` on `textCol`, keeping the min-`idCol` row per
+    * distinct value. Digest-first: the shuffle carries 32-byte SHA-256
+    * keys, never documents. See [[operators.Dedup.dedupExact]]. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    operators.Dedup.dedupExact(df, textCol, idCol)
+
+  /** Exact Jaccard ≥ `threshold` near-dup pairs over a
+    * `(doc_id, toks)` frame — adaptive bitmask / inverted-index plan
+    * (the oracle-grade twin; at 100 TB use the LSH path, same output
+    * contract). Output: (doc_a < doc_b, jaccard). */
+  def nearDupPairs(docsWithToks: DataFrame,
+      threshold: Double = 0.7): DataFrame =
+    queries.LlmOps.neardupPairs(docsWithToks, threshold)
+
+  /** Greedy near-dup retention: drop every row whose id appears on the
+    * drop side of `pairs` (q76 semantics — keep the earliest of every
+    * near-dup pair). See [[operators.Dedup.greedyRetain]]. */
+  def greedyRetain(df: DataFrame, pairs: DataFrame, idCol: String,
+      dropCol: String = "doc_b"): DataFrame =
+    operators.Dedup.greedyRetain(df, pairs, idCol, dropCol)
+
+  /** All key pairs within Levenshtein distance `maxDist` without the
+    * O(n²) cross join (d-deletion-neighborhood banding + exact verify);
+    * see [[operators.FuzzyJoin.selfJoin]] for the 100 TB notes. */
+  def fuzzySelfJoin(keys: DataFrame, keyCol: String,
+      maxDist: Int = 1): DataFrame =
+    operators.FuzzyJoin.selfJoin(keys, keyCol, maxDist)
+
+  // ---- incremental / temporal -----------------------------------------
+
+  /** Apply a CDC change stream (key, op, seq, payload) onto a base
+    * snapshot, latest op per key winning — deletes drop, upserts merge
+    * column-wise (null payload = keep). The changeset collapses before
+    * the single apply join; the base never shuffles. See
+    * [[operators.Cdc.applyChanges]]. */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame =
+    operators.Cdc.applyChanges(base, changes, keyCol, opCol, seqCol)
+
+  /** Point-in-interval join without an equi key: data-derived
+    * multi-resolution time binning manufactures one (lossless and
+    * duplicate-free per the banding lemma); candidate volume per
+    * interval is O(its own length) even on long-tailed length
+    * distributions. See [[operators.IntervalJoin.pointInInterval]]. */
+  def intervalJoin(intervals: DataFrame, points: DataFrame,
+      startCol: String, endCol: String, pointCol: String): DataFrame =
+    operators.IntervalJoin.pointInInterval(
+      intervals, points, startCol, endCol, pointCol)
+
+  /** Resample observations onto a dense per-`unit` grid with
+    * last-observation-carried-forward (NULL before a key's first
+    * observation). The fill window runs over the calendar-sized spine,
+    * not the corpus. See [[operators.Resample.resampleLocf]]. */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, unit: String = "hour"): DataFrame =
+    operators.Resample.resampleLocf(df, keyCol, tsCol, valueCol, unit)
+
   // ---- columnar functions ---------------------------------------------
 
   /** Codegen cosine similarity between two ARRAY&lt;DOUBLE&gt; columns. */

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join without an equi key, at scale: the naive
+  * formulation is a pure theta join (BNL — |intervals|·|points|
+  * comparisons), so an equi key is MANUFACTURED by time binning, with
+  * the bin hierarchy derived from the data.
+  *
+  * Single-level lemma (q87/q94, `IncrementalSpec`): with bin width B ≥
+  * every interval length, an interval [s, e) overlaps bins
+  * floor(s/B)..floor((e−1)/B) (≤ 2), a point sits in exactly one bin,
+  * so the bin equi-join is lossless AND duplicate-free; the residual
+  * range predicate only discards.
+  *
+  * Multi-resolution extension (x94): each interval lands at the first
+  * LEVEL whose width (base·2^level) fits its length; points replicate
+  * to every level; the join key is (level, bin). The lemma holds per
+  * level, and a pair can only meet at the interval's own level, so the
+  * join stays lossless and duplicate-free across levels. Candidate
+  * volume per interval is O(its own length), not O(max length) — the
+  * difference between a tolerable and an undoable plan when the length
+  * distribution is long-tailed.
+  *
+  * What this operator adds over x94's fixed widths: the level
+  * boundaries are DERIVED from the interval-length distribution — base
+  * width = the median length (fine bins where most intervals live),
+  * level count = what the max length needs, capped at `maxLevels`
+  * (above the cap the base coarsens instead, trading candidate
+  * looseness for point replication). Deriving the stats is one
+  * metadata-sized aggregate over the interval side (exact max, sketch
+  * median) — bounded driver work, never data-sized.
+  */
+object IntervalJoin {
+
+  /** Exact floor division for the bin id: `x div w` truncates toward
+    * zero, which misassigns pre-1970 (negative-µs) timestamps at bin
+    * boundaries; `pmod` is non-negative, so this is floor for any sign. */
+  private def binExpr(x: String, w: String): String =
+    s"(($x - pmod($x, $w)) div $w)"
+
+  /** Derived bin hierarchy: level widths in the time unit of the
+    * columns (power-of-two multiples of the base). */
+  final case class Hierarchy(baseWidth: Long, levels: Int) {
+    def width(level: Int): Long = baseWidth << level
+    require(levels >= 1 && baseWidth >= 1)
+  }
+
+  /** Derive the hierarchy from the interval-length distribution:
+    * base = clamp(median length, ≥1), levels = enough doublings to
+    * cover the max length, capped at `maxLevels` (then the base
+    * coarsens so the top level still fits every interval). */
+  def deriveHierarchy(intervals: DataFrame, startCol: String,
+      endCol: String, maxLevels: Int = 6): Hierarchy = {
+    val lens = intervals
+      .select((col(endCol) - col(startCol)).cast("long").as("len"))
+    val maxRow = lens.agg(max(col("len"))).head
+    if (maxRow.isNullAt(0)) return Hierarchy(1L, 1) // no intervals at all
+    val maxLen = math.max(1L, maxRow.getLong(0))
+    val median = math.max(1L,
+      lens.stat.approxQuantile("len", Array(0.5), 0.01).head.toLong)
+    def levelsFor(base: Long): Int = {
+      var l = 1
+      while ((base << (l - 1)) < maxLen) l += 1
+      l
+    }
+    val naive = levelsFor(median)
+    if (naive <= maxLevels) Hierarchy(median, naive)
+    else {
+      // cap: smallest base whose maxLevels-th width covers maxLen
+      val base = (maxLen + (1L << (maxLevels - 1)) - 1) >> (maxLevels - 1)
+      Hierarchy(math.max(1L, base), levelsFor(math.max(1L, base)))
+    }
+  }
+
+  /** All (interval, point) pairs with `startCol ≤ pointCol < endCol`,
+    * computed via the derived (or supplied) bin hierarchy. The two
+    * inputs must have disjoint column names; the output carries both
+    * sides' columns. Aggregation is the caller's (one groupBy on the
+    * interval id keeps the whole pipeline at two shuffles). */
+  def pointInInterval(intervals: DataFrame, points: DataFrame,
+      startCol: String, endCol: String, pointCol: String,
+      hierarchy: Option[Hierarchy] = None, maxLevels: Int = 6): DataFrame = {
+    require(intervals.columns.toSet.intersect(points.columns.toSet).isEmpty,
+      "interval and point column names must be disjoint (alias before joining)")
+    val h = hierarchy.getOrElse(
+      deriveHierarchy(intervals, startCol, endCol, maxLevels))
+    // first level whose width fits the length — integer comparisons,
+    // never float log2 (x94's lesson: log(2.0, 2.0) ≠ 1.0 in doubles)
+    val levelCol = (0 until h.levels - 1).foldRight(
+        lit(h.levels - 1): org.apache.spark.sql.Column) { (l, rest) =>
+      when(col(endCol) - col(startCol) <= h.width(l), l).otherwise(rest)
+    }
+    val wSide = intervals
+      .withColumn("__level", levelCol)
+      .withColumn("__width", expr(s"shiftleft(${h.baseWidth}L, __level)"))
+      .withColumn("__bin", explode(sequence(
+        expr(binExpr(startCol, "__width")),
+        expr(binExpr(s"($endCol - 1)", "__width")))))
+    val pSide = points
+      .withColumn("__plevel", explode(sequence(lit(0), lit(h.levels - 1))))
+      .withColumn("__pwidth", expr(s"shiftleft(${h.baseWidth}L, __plevel)"))
+      .withColumn("__pbin", expr(binExpr(pointCol, "__pwidth")))
+    wSide.join(pSide,
+        wSide("__level") === pSide("__plevel") &&
+          wSide("__bin") === pSide("__pbin") &&
+          pSide(pointCol) >= wSide(startCol) &&
+          pSide(pointCol) < wSide(endCol))
+      .drop("__level", "__width", "__bin", "__plevel", "__pwidth", "__pbin")
+  }
+}

@@ -125,20 +125,19 @@ object Incremental {
       |GROUP BY w_id, w_len ORDER BY w_id""".stripMargin
 
   // ---- x94: interval join, multi-resolution bin hierarchy ------------
-  // The long-tail alternative to q94's bin-by-max: each window lands in
-  // the level whose bin width first fits its length (power-of-two
-  // widths over a 5-minute base), points replicate to EVERY level, and
-  // the equi-join key is (level, bin). Same lemma per level — a window
-  // spans ≤2 bins of its own level, a point sits in exactly 1 — so the
-  // join stays lossless and duplicate-free ACROSS levels too (a pair
-  // can only meet at the window's level). The trade vs q94: points
-  // shuffle |levels| times, but a 1000× length spread no longer drags
-  // every short window through 1000×-looser candidate bins — candidate
-  // volume per window is O(its own length), not O(max length). Output
-  // is identical to q94 by construction, so it shares q94's oracle.
-  private val BaseUs = 300L * 1000000L // 5 min: level-0 bin width
-  private val Levels = 3               // widths 5, 10, 20 min
-
+  // The long-tail alternative to q94's bin-by-max, now delegated to the
+  // general [[graft.operators.IntervalJoin]] operator: each window
+  // lands at the level whose bin width first fits its length, points
+  // replicate to every level, the equi-join key is (level, bin), and
+  // the level widths are DERIVED from the interval-length distribution
+  // (median base, doublings to the max) rather than hand-tuned. Same
+  // per-level lemma — a window spans ≤2 bins of its own level, a point
+  // sits in exactly 1, a pair can only meet at the window's level — so
+  // the join is lossless and duplicate-free across levels, and output
+  // is identical to q94 by construction (shares q94's oracle). On this
+  // fixture the derivation lands on base = 10 min (median of the
+  // 5/10/15 spread), 2 levels; IntervalJoinSpec exercises the 100×
+  // long-tail case q94's bin-by-max can't serve.
   def x94(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")
@@ -146,29 +145,11 @@ object Incremental {
       .select($"event_id".as("w_id"),
         (lit(1) + pmod($"event_id", lit(3))).as("w_len"),
         unix_micros($"ts").as("w_start_us"))
-      .withColumn("w_end_us", $"w_start_us" + $"w_len" * BaseUs)
-      // smallest level whose width (base·2^level) fits the length —
-      // integer comparisons, never float log2 (log(2.0, 2.0) is not
-      // exactly 1.0 in doubles and a ceil would jump a level)
-      .withColumn("level", when($"w_len" <= 1, 0)
-        .when($"w_len" <= 2, 1).otherwise(2))
-      // SQL shiftleft accepts a column shift amount (the Scala helper
-      // pins it to a literal)
-      .withColumn("width", expr(s"shiftleft(${BaseUs}L, level)"))
-      // exact floor division against the per-row width column
-      .withColumn("bin", explode(sequence(
-        expr("(w_start_us - pmod(w_start_us, width)) div width"),
-        expr("((w_end_us - 1) - pmod(w_end_us - 1, width)) div width"))))
+      .withColumn("w_end_us", $"w_start_us" + $"w_len" * (300L * 1000000L))
     val points = ev.filter($"event_type" === "view")
       .select(unix_micros($"ts").as("p_us"))
-      .withColumn("level", explode(sequence(lit(0), lit(Levels - 1))))
-      .withColumn("width", expr(s"shiftleft(${BaseUs}L, level)"))
-      .withColumn("bin", expr("(p_us - pmod(p_us, width)) div width"))
-    windows.join(points,
-        windows("level") === points("level") &&
-          windows("bin") === points("bin") &&
-          points("p_us") >= windows("w_start_us") &&
-          points("p_us") < windows("w_end_us"))
+    graft.operators.IntervalJoin.pointInInterval(
+        windows, points, "w_start_us", "w_end_us", "p_us")
       .groupBy($"w_id", $"w_len")
       .agg(count(lit(1)).as("n_views"))
       .orderBy($"w_id")

@@ -106,7 +106,7 @@ object LlmOps {
     * admits 2^62 distinct sets), so the bitmask path additionally
     * requires distinct-mask count ≤ `maxDistinctMasks` — above that the
     * inverted-index token join is the right plan. */
-  private[queries] def neardupPairs(docsWithToks: DataFrame,
+  private[graft] def neardupPairs(docsWithToks: DataFrame,
       threshold: Double = 0.7, forceInverted: Boolean = false,
       maxDistinctMasks: Long = 16384, sorted: Boolean = true): DataFrame = {
     val s = docsWithToks.sparkSession

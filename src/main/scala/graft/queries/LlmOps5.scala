@@ -312,36 +312,18 @@ object LlmOps5 {
   // corpus size; the explode factor is |key|+1 — at 100 TB of keys this
   // beats the quadratic by the corpus/bucket ratio, and generalizes to
   // distance d with d-deletion neighborhoods.
+  // The measured plan decisions (map-side array_distinct before the
+  // explode, shuffle_hash over the planner's broadcast — 4.6 s vs
+  // 1.6 s here — verify before the pair-level distinct) live in the
+  // generalized operator, [[graft.operators.FuzzyJoin]], which also
+  // serves d ≥ 2 (spec'd on a synthetic text-key corpus — THIS
+  // fixture's sequential numeric keys are pathologically dense at d=2:
+  // 204k pairs from 1.5k names at sf0.01).
   def q95(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val names = Tables(s, dir, "customer").select($"c_name".as("name"))
-    // array_distinct before the explode: every deletion inside a run of
-    // equal characters yields the SAME variant (these keys are mostly
-    // zero-runs), and duplicate variants multiply the join quadratically
-    // per bucket — dedupe map-side, before anything shuffles
-    // the lambda-bearing variant plan is recomputed on both join sides
-    // (NamedLambdaVariable ids defeat ReuseExchange — q47's lesson);
-    // measured here, recomputing the cheap map-side explode twice beats
-    // persist + eager-cut (5.1 s) — the cache pays off only when the
-    // re-derived lineage is itself expensive.
-    // shuffle_hash, NOT broadcast: left alone the planner broadcasts the
-    // whole 220k-row variant relation (driver-built, single-threaded —
-    // measured 4.6 s vs 1.6 s), and at scale neither side of a
-    // self-join fits a broadcast anyway; SHJ avoids SMJ's sort on a
-    // high-cardinality string key
-    val variants = names.withColumn("v", explode(array_distinct(
-      concat(array($"name"),
-        expr("""transform(sequence(1, length(name)),
-                  i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))""")))))
-      .hint("shuffle_hash")
-    variants.select($"name".as("name_a"), $"v")
-      .join(variants.select($"name".as("name_b"), $"v"), "v")
-      .filter($"name_a" < $"name_b")
-      // verify BEFORE dedupe: levenshtein is a map-side filter that
-      // shrinks the candidate multiset ~50× here, so the distinct — the
-      // only wide op downstream of the join — shuffles survivors only
-      .filter(levenshtein($"name_a", $"name_b") === 1)
-      .select($"name_a", $"name_b").distinct()
+    graft.operators.FuzzyJoin.selfJoin(names, "name", maxDist = 1)
+      .select($"name_a", $"name_b")
       .orderBy($"name_a", $"name_b")
   }
   val q95Sql: String =

@@ -71,6 +71,104 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 1000L)
   }
 
+  test("dedup pipeline via the facade: exact dedup, pairs, greedy retention") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dog"),
+      (2L, "the quick brown fox jumps over dog"),  // exact dup of 1
+      (3L, "the quick brown fox jumps over cat"),  // near-dup of 1 (6/8)
+      (4L, "completely different text entirely here now")
+    ).toDF("doc_id", "text")
+    val deduped = Graft.dedupExact(docs, "text", "doc_id")
+    assert(deduped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 4L))
+    val withToks = docs.withColumn("toks",
+      org.apache.spark.sql.functions.array_distinct(
+        org.apache.spark.sql.functions.split($"text", " ")))
+    val pairs = Graft.nearDupPairs(withToks, threshold = 0.7)
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val kept = Graft.greedyRetain(docs, pairs, "doc_id")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 4L))
+  }
+
+  test("fuzzy self-join via the facade finds distance-2 pairs") {
+    import spark.implicits._
+    val keys = Seq("grafting", "graftling", "grafXlinX", "other")
+      .toDF("name")
+    val got = Graft.fuzzySelfJoin(keys, "name", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("grafting", "graftling", 1),
+      ("grafXlinX", "graftling", 2)))
+  }
+
+  test("CDC apply via the facade: delete, partial update, insert") {
+    import spark.implicits._
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "status", "price")
+    val changes = Seq(
+      (1L, "U", Some(11.0), None, 1L),          // price only; status kept
+      (1L, "U", Some(12.0), Some("Z"), 2L),     // latest wins, both cols
+      (2L, "D", None, None, 1L),                // delete
+      (9L, "I", Some(90.0), Some("N"), 1L)      // insert
+    ).toDF("k", "op", "price", "status", "seq")
+      .select($"k", $"op", $"price", $"status", $"seq")
+    val got = Graft.applyChanges(base, changes, "k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)).getOrElse("-"),
+        r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    // payload order: price, status come before base-only columns; fetch
+    // by name to stay order-independent
+    val byName = Graft.applyChanges(base, changes, "k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("status"),
+        r.getAs[Double]("price"))).sortBy(_._1).toSeq
+    assert(byName == Seq((1L, "Z", 12.0), (3L, "C", 30.0), (9L, "N", 90.0)),
+      s"got $byName (raw $got)")
+  }
+
+  test("interval join via the facade: pairs match the range predicate") {
+    import spark.implicits._
+    val intervals = Seq((1L, 100L, 200L), (2L, 150L, 1000L))
+      .toDF("w_id", "w_start", "w_end")
+    val points = Seq((10L, 99L), (11L, 100L), (12L, 180L), (13L, 999L))
+      .toDF("p_id", "p_ts")
+    val got = Graft.intervalJoin(intervals, points, "w_start", "w_end", "p_ts")
+      .select("w_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L)))
+  }
+
+  test("LOCF resample via the facade fills gaps and leaves leading nulls") {
+    import spark.implicits._
+    val obs = Seq(
+      ("a", "2024-01-01 10:15:00", 1.0),
+      ("a", "2024-01-01 10:45:00", 2.0),  // later in same hour wins
+      ("a", "2024-01-01 13:05:00", 9.0),  // hours 11,12 filled with 2.0
+      ("b", "2024-01-01 12:10:00", 5.0)   // b: 10,11 stay null
+    ).toDF("k", "ts_s", "v")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val got = Graft.resampleLocf(obs, "k", "ts", "v").collect()
+      .map(r => (r.getAs[String]("k"),
+        r.getAs[java.sql.Timestamp]("ts").toString.substring(11, 13),
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("a", "10", Some(2.0)), ("a", "11", Some(2.0)), ("a", "12", Some(2.0)),
+      ("a", "13", Some(9.0)),
+      ("b", "10", None), ("b", "11", None), ("b", "12", Some(5.0)),
+      ("b", "13", Some(5.0))), got.mkString(", "))
+  }
+
+  test("near-dup labels pipeline via the facade (materialize once)") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = Graft.nearDupLabels(spark, dir)
+    val sizes = Graft.clusterSizes(spark, labels)
+    val kept = Graft.clusterCanonicals(spark, dir, labels)
+    assert(sizes.count() > 0 && kept.count() > 0)
+  }
+
   // Graft.extensions (the installer function) is exercised end-to-end in
   // GraftExtensionsSpec, which builds a session with the extensions and
   // runs SQL through the injected functions and strategy.

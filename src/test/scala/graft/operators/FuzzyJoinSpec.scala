@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distance-2 deletion-neighborhood join verified against a naive
+  * Levenshtein oracle on a synthetic REAL-TEXT key corpus (VERDICT r3
+  * task 4: the driver fixture's sequential numeric keys are
+  * pathologically dense at d=2 — 18% of all pairs — so the d=2
+  * generalization needs a text key domain to be meaningful). */
+class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Reference Levenshtein (full DP — independent of the engine). */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Deterministic product-name-style corpus: word-triple base names
+    * plus seeded 1-edit and 2-edit typo variants (substitution,
+    * deletion, insertion at random positions). */
+  private def corpus: Seq[String] = {
+    val words = Seq("silver", "maple", "cabinet", "river", "stone", "amber",
+      "copper", "willow", "harbor", "cedar", "violet", "marble", "falcon",
+      "ember", "garden", "hollow", "meadow", "raven", "summit", "thistle")
+    val rng = new scala.util.Random(4242)
+    def edit(s: String): String = {
+      val i = rng.nextInt(s.length)
+      rng.nextInt(3) match {
+        case 0 => s.updated(i, ('a' + rng.nextInt(26)).toChar) // substitute
+        case 1 => s.substring(0, i) + s.substring(i + 1)       // delete
+        case _ => s.substring(0, i) + ('a' + rng.nextInt(26)).toChar +
+          s.substring(i)                                        // insert
+      }
+    }
+    val base = (0 until 300).map { _ =>
+      s"${words(rng.nextInt(20))} ${words(rng.nextInt(20))} ${words(rng.nextInt(20))}"
+    }.distinct
+    val typos1 = base.take(60).map(edit)
+    val typos2 = base.slice(60, 120).map(s => edit(edit(s)))
+    (base ++ typos1 ++ typos2).distinct
+  }
+
+  test("d=2 fuzzy self-join == naive levenshtein oracle on a text corpus") {
+    import spark.implicits._
+    val names = corpus
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && { val d = lev(a, b); d >= 1 && d <= 2 }
+    } yield (a, b, lev(a, b))).toSet
+    val got = FuzzyJoin.selfJoin(names.toDF("name"), "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // the corpus exercises both distances and stays sparse (the point
+    // of a text key domain): pairs ≪ all-pairs
+    assert(brute.count(_._3 == 1) >= 40, "too few d=1 pairs to be meaningful")
+    assert(brute.count(_._3 == 2) >= 40, "too few d=2 pairs to be meaningful")
+    val allPairs = names.size.toLong * (names.size - 1) / 2
+    assert(brute.size.toDouble / allPairs < 0.01, "corpus accidentally dense")
+  }
+
+  test("empty and near-empty keys survive the variant derivation") {
+    import spark.implicits._
+    val names = Seq("", "a", "ab", "ba", "abc")
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && { val d = lev(a, b); d >= 1 && d <= 2 }
+    } yield (a, b, lev(a, b))).toSet
+    val got = FuzzyJoin.selfJoin(names.toDF("name"), "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == brute, s"got $got want $brute")
+  }
+
+  test("d=1 through the operator matches the d=1 oracle (q95's contract)") {
+    import spark.implicits._
+    val names = corpus.take(150)
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    val got = FuzzyJoin.selfJoin(names.toDF("name"), "name", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute)
+  }
+}

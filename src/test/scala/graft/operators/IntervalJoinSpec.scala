@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-driven multi-resolution interval join vs the naive theta-join
+  * oracle on a LONG-TAIL length distribution — the workload q94's
+  * bin-by-max can't serve (VERDICT r3 task 8: a 100× length spread
+  * drags every short window through 100×-looser candidate bins). */
+class IntervalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // seconds over one day; 80% short (1–5 min), 15% medium (~1 h),
+  // 5% long (~8 h) — max/median ≈ 240×
+  private def fixture = {
+    val rng = new scala.util.Random(77)
+    val intervals = (0 until 300).map { i =>
+      val len =
+        if (i < 240) 60L + rng.nextInt(240)
+        else if (i < 285) 3000L + rng.nextInt(1200)
+        else 25000L + rng.nextInt(7000)
+      val start = rng.nextInt(86400).toLong
+      (i.toLong, start, start + len)
+    }
+    val points = (0 until 3000).map(j => (j.toLong, rng.nextInt(86400).toLong))
+    (intervals, points)
+  }
+
+  test("long-tail fixture: binned multi-resolution join == theta-join oracle") {
+    import spark.implicits._
+    val (ivs, pts) = fixture
+    val intervals = ivs.toDF("w_id", "w_start", "w_end")
+    val points = pts.toDF("p_id", "p_ts")
+    val got = IntervalJoin
+      .pointInInterval(intervals, points, "w_start", "w_end", "p_ts")
+      .select($"w_id", $"p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (for {
+      (w, s, e) <- ivs; (p, t) <- pts if t >= s && t < e
+    } yield (w, p)).sorted
+    assert(want.nonEmpty && got == want)
+
+    // the derivation actually spread the levels (capped at 6 by the
+    // 240× tail) and the top width covers the longest interval
+    val h = IntervalJoin.deriveHierarchy(intervals, "w_start", "w_end")
+    assert(h.levels > 1, s"long tail collapsed to one level: $h")
+    assert(h.levels <= 6)
+    assert(h.width(h.levels - 1) >= ivs.map(i => i._3 - i._2).max, s"$h")
+
+    // and it stays an equi join — no BNL / cartesian anywhere
+    val plan = IntervalJoin
+      .pointInInterval(intervals, points, "w_start", "w_end", "p_ts")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("boundary semantics: start inclusive, end exclusive; empty inputs") {
+    import spark.implicits._
+    val intervals = Seq((1L, 10L, 20L)).toDF("w_id", "w_start", "w_end")
+    val points = Seq((1L, 9L), (2L, 10L), (3L, 19L), (4L, 20L))
+      .toDF("p_id", "p_ts")
+    val got = IntervalJoin
+      .pointInInterval(intervals, points, "w_start", "w_end", "p_ts")
+      .select($"p_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L))
+    val empty = IntervalJoin.pointInInterval(
+      intervals.limit(0), points, "w_start", "w_end", "p_ts")
+    assert(empty.count() == 0)
+  }
+
+  test("hierarchy cap coarsens the base instead of dropping coverage") {
+    import spark.implicits._
+    // max/median = 1024× would need 11 levels; cap at 4 must still fit
+    val ivs = ((0 until 100).map(i => (i.toLong, 0L, 16L)) :+
+      (100L, 0L, 16384L)).toDF("w_id", "s", "e")
+    val h = IntervalJoin.deriveHierarchy(ivs, "s", "e", maxLevels = 4)
+    assert(h.levels == 4)
+    assert(h.width(3) >= 16384L)
+  }
+}

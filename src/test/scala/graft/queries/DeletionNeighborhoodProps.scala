@@ -32,6 +32,19 @@ class DeletionNeighborhoodProps extends AnyFunSuite {
   private def neighborhood(s: String): Set[String] =
     (s +: s.indices.map(i => s.substring(0, i) + s.substring(i + 1))).toSet
 
+  /** d-deletion neighborhood: all strings from deleting ≤ d chars —
+    * the pure-logic mirror of FuzzyJoin.variantsExpr. */
+  private def neighborhoodD(s: String, d: Int): Set[String] = {
+    var acc = Set(s)
+    var frontier = Set(s)
+    (1 to d).foreach { _ =>
+      frontier = frontier.flatMap(v =>
+        v.indices.map(i => v.substring(0, i) + v.substring(i + 1)))
+      acc ++= frontier
+    }
+    acc
+  }
+
   private def samples[T](g: Gen[T], n: Int = 400): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
@@ -45,6 +58,33 @@ class DeletionNeighborhoodProps extends AnyFunSuite {
     assert(pairs.nonEmpty)
     for ((a, b) <- pairs if lev(a, b) <= 1)
       assert((neighborhood(a) & neighborhood(b)).nonEmpty, s"'$a' '$b'")
+  }
+
+  test("lev <= 2 pairs always share a <=2-deletion variant (d=2 recall)") {
+    val pairs = samples(Gen.zip(word, word))
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs if lev(a, b) <= 2)
+      assert((neighborhoodD(a, 2) & neighborhoodD(b, 2)).nonEmpty, s"'$a' '$b'")
+    // d=1 neighborhood is a strict subset (sanity on the mirror itself)
+    for ((a, _) <- pairs)
+      assert(neighborhood(a).subsetOf(neighborhoodD(a, 2)))
+  }
+
+  test("d=2 candidate->verify pipeline == brute force on random corpora") {
+    val corpora = samples(Gen.listOfN(12, word).map(_.distinct), n = 120)
+    assert(corpora.nonEmpty)
+    for (names <- corpora) {
+      val brute = for {
+        a <- names; b <- names
+        if a < b && { val d = lev(a, b); d >= 1 && d <= 2 }
+      } yield (a, b)
+      val banded = for {
+        a <- names; b <- names
+        if a < b && (neighborhoodD(a, 2) & neighborhoodD(b, 2)).nonEmpty &&
+          { val d = lev(a, b); d >= 1 && d <= 2 }
+      } yield (a, b)
+      assert(banded.sorted == brute.sorted, names.mkString(","))
+    }
   }
 
   test("candidate->verify pipeline == brute force on random corpora") {
