@@ -299,6 +299,73 @@ object Incremental {
        |SELECT o_orderkey, o_orderstatus, price FROM merged
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---- Q98: CDC apply through the GENERAL operator -------------------
+  // The same changeset as q89 applied via the frame-shaped
+  // [[graft.operators.Cdc.applyChanges]] (collapse-then-join, column-
+  // wise coalesce merge) — driver-verifying the operator a real user
+  // calls on their own tables. Differs from q89 only in the declared
+  // insert default: general semantics leave base-only/absent payload
+  // NULL ('NEW' was q89's fixture-specific default), and the oracle
+  // mirrors the general contract.
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ordersBase(s, dir)
+    val changes = changeLog(base).select(
+      $"key".as("o_orderkey"), $"op",
+      $"price".as("o_totalprice"), $"status".as("o_orderstatus"), $"seq")
+    graft.operators.Cdc.applyChanges(base, changes, "o_orderkey")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".as("price"))
+      .orderBy($"o_orderkey")
+  }
+  val q98Sql: String =
+    s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       |$ChangesCte
+       |SELECT COALESCE(b.o_orderkey, l.key) AS o_orderkey,
+       |  CASE WHEN b.o_orderkey IS NULL THEN l.status
+       |       WHEN l.op IS NOT NULL THEN COALESCE(l.status, b.o_orderstatus)
+       |       ELSE b.o_orderstatus END AS o_orderstatus,
+       |  CASE WHEN b.o_orderkey IS NULL THEN l.price
+       |       WHEN l.op IS NOT NULL THEN COALESCE(l.price, b.o_totalprice)
+       |       ELSE b.o_totalprice END AS price
+       |FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.key
+       |WHERE COALESCE(l.op, '') <> 'D'
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ---- Q99: LOCF resample through the GENERAL operator ---------------
+  // q96's semantics via the frame-shaped
+  // [[graft.operators.Resample.resampleLocf]]: per-(µs-timestamp, type)
+  // observations (pre-collapsed with MAX so the latest-in-cell pick is
+  // deterministic on both engines) onto the dense hourly grid.
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables(s, dir, "events")
+      .groupBy($"ts", $"event_type").agg(max($"value").as("v"))
+    graft.operators.Resample.resampleLocf(obs, "event_type", "ts", "v", "hour")
+      .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type", $"v")
+      .orderBy($"hour", $"event_type")
+  }
+  val q99Sql: String =
+    """WITH obs AS (
+      |  SELECT epoch_us(ts) AS us, event_type, MAX(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT date_trunc('hour', make_timestamp(us)) AS h, event_type,
+      |         arg_max(v, us) AS v
+      |  FROM obs GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM cells),
+      |spine AS (
+      |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds),
+      |keys AS (SELECT DISTINCT event_type FROM obs),
+      |grid AS (
+      |  SELECT s.h, k.event_type, c.v
+      |  FROM spine s CROSS JOIN keys k
+      |  LEFT JOIN cells c ON c.h = s.h AND c.event_type = k.event_type)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |FROM grid ORDER BY hour, event_type""".stripMargin
+
   // ---- x15: mergeable HLL sketches (two-level union) -----------------
   // The scale path for Q14/Q15-style distinct counts when a single agg
   // pass is not possible (per-shard jobs, incremental refresh):

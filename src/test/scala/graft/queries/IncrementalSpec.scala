@@ -86,6 +86,22 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q98 (general CDC operator) == q89 modulo the declared insert default") {
+    import spark.implicits._
+    val a = Incremental.q98(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    val b = Incremental.q89(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    assert(a.size == b.size && a.nonEmpty)
+    a.zip(b).foreach { case ((ka, sa, pa), (kb, sb, pb)) =>
+      assert(ka == kb && pa == pb)
+      if (ka >= 0) assert(sa == sb, s"key $ka")
+      else { // inserted keys: general leaves status NULL, q89 fills 'NEW'
+        assert(sa.isEmpty && sb.contains("NEW"), s"key $ka")
+      }
+    }
+  }
+
   test("q88: intervals chain per user and versions are dense") {
     val rows = Incremental.q88(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
