@@ -85,6 +85,14 @@ object Graft {
       labels: DataFrame): DataFrame =
     queries.LlmOps3.q80From(spark, dir, labels)
 
+  /** Connected-component labels `(id, label)` over an arbitrary
+    * undirected graph (`nodes(id)`, `edges(src, dst)`); label = min id
+    * in the component. O(log diameter) propagation rounds, edges
+    * shuffled once, node-sized labels broadcast under a cap — see
+    * [[operators.ConnectedComponents.labels]]. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
+    operators.ConnectedComponents.labels(nodes, edges)
+
   // ---- dedup / similarity pipeline ------------------------------------
 
   /** Exact dedup of `df` on `textCol`, keeping the min-`idCol` row per

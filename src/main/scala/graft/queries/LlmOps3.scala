@@ -197,54 +197,14 @@ object LlmOps3 {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
     val pairs = LlmOps.q36(s, dir).select($"doc_a", $"doc_b")
-    // edges persisted PRE-PARTITIONED on the join key: when labels can't
-    // broadcast, each round's join reuses this partitioning and only the
-    // (node-sized) label relation shuffles — never the edge list
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .repartition($"dst")
-      .persist()
-    // labels are node-sized (≪ edges); below the cap, hint broadcast —
-    // checkpointed frames carry no stats, so without the hint the
-    // planner would sort-merge the full edge list EVERY round
-    val nDocs = docs.count()
-    def labelSide(l: DataFrame): DataFrame =
-      if (nDocs <= 4000000) broadcast(l) else l
-    var labels = docs.select($"doc_id", $"doc_id".as("label")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 30) {
-      val neighborMin = edges.join(labelSide(labels),
-          edges("dst") === labels("doc_id"))
-        .groupBy($"src").agg(min($"label").as("nlabel"))
-      val propagated = labels.as("l")
-        .join(neighborMin.as("n"), $"l.doc_id" === $"n.src", "left")
-        .select($"l.doc_id".as("doc_id"), $"l.label".as("prev"),
-          least($"l.label", coalesce($"nlabel", $"l.label")).as("label"))
-      // pointer jump: label ← label(label) (labels are node ids). Jumps
-      // through the PREVIOUS round's checkpointed labels — rescanning
-      // them is free, while jumping through `propagated` would recompute
-      // the neighbor join twice per round. The previous label rides
-      // along so convergence is a filter+count over this frame — not a
-      // fourth (next ⋈ labels) join per round.
-      val next = propagated.as("x")
-        .join(labels.select($"doc_id".as("jid"), $"label".as("jlabel")).as("y"),
-          $"x.label" === $"y.jid", "left")
-        .select($"x.doc_id".as("doc_id"), $"x.prev".as("prev"),
-          least($"x.label", coalesce($"jlabel", $"x.label")).as("label"))
-        .localCheckpoint()
-      changed = next.filter($"label" =!= $"prev").count()
-      labels = next.select($"doc_id", $"label")
-      iter += 1
-    }
-    if (changed > 0) {
-      // a component with diameter > iteration cap would silently split
-      throw new IllegalStateException(
-        s"label propagation did not converge after $iter rounds " +
-          s"($changed labels still changing)")
-    }
-    edges.unpersist() // labels are localCheckpointed; edges no longer needed
-    labels
+    // the propagation loop itself is the frame-shaped
+    // operators.ConnectedComponents (min-label + pointer jumping,
+    // checkpointed lineage, pre-partitioned persisted edges, broadcast
+    // label side under the node cap) — shared with any caller's graph
+    graft.operators.ConnectedComponents.labels(
+        docs.select($"doc_id".as("id")),
+        pairs.select($"doc_a".as("src"), $"doc_b".as("dst")))
+      .select($"id".as("doc_id"), $"label")
   }
 
   // ---- Q80: cluster-canonical retention ------------------------------

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frame-shaped CC operator vs a local union-find on random graphs,
+  * isolated nodes, and a long chain (the pointer-jumping path). */
+class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def unionFind(ids: Seq[Long],
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(ids.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min id per component
+    val byRoot = ids.groupBy(find)
+    byRoot.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }
+  }
+
+  test("random graph with isolated nodes == union-find") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val ids = (0L until 500L).toSeq
+    val edges = (0 until 400).map(_ =>
+      (rng.nextInt(500).toLong, rng.nextInt(500).toLong))
+      .filter(e => e._1 != e._2)
+    val want = unionFind(ids, edges)
+    val got = ConnectedComponents.labels(
+        ids.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.toSet.size > 1, "degenerate fixture: one component")
+  }
+
+  test("a 200-node chain converges in O(log n) pointer-jumping rounds") {
+    import spark.implicits._
+    val ids = (0L until 200L).toSeq
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    // default maxIters=30 ≫ log2(200)≈8 but ≪ the chain length 200 —
+    // convergence inside the cap proves the jump is actually halving
+    val got = ConnectedComponents.labels(
+        ids.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("empty edge set: every node is its own component") {
+    import spark.implicits._
+    val ids = Seq(3L, 5L, 9L)
+    val got = ConnectedComponents.labels(ids.toDF("id"),
+        Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 5L -> 5L, 9L -> 9L))
+  }
+}
