@@ -28,7 +28,7 @@ object Cdc {
     */
   def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
       opCol: String = "op", seqCol: String = "seq"): DataFrame = {
-    val payload = changes.columns
+    val payload = changes.columns.toSeq
       .filterNot(c => c == keyCol || c == opCol || c == seqCol)
     require(payload.nonEmpty && payload.forall(base.columns.contains),
       s"change payload columns ${payload.mkString(",")} must exist in base")
@@ -37,7 +37,7 @@ object Cdc {
       .select(col(keyCol).as("__k") +: col(s"__c.$opCol").as("__op") +:
         payload.map(p => col(s"__c.$p").as(s"__n_$p")): _*)
     val joined = base.join(latest, base(keyCol) === latest("__k"), "full_outer")
-    val baseOnly = base.columns.filterNot(payload.contains)
+    val baseOnly = base.columns.toSeq.filterNot(payload.contains)
       .filterNot(_ == keyCol)
     joined.filter(coalesce(col("__op"), lit("")) =!= "D")
       .select(coalesce(base(keyCol), col("__k")).as(keyCol) +:

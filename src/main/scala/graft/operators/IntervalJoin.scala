@@ -55,7 +55,7 @@ object IntervalJoin {
       endCol: String, maxLevels: Int = 6): Hierarchy = {
     val lens = intervals
       .select((col(endCol) - col(startCol)).cast("long").as("len"))
-    val maxRow = lens.agg(max(col("len"))).head
+    val maxRow = lens.agg(max(col("len"))).head()
     if (maxRow.isNullAt(0)) return Hierarchy(1L, 1) // no intervals at all
     val maxLen = math.max(1L, maxRow.getLong(0))
     val median = math.max(1L,

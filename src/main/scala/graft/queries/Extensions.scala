@@ -174,7 +174,7 @@ object Extensions {
     val li = Tables(s, dir, "lineitem")
     val bytes = li.agg(
       expr("count_min_sketch(l_partkey, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(bytes))
     val top = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_n"))

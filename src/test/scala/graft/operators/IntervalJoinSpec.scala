@@ -80,6 +80,27 @@ class IntervalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.count() == 0)
   }
 
+  test("randomized instances == brute force (varied length regimes)") {
+    import spark.implicits._
+    for (seed <- 0 until 12) {
+      val rng = new scala.util.Random(seed)
+      val span = 1 + rng.nextInt(5000)
+      val ivs = (0 until 30).map { i =>
+        val s = rng.nextInt(span).toLong
+        (i.toLong, s, s + 1 + rng.nextInt(1 + rng.nextInt(span)))
+      }
+      val pts = (0 until 100).map(j => (j.toLong, rng.nextInt(span).toLong))
+      val got = IntervalJoin.pointInInterval(
+          ivs.toDF("w_id", "s", "e"), pts.toDF("p_id", "t"), "s", "e", "t")
+        .select($"w_id", $"p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        (w, s, e) <- ivs; (p, t) <- pts if t >= s && t < e
+      } yield (w, p)).sorted
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("hierarchy cap coarsens the base instead of dropping coverage") {
     import spark.implicits._
     // max/median = 1024× would need 11 levels; cap at 4 must still fit

@@ -24,7 +24,7 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = graft.Tables(spark, dir, "documents")
       .select("doc_id").collect().map(_.getLong(0))
     // union-find
-    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    val parent = scala.collection.mutable.Map(docs.toSeq.map(d => d -> d): _*)
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -51,7 +51,7 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1)))
     val docs = graft.Tables(spark, dir, "documents")
       .select("doc_id").collect().map(_.getLong(0))
-    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    val parent = scala.collection.mutable.Map(docs.toSeq.map(d => d -> d): _*)
     def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)

@@ -320,7 +320,7 @@ class IncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(df.agg(expr(
           "count_min_sketch(l_partkey, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
-          .head.getAs[Array[Byte]](0)))
+          .head().getAs[Array[Byte]](0)))
     val whole = sketchOf(li)
     val merged = sketchOf(li.filter($"l_orderkey" % 2 === 0))
       .mergeInPlace(sketchOf(li.filter($"l_orderkey" % 2 =!= 0)))
