@@ -109,6 +109,18 @@ object Graft {
       threshold: Double = 0.7): DataFrame =
     queries.LlmOps.neardupPairs(docsWithToks, threshold)
 
+  /** MinHash-LSH near-dup pairs over a `(doc_id, toks)` frame — the
+    * 100 TB scale path (q47's driver-verified plan: dedupe identical
+    * sets → map-side zero-shuffle signatures over representatives →
+    * banded self-join → broadcast exact verify → ONE post-verify
+    * shuffle). 16 bands × 3 minhashes: P(candidate) ≈ 0.999 at
+    * jaccard 0.7; candidates are verified exactly, so band collisions
+    * cost time, never correctness. Same output contract as
+    * [[nearDupPairs]] (recall spec'd ≥ 0.95, exact on sparse corpora). */
+  def minHashNearDupPairs(docsWithToks: DataFrame,
+      threshold: Double = 0.7): DataFrame =
+    queries.ApproxOps.minhashNearDupPairs(docsWithToks, threshold)
+
   /** Greedy near-dup retention: drop every row whose id appears on the
     * drop side of `pairs` (q76 semantics — keep the earliest of every
     * near-dup pair). See [[operators.Dedup.greedyRetain]]. */

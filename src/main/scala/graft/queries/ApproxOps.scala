@@ -68,9 +68,19 @@ object ApproxOps {
       .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
   }
 
-  def q47(s: SparkSession, dir: String): DataFrame = {
+  def q47(s: SparkSession, dir: String): DataFrame =
+    minhashNearDupPairs(LlmOps.docTokens(s, dir)) // shared token-set definition
+
+  /** The frame-shaped core of [[q47]] — MinHash-LSH near-dup pairs over
+    * any `(doc_id, toks)` frame (facade: `Graft.minHashNearDupPairs`).
+    * Same plan as the driver-verified query: dedupe → map-side
+    * signatures over representatives → banded self-join → broadcast
+    * exact verify → one post-verify distinct shuffle → expand. */
+  private[graft] def minhashNearDupPairs(docsWithToks: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val s = docsWithToks.sparkSession
     import s.implicits._
-    val d = LlmOps.docTokens(s, dir) // shared token-set definition
+    val d = docsWithToks.select($"doc_id", $"toks")
     val tok = d.select($"doc_id", explode($"toks").as("tok"))
 
     // group identical token sets; one representative per distinct set.
@@ -141,7 +151,7 @@ object ApproxOps {
           .join(d.select($"doc_id".as("rb"), $"toks".as("tb")), "rb")
           .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("double"))
           .withColumn("jac", $"inter" / (size($"ta") + size($"tb") - $"inter"))
-    }).filter($"jac" >= 0.7).select($"ra", $"rb", $"jac").distinct()
+    }).filter($"jac" >= threshold).select($"ra", $"rb", $"jac").distinct()
 
     // expand representatives back to all member docs
     val crossGroup = verified

@@ -92,6 +92,12 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = Graft.greedyRetain(docs, pairs, "doc_id")
     assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 4L))
+    // the LSH scale path agrees with the exact path on this corpus
+    // (deterministic seedless hashes — no flake surface)
+    val lsh = Graft.minHashNearDupPairs(withToks, threshold = 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == got, s"lsh $lsh vs exact $got")
   }
 
   test("fuzzy self-join via the facade finds distance-2 pairs") {
