@@ -84,4 +84,30 @@ object FuzzyJoin {
     * query key against a pre-exploded dictionary). */
   def deletionNeighborhood(keyCol: String, d: Int): Column =
     expr(variantsExpr(keyCol, d))
+
+  /** Dictionary lookup (the classic SymSpell shape): for every query
+    * key, all dictionary keys within Levenshtein distance `maxDist`
+    * (including exact hits at dist 0). Both sides explode their
+    * ≤`maxDist`-deletion neighborhoods and equi-join on the variant —
+    * recall-complete by the banding lemma — then verify exactly.
+    * Output: (query, match, dist), distinct.
+    *
+    * At scale the dictionary side is the one worth materializing: its
+    * exploded neighborhood is reusable across query batches (persist it
+    * or write it out keyed by variant), after which each lookup batch
+    * is one equi-join — no per-query scan of the dictionary. */
+  def lookupJoin(queries: DataFrame, queryCol: String,
+      dictionary: DataFrame, dictCol: String, maxDist: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val q = queries.select(col(queryCol).as("query"))
+      .withColumn("v", explode(expr(variantsExpr("query", maxDist))))
+    val d = dictionary.select(col(dictCol).as("match"))
+      .withColumn("v", explode(expr(variantsExpr("match", maxDist))))
+      .hint("shuffle_hash")
+    q.join(d, "v")
+      .withColumn("dist", levenshtein($"query", $"match", maxDist))
+      .filter($"dist" >= 0)
+      .select($"query", $"match", $"dist").distinct()
+  }
 }

@@ -87,6 +87,28 @@ class FuzzyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == brute, s"got $got want $brute")
   }
 
+  test("dictionary lookup join == brute force (incl. exact hits)") {
+    import spark.implicits._
+    val dict = corpus.take(200)
+    val rng = new scala.util.Random(99)
+    // queries: some exact dictionary words, some typos, some misses
+    val qs = dict.take(20) ++
+      dict.slice(20, 40).map { s =>
+        val i = rng.nextInt(s.length)
+        s.substring(0, i) + s.substring(i + 1)
+      } ++ Seq("zzzz qqqq xxxx", "completely absent")
+    val brute = (for {
+      q <- qs; m <- dict if lev(q, m) <= 2
+    } yield (q, m, lev(q, m))).toSet
+    val got = FuzzyJoin.lookupJoin(
+        qs.toDF("q"), "q", dict.toDF("w"), "w", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.exists(_._3 == 0) && brute.exists(_._3 == 1),
+      "fixture must exercise exact and fuzzy hits")
+  }
+
   test("d=1 through the operator matches the d=1 oracle (q95's contract)") {
     import spark.implicits._
     val names = corpus.take(150)

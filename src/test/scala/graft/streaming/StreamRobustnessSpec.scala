@@ -205,6 +205,53 @@ class StreamRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s0.n_events == 2)
   }
 
+  test("foreachBatch + Cdc.applyChanges maintains a versioned parquet snapshot") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the incremental-materialization loop a 100 TB pipeline runs: each
+    // micro-batch applies its changes onto the latest immutable snapshot
+    // version (read vN -> applyChanges -> write vN+1; never overwrite
+    // the dir being read). Cross-batch PARTIAL updates must accumulate —
+    // the property a one-shot latest-op collapse of the whole stream
+    // would lose (it keeps only the newest change per key).
+    val root = java.nio.file.Files.createTempDirectory("cdc_mat").toString
+    Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "price", "status")
+      .write.parquet(s"$root/v0")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val mem = MemoryStream[Change]
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: Dataset[Change], _: Long) =>
+        if (!batch.isEmpty) {
+          val v = version.get()
+          val cur = spark.table(s"parquet.`$root/v$v`")
+          val changes = batch.toDF().select($"key".as("k"), $"op",
+            $"price", $"status".as("status"), $"seq")
+          graft.operators.Cdc.applyChanges(cur, changes, "k")
+            .write.parquet(s"$root/v${v + 1}")
+          version.incrementAndGet()
+          ()
+        }
+      }
+      .start()
+    val batches = Seq(
+      // batch 1: price-only update of k=1, delete k=2
+      Seq(Change(1L, "U", Some(11.0), None, 1L),
+        Change(2L, "D", None, None, 1L)),
+      // batch 2: STATUS-only update of k=1 (the earlier price update
+      // must survive), insert k=9 with full payload
+      Seq(Change(1L, "U", None, Some("Z"), 2L),
+        Change(9L, "I", Some(90.0), Some("N"), 1L)))
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(version.get() == 2)
+    val got = spark.read.parquet(s"$root/v2").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("price"),
+        r.getAs[String]("status"))).toSet
+    assert(got == Set((1L, 11.0, "Z"), (3L, 30.0, "C"), (9L, 90.0, "N")),
+      got.toString)
+  }
+
   test("flatMapGroupsWithState emits 0..n alerts as thresholds are crossed") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
