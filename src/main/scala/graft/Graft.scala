@@ -121,6 +121,27 @@ object Graft {
       threshold: Double = 0.7): DataFrame =
     queries.ApproxOps.minhashNearDupPairs(docsWithToks, threshold)
 
+  /** Build a persisted IVF ANN index (centroids + cell-partitioned
+    * assignments as plain parquet) over `(vec_id, v)` embeddings — the
+    * build-once/query-many serving shape; queries read only their
+    * probed cells via partition pruning. See [[operators.IvfIndex]]. */
+  def buildIvfIndex(emb: DataFrame, dir: String, c: Int = 16): Unit =
+    operators.IvfIndex.build(emb, dir, c)
+
+  /** Top-k cosine neighbors for `(query_id, qv)` queries from a
+    * [[buildIvfIndex]] index. */
+  def queryIvfIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, nprobe: Int = 4): DataFrame =
+    operators.IvfIndex.query(spark, dir, queries, k, nprobe)
+
+  /** Dictionary fuzzy lookup: all dictionary keys within Levenshtein
+    * distance `maxDist` of each query key (SymSpell shape; exact hits
+    * included). See [[operators.FuzzyJoin.lookupJoin]]. */
+  def fuzzyLookup(queries: DataFrame, queryCol: String,
+      dictionary: DataFrame, dictCol: String, maxDist: Int = 1): DataFrame =
+    operators.FuzzyJoin.lookupJoin(queries, queryCol, dictionary, dictCol,
+      maxDist)
+
   /** Greedy near-dup retention: drop every row whose id appears on the
     * drop side of `pairs` (q76 semantics — keep the earliest of every
     * near-dup pair). See [[operators.Dedup.greedyRetain]]. */

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index — the build-once /
+  * query-many serving shape of the q48 formulation
+  * (`graft.queries.ApproxOps`). The index is two plain parquet tables:
+  *
+  *  - `centroids`  (cent_id, cv): the deterministic k-means codebook
+  *    ([[KMeans]] — farthest-first seeding over a bounded sample);
+  *  - `assignments` (vec_id, v), HIVE-PARTITIONED BY cent_id: every
+  *    vector in its nearest cell.
+  *
+  * Because cells are partition directories, a query that probes
+  * `nprobe` of `c` cells READS only those directories — partition
+  * pruning makes query cost O(nprobe/c) of the corpus, on any Spark
+  * cluster, with no custom index format. The probed cell ids are
+  * collected driver-side (≤ |queries|·nprobe values — metadata, not
+  * data) and pushed as a static partition filter, which is visible as
+  * `PartitionFilters` in the scan (asserted in IvfIndexSpec). */
+object IvfIndex {
+
+  /** Build the index over `emb` (vec_id, v: array&lt;double&gt;) into `dir`. */
+  def build(emb: DataFrame, dir: String, c: Int = 16): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    import graft.plans.GraftOps
+    val cents = KMeans.fit(emb, c)
+    // nearest-centroid assignment: broadcast codebook + bounded-heap
+    // argmax (k=1) — the partial pass collapses the c candidate rows
+    // per vector before any exchange
+    val assigned = GraftOps.topKPerGroup(
+        emb.join(broadcast(cents))
+          .select($"vec_id", $"v", $"cent_id",
+            graft.functions.CosineSimilarity.cosineSim($"v", $"cv").as("sim")),
+        1, Seq("vec_id"),
+        Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
+      .select($"vec_id", $"v", $"cent_id")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** Top-k cosine neighbors for `queries` (query_id, qv) from the index
+    * at `dir`, probing the `nprobe` nearest cells per query. Index
+    * vectors whose vec_id equals the query_id are excluded (self). */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    import graft.plans.GraftOps
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    val probes = GraftOps.topKPerGroup(
+        queries.join(broadcast(cents))
+          .select($"query_id", $"qv", $"cent_id",
+            graft.functions.CosineSimilarity.cosineSim($"qv", $"cv").as("sim")),
+        nprobe, Seq("query_id"),
+        Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
+      .select($"query_id", $"qv", $"cent_id")
+    // static partition prune: the probed cell set is metadata-sized
+    val cells = probes.select($"cent_id").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val scored = broadcast(probes)
+      .join(assigned.filter($"cent_id".isin(cells: _*)), "cent_id")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(graft.functions.CosineSimilarity.cosineSim($"qv", $"v"), 6)
+          .as("score"))
+    graft.queries.LlmOps.topKByScore(scored, k)
+  }
+}

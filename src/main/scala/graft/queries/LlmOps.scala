@@ -198,7 +198,7 @@ object LlmOps {
     * TopKPerGroup operator (partial pre-shuffle pass — the scale-safe
     * formulation; see plans/TopKPerGroup.scala). Input must have columns
     * (query_id, vec_id, score). */
-  private[queries] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
     import scored.sparkSession.implicits._
     graft.plans.GraftOps.topKPerGroup(scored, k,
       Seq("query_id"),

@@ -167,6 +167,25 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", "13", Some(5.0))), got.mkString(", "))
   }
 
+  test("IVF index and fuzzy lookup via the facade") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("facade_ivf").toString
+    val rng = new scala.util.Random(5)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rng.nextGaussian()))).toDF("vec_id", "v")
+    Graft.buildIvfIndex(emb, idx, c = 4)
+    val queries = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val top = Graft.queryIvfIndex(spark, idx, queries, k = 5, nprobe = 2)
+    assert(top.count() == 5)
+    assert(top.filter($"vec_id" === 0L).count() == 0) // self excluded
+    val hits = Graft.fuzzyLookup(Seq("spark", "sprak").toDF("q"), "q",
+      Seq("spark", "spork", "flink").toDF("w"), "w", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(hits == Set(("spark", "spark", 0), ("spark", "spork", 1),
+      ("sprak", "spark", 2), ("sprak", "spork", 2)))
+  }
+
   test("near-dup labels pipeline via the facade (materialize once)") {
     val dir = "/root/testdata/sf0.001"
     val labels = Graft.nearDupLabels(spark, dir)
