@@ -109,6 +109,30 @@ object Graft {
       threshold: Double = 0.7): DataFrame =
     queries.LlmOps.neardupPairs(docsWithToks, threshold)
 
+  /** The whole dedup pipeline in one call: exact dedup (digest-keyed,
+    * min-id survivor) → near-dup pair generation over whitespace token
+    * sets (LSH banding by default — the 100 TB path; exact adaptive
+    * pairs when `useLsh=false`) → connected components → keep the
+    * min-id doc per component. Returns the surviving rows of `docs`
+    * with their original columns. Every stage is the individually
+    * verified operator; the composition is spec'd in GraftFacadeSpec. */
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, useLsh: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    val exact = dedupExact(docs, textCol, idCol)
+    val withToks = exact.select(col(idCol).as("doc_id"),
+      array_distinct(split(col(textCol), " ")).as("toks"))
+    val pairs =
+      if (useLsh) minHashNearDupPairs(withToks, threshold)
+      else nearDupPairs(withToks, threshold)
+    val labels = connectedComponents(
+      withToks.select(col("doc_id").as("id")),
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val canonical = labels.filter(col("id") === col("label"))
+      .select(col("id").as(idCol))
+    exact.join(canonical, idCol)
+  }
+
   /** MinHash-LSH near-dup pairs over a `(doc_id, toks)` frame — the
     * 100 TB scale path (q47's driver-verified plan: dedupe identical
     * sets → map-side zero-shuffle signatures over representatives →

@@ -55,11 +55,14 @@ object IntervalJoin {
       endCol: String, maxLevels: Int = 6): Hierarchy = {
     val lens = intervals
       .select((col(endCol) - col(startCol)).cast("long").as("len"))
-    val maxRow = lens.agg(max(col("len"))).head()
-    if (maxRow.isNullAt(0)) return Hierarchy(1L, 1) // no intervals at all
-    val maxLen = math.max(1L, maxRow.getLong(0))
-    val median = math.max(1L,
-      lens.stat.approxQuantile("len", Array(0.5), 0.01).head.toLong)
+    // ONE driver action for both stats (exact max + sketch median) —
+    // the derivation is on the per-query path, so a second job for the
+    // quantile would double its cost for nothing
+    val row = lens.agg(max(col("len")),
+      expr("approx_percentile(len, 0.5, 1000)")).head()
+    if (row.isNullAt(0)) return Hierarchy(1L, 1) // no intervals at all
+    val maxLen = math.max(1L, row.getLong(0))
+    val median = math.max(1L, row.getLong(1))
     def levelsFor(base: Long): Int = {
       var l = 1
       while ((base << (l - 1)) < maxLen) l += 1

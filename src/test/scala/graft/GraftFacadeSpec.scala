@@ -167,6 +167,27 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", "13", Some(5.0))), got.mkString(", "))
   }
 
+  test("one-call dedup pipeline: exact dups collapse, near-dup chains " +
+      "keep one survivor, originals untouched") {
+    import spark.implicits._
+    // chain 1-3-5 (1~3 and 3~5 near-dup, 1!~5 directly) must collapse
+    // to doc 1 only — the transitive property a pairwise greedy drop
+    // can't give; 2 is an exact dup of 1; 4 is unique
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),          // exact dup of 1
+      (3L, "a b c d e f g x"),          // ~1 (7/9)
+      (5L, "a b c d e f x y"),          // ~3 (7/9... via x), not ~1 (6/10)
+      (4L, "totally different words here")
+    ).toDF("doc_id", "text")
+    for (lsh <- Seq(true, false)) {
+      val kept = Graft.dedupPipeline(docs, "doc_id", "text", 0.7, useLsh = lsh)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kept == Set((1L, "a b c d e f g h"),
+        (4L, "totally different words here")), s"lsh=$lsh: $kept")
+    }
+  }
+
   test("IVF index and fuzzy lookup via the facade") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("facade_ivf").toString
