@@ -78,6 +78,25 @@ object Incremental {
       |FROM w JOIN p ON p.us >= w.ws AND p.us < w.we
       |GROUP BY w_id ORDER BY w_id""".stripMargin
 
+  // ---- x87: q87 through the general IntervalJoin operator ------------
+  // Same output as q87 (shares its oracle): fixed 10-minute windows are
+  // the degenerate hierarchy (median == max ⇒ one level, bin width ==
+  // window length — exactly q87's hand-built binning, now derived).
+  def x87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val windows = ev.filter($"event_type" === "error")
+      .select($"event_id".as("w_id"), unix_micros($"ts").as("w_start_us"),
+        (unix_micros($"ts") + WinUs).as("w_end_us"))
+    val points = ev.filter($"event_type" === "view")
+      .select(unix_micros($"ts").as("p_us"), $"value")
+    graft.operators.IntervalJoin.pointInInterval(
+        windows, points, "w_start_us", "w_end_us", "p_us")
+      .groupBy($"w_id")
+      .agg(count(lit(1)).as("n_views"), rd(sum(dec($"value"))).as("sum_value"))
+      .orderBy($"w_id")
+  }
+
   // ---- Q94: interval join, variable-length windows -------------------
   // q87's generalization: windows of heterogeneous length (5/10/15 min
   // here, keyed off the event id) binned by the MAXIMUM length. The
