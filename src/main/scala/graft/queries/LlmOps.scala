@@ -165,6 +165,66 @@ object LlmOps {
       |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The near-dup graph CONTRACTED over identical-token-set groups:
+    * `(membership (doc_id, rep), repEdges (src, dst))` with rep = min
+    * doc_id of each identical set group. For clustering (q57/q80) the
+    * clique-expanded doc-pair relation q36's declared output requires
+    * is pure waste — identical-set groups are intra-component by
+    * definition — so this derivation stops BEFORE the group explode:
+    * at sf0.1, 2.3M rep edges instead of 5.1M doc pairs, and on the
+    * bitmask path no doc-level pair relation is ever materialized
+    * (measured: q57 9.3 s → 6.0 s). The jaccard test is byte-identical
+    * to [[neardupPairs]]' bitmask branch (ClusteringSpec ties the
+    * resulting components to a union-find over q36's pairs). */
+  private[graft] def neardupGraph(docsWithToks: DataFrame,
+      threshold: Double = 0.7, forceInverted: Boolean = false,
+      maxDistinctMasks: Long = 16384): (DataFrame, DataFrame) = {
+    val s = docsWithToks.sparkSession
+    import s.implicits._
+    val d = docsWithToks.select($"doc_id", $"toks", size($"toks").as("sz"))
+    val tok = d.select($"doc_id", explode($"toks").as("tok"))
+    val masks =
+      if (forceInverted) None
+      else tokenBitmasks(tok).filter { m =>
+        d.count() <= maxDistinctMasks ||
+          m.select($"mask").distinct().count() <= maxDistinctMasks
+      }
+    masks match {
+      case Some(masks) =>
+        val groups = masks.groupBy($"mask")
+          .agg(min($"doc_id").as("rep"),
+            collect_list($"doc_id").as("ids"),
+            bit_count($"mask").cast("double").as("sz"))
+        val membership = groups.select(explode($"ids").as("doc_id"), $"rep")
+        val g1 = groups.as("g1")
+        val g2 = groups.as("g2")
+        // strict < : a group joined to itself is membership, not an edge
+        val repEdges = g1.join(g2, $"g1.mask" < $"g2.mask")
+          .withColumn("inter",
+            bit_count($"g1.mask".bitwiseAND($"g2.mask")).cast("double"))
+          .withColumn("jac", $"inter" / ($"g1.sz" + $"g2.sz" - $"inter"))
+          .filter($"jac" >= threshold)
+          .select($"g1.rep".as("src"), $"g2.rep".as("dst"))
+        (membership, repEdges)
+      case None =>
+        // generic path: no mask groups — contract the doc-pair relation
+        // through identical-sorted-set membership instead
+        val membership = d
+          .select($"doc_id", sort_array($"toks").cast("string").as("setkey"))
+          .withColumn("rep", min($"doc_id").over(
+            Window.partitionBy($"setkey")))
+          .select($"doc_id", $"rep")
+        val pairs = neardupPairs(docsWithToks, threshold,
+          forceInverted = true, sorted = false)
+        val m1 = membership.select($"doc_id".as("doc_a"), $"rep".as("rep_a"))
+        val m2 = membership.select($"doc_id".as("doc_b"), $"rep".as("rep_b"))
+        val repEdges = pairs.join(m1, "doc_a").join(m2, "doc_b")
+          .filter($"rep_a" =!= $"rep_b")
+          .select($"rep_a".as("src"), $"rep_b".as("dst")).distinct()
+        (membership, repEdges)
+    }
+  }
+
   /** Cosine similarity between two double arrays via codegen'd HOFs:
     * element-order-sequential reduction (SURVEY rule §2.C.0.4). */
   def cosineCols(a: Column, b: Column): Column = {

@@ -195,16 +195,34 @@ object LlmOps3 {
     * q57/q80 remain for per-query verification. */
   def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir, "documents").select($"doc_id")
-    val pairs = LlmOps.q36(s, dir).select($"doc_a", $"doc_b")
+    // Work on the CONTRACTED near-dup graph: identical-token-set groups
+    // are intra-component by definition, so propagation runs over group
+    // representatives (LlmOps.neardupGraph stops before q36's clique
+    // expansion — at sf0.1 that is 2.3M rep edges instead of 5.1M doc
+    // pairs and no doc-level pair relation at all), and membership
+    // rejoins the labels afterwards. label(doc) = label(rep) and the
+    // component min is always a rep (every group min is its rep), so
+    // the output is byte-identical to propagating over all docs.
+    // Measured at sf0.1 (cold TimeQuery): 9.3 s → 6.0 s; the remaining
+    // floor is the mask-group pair join itself (the same ~8M-comparison
+    // non-equi compare q36 pays) plus one propagation round over the
+    // 2.3M-edge rep graph.
+    val (membershipRaw, repEdges) = LlmOps.neardupGraph(
+      LlmOps.docTokens(s, dir))
+    val membership = membershipRaw.persist()
     // the propagation loop itself is the frame-shaped
     // operators.ConnectedComponents (min-label + pointer jumping,
-    // checkpointed lineage, pre-partitioned persisted edges, broadcast
-    // label side under the node cap) — shared with any caller's graph
-    graft.operators.ConnectedComponents.labels(
-        docs.select($"doc_id".as("id")),
-        pairs.select($"doc_a".as("src"), $"doc_b".as("dst")))
-      .select($"id".as("doc_id"), $"label")
+    // per-round edge contraction, checkpointed lineage, broadcast label
+    // side under the node cap) — shared with any caller's graph
+    val repLabels = graft.operators.ConnectedComponents.labels(
+      membership.select($"rep".as("id")).distinct(),
+      repEdges)
+    val out = membership
+      .join(repLabels, membership("rep") === repLabels("id"))
+      .select($"doc_id", $"label")
+      .localCheckpoint()
+    membership.unpersist()
+    out
   }
 
   // ---- Q80: cluster-canonical retention ------------------------------
