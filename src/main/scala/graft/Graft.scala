@@ -158,6 +158,14 @@ object Graft {
       k: Int = 10, nprobe: Int = 4): DataFrame =
     operators.IvfIndex.query(spark, dir, queries, k, nprobe)
 
+  /** All fingerprint pairs within a Hamming-distance bound via
+    * pigeonhole banding (SimHash near-dup shape, q52's plan
+    * generalized to any distance/width). See
+    * [[operators.HammingJoin.selfJoin]]. */
+  def hammingNearDupPairs(fp: DataFrame, idCol: String, fpCol: String,
+      maxDist: Int, bits: Int = 32): DataFrame =
+    operators.HammingJoin.selfJoin(fp, idCol, fpCol, maxDist, bits)
+
   /** Dictionary fuzzy lookup: all dictionary keys within Levenshtein
     * distance `maxDist` of each query key (SymSpell shape; exact hits
     * included). See [[operators.FuzzyJoin.lookupJoin]]. */

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** All fingerprint pairs within a Hamming-distance bound, without the
+  * O(n²) comparison — pigeonhole banding generalized from the
+  * q52 formulation (`graft.queries.LlmOps2`, which delegates here).
+  *
+  * Lemma: cut a `bits`-wide fingerprint into B disjoint bands. Two
+  * fingerprints within Hamming distance d differ in at most d bands,
+  * so they agree EXACTLY on ≥ B − d bands; with B ≥ d + 1 they share
+  * at least one whole band, making the (band, band_value) equi-join
+  * recall-complete. Candidates are verified exactly (XOR + popcount),
+  * so band collisions cost time, never correctness.
+  *
+  * Scale: candidates per band bucket are |docs in bucket|² — band
+  * width is the knob (more bands → smaller buckets but looser
+  * pigeonhole; the default B = d + 2 matches q52's measured 4×8-bit
+  * split at d=2). A pair agreeing on several bands is verified that
+  * many times; the post-verify distinct dedupes the small surviving
+  * set instead of the much larger raw candidate stream. */
+object HammingJoin {
+
+  /** Pairs of `fp` (`idCol`, `fpCol`: integer fingerprint) with
+    * Hamming distance ≤ `maxDist`. Output: (id_a < id_b, hamming). */
+  def selfJoin(fp: DataFrame, idCol: String, fpCol: String, maxDist: Int,
+      bits: Int = 32, numBands: Int = 0): DataFrame = {
+    val s = fp.sparkSession
+    import s.implicits._
+    val b = if (numBands > 0) numBands else maxDist + 2
+    require(b > maxDist, s"need more bands ($b) than the distance ($maxDist)")
+    require(b <= bits, s"more bands ($b) than bits ($bits)")
+    val base = bits / b
+    // band i covers [i*base, i*base+width_i) with the last band taking
+    // the remainder — every bit in exactly one band
+    val specs = (0 until b).map { i =>
+      val width = if (i == b - 1) bits - i * base else base
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      s"named_struct('band', $i, 'bkey', shiftright(f, ${i * base}) & ${mask}L)"
+    }.mkString("array(", ", ", ")")
+    val bands = fp.select(col(idCol).as("id"), col(fpCol).as("f"))
+      .select($"id", $"f", explode(expr(specs)).as("bs"))
+      .select($"id", $"f", $"bs.band".as("band"), $"bs.bkey".as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey"
+          && $"a.id" < $"b.id")
+      .withColumn("hamming", bit_count(expr("a.f ^ b.f")))
+      .filter($"hamming" <= maxDist)
+      .select($"a.id".as(s"${idCol}_a"), $"b.id".as(s"${idCol}_b"), $"hamming")
+      .distinct()
+  }
+}

@@ -318,20 +318,14 @@ object LlmOps2 {
   // time, never correctness. A pair agreeing on several bands is
   // verified several times; the post-verify distinct dedupes the small
   // surviving set instead of the much larger raw candidate stream.
+  // (the banded join itself is the generalized operator — 4 bands × 8
+  // bits over the 32-bit fingerprint, exactly the measured split)
   def q52(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = simhashes(s, dir)
-    val bands = sh.select($"doc_id", $"simhash",
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bkey", expr("shiftright(simhash, CAST(band * 8 AS INT)) & 255"))
-    bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey"
-          && $"a.doc_id" < $"b.doc_id")
-      .withColumn("hamming",
-        bit_count(expr("a.simhash ^ b.simhash")))
-      .filter($"hamming" <= 2)
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"hamming")
-      .distinct()
+    graft.operators.HammingJoin.selfJoin(
+        simhashes(s, dir), "doc_id", "simhash", maxDist = 2, bits = 32,
+        numBands = 4)
+      .select($"doc_id_a".as("doc_a"), $"doc_id_b".as("doc_b"), $"hamming")
       .orderBy($"doc_a", $"doc_b")
   }
   val q52Sql: String =

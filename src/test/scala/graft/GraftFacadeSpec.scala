@@ -205,6 +205,11 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(hits == Set(("spark", "spark", 0), ("spark", "spork", 1),
       ("sprak", "spark", 2), ("sprak", "spork", 2)))
+    val ham = Graft.hammingNearDupPairs(
+      Seq((1L, 0b1011L), (2L, 0b1010L), (3L, 0b0101L)).toDF("id", "f"),
+      "id", "f", maxDist = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ham == Set((1L, 2L, 1)))
   }
 
   test("near-dup labels pipeline via the facade (materialize once)") {
