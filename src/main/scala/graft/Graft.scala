@@ -75,6 +75,15 @@ object Graft {
   def nearDupLabels(spark: SparkSession, dir: String): DataFrame =
     queries.LlmOps3.clusterLabels(spark, dir)
 
+  /** [[nearDupLabels]] over the caller's own `(doc_id, toks)` frame:
+    * contracted near-dup graph (identical-set groups collapse to
+    * representatives before any pair work) → connected components →
+    * membership rejoin. Labels are checkpoint-pinned like
+    * [[nearDupLabels]]'s. */
+  def nearDupLabelsFor(docsWithToks: DataFrame,
+      threshold: Double = 0.7): DataFrame =
+    queries.LlmOps3.clusterLabelsFor(docsWithToks, threshold)
+
   /** Cluster sizes from a [[nearDupLabels]] relation (q57 semantics). */
   def clusterSizes(spark: SparkSession, labels: DataFrame): DataFrame =
     queries.LlmOps3.q57From(spark, labels)

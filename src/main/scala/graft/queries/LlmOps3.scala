@@ -207,13 +207,22 @@ object LlmOps3 {
     // floor is the mask-group pair join itself (the same ~8M-comparison
     // non-equi compare q36 pays) plus one propagation round over the
     // 2.3M-edge rep graph.
-    val (membershipRaw, repEdges) = LlmOps.neardupGraph(
-      LlmOps.docTokens(s, dir))
+    clusterLabelsFor(LlmOps.docTokens(s, dir))
+  }
+
+  /** [[clusterLabels]] over an arbitrary `(doc_id, toks)` frame
+    * (facade: `Graft.nearDupLabelsFor`): contracted graph → connected
+    * components ([[graft.operators.ConnectedComponents]]: min-label +
+    * pointer jumping, per-round edge contraction, checkpointed
+    * lineage, broadcast label side under the node cap) → membership
+    * rejoin. */
+  def clusterLabelsFor(docsWithToks: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val s = docsWithToks.sparkSession
+    import s.implicits._
+    val (membershipRaw, repEdges) =
+      LlmOps.neardupGraph(docsWithToks, threshold)
     val membership = membershipRaw.persist()
-    // the propagation loop itself is the frame-shaped
-    // operators.ConnectedComponents (min-label + pointer jumping,
-    // per-round edge contraction, checkpointed lineage, broadcast label
-    // side under the node cap) — shared with any caller's graph
     val repLabels = graft.operators.ConnectedComponents.labels(
       membership.select($"rep".as("id")).distinct(),
       repEdges)

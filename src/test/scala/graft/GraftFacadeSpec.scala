@@ -218,6 +218,14 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sizes = Graft.clusterSizes(spark, labels)
     val kept = Graft.clusterCanonicals(spark, dir, labels)
     assert(sizes.count() > 0 && kept.count() > 0)
+    // the frame-shaped variant over the same docs produces the same labels
+    import org.apache.spark.sql.functions.{array_distinct, split}
+    import spark.implicits._
+    val docsWithToks = Tables(spark, dir, "documents")
+      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+    val labels2 = Graft.nearDupLabelsFor(docsWithToks)
+    assert(labels2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   // Graft.extensions (the installer function) is exercised end-to-end in
