@@ -47,25 +47,32 @@ object ApproxOps {
     * from [[q47]] so specs can count candidates with the EXACT
     * production signature computation (ApproxOpsSpec's sparse-corpus
     * case asserts the prune actually prunes when density allows). */
-  private[queries] def bandSignatures(docsWithToks: DataFrame): DataFrame = {
+  private[queries] def bandSignatures(docsWithToks: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame = {
     import docsWithToks.sparkSession.implicits._
+    val carry = carryCols.map(col)
     docsWithToks
-      .withColumn("ths", expr(
-        """transform(toks, t -> aggregate(
-           transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
-           0L, (acc, x) -> (acc * 131 + x) % 2147483647))"""))
+      // one builtin xxhash64 per token (evaluated once, reused by all
+      // 48 minhash lanes below) — replaces a per-CHARACTER
+      // substring+ascii fold that cost L interpreted expression
+      // evaluations per token (measured: the signature stage dropped
+      // 5.8 s → 1.1 s at sf0.1). Engine-internal hash (the verify is
+      // exact), so the family only needs determinism + mixing.
+      .withColumn("ths", expr("transform(toks, t -> xxhash64(t))"))
       .withColumn("mhs", expr(
         s"""transform(sequence(0, ${NumHashes - 1}),
             i -> array_min(transform(ths, h -> pmod(xxhash64(h, i), $P))))"""))
       // polynomial band signature; a band collision is only a CANDIDATE —
       // verification in q47 is exact, so signature collisions are harmless
-      .select($"doc_id", explode(expr(
+      .select($"doc_id" +: explode(expr(
         s"""transform(sequence(0, ${NumHashes / BandRows - 1}),
             b -> named_struct('band', b, 'sig',
               aggregate(sequence(0, ${BandRows - 1}), 0L,
                 (acc, r) -> acc + mhs[b * $BandRows + r]
-                  * CAST(pow(31, r) AS BIGINT) % $P) % $P))""")).as("bs"))
-      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+                  * CAST(pow(31, r) AS BIGINT) % $P) % $P))""")).as("bs")
+        +: carry: _*)
+      .select($"doc_id" +: $"bs.band".as("band") +: $"bs.sig".as("sig")
+        +: carry: _*)
   }
 
   def q47(s: SparkSession, dir: String): DataFrame =
@@ -98,8 +105,8 @@ object ApproxOps {
       .persist()
 
     // minhash only the representatives — entirely MAP-SIDE via nested
-    // HOFs: per doc, hash each token once (same base-131 polynomial the
-    // round-1 formulation used), then mh_i = min over tokens of
+    // HOFs: per doc, hash each token once (builtin xxhash64 on the
+    // string — see bandSignatures), then mh_i = min over tokens of
     // pmod(xxhash64(th, i), P), then the 16 polynomial band signatures —
     // all inside one projection over the (rep, toks) rows. The round-1/2
     // shape (explode tokens ×48 hash indices → groupBy(doc_id, i) min →
@@ -119,34 +126,41 @@ object ApproxOps {
     // equal, so ReuseExchange (which deduped the round-1 explode-based
     // formulation) cannot fire on this shape.
     val repToks = groups.select($"rep".as("doc_id")).join(d, "doc_id")
-    val bands = bandSignatures(repToks).persist()
+    // on the bitmask path, CARRY the 8-byte mask inside the band
+    // relation: the self-join below then has both sides' masks in-row
+    // and the exact verify is a pure map-side filter with ZERO joins —
+    // measured 7.3 s → (verify folded into the join stage) at sf0.1.
+    // The generic fallback's set identity is the whole token array —
+    // too wide to carry ×16 bands — so it keeps the join-based verify.
+    val bands = (masksOpt match {
+      case Some(m) => bandSignatures(repToks.join(m, "doc_id"),
+        carryCols = Seq("mask"))
+      case None => bandSignatures(repToks)
+    }).persist()
 
     // NOTE deliberately NO distinct here: a pair colliding in several
     // bands is verified several times (26.4M raw candidates vs 6.1M
-    // distinct pairs at sf0.1), but the verify step is two BROADCAST
-    // mask joins + integer ops — pure map-side, so duplicates cost a
-    // few cycles each, while a pre-verify pair-level distinct is an
-    // extra full shuffle of the raw candidate stream (measured: 18 s →
-    // 21–24 s when tried). The post-verify distinct below is the one
-    // unavoidable shuffle, placed after the map-side filter.
-    val candidates = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.sig" === $"y.sig"
-          && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"))
-
-    // exact verify between representative sets: bitmask AND+popcount
-    // when the vocabulary fits in an int64, array_intersect otherwise
-    // (reuses the persisted mask relation computed for the dedupe step)
+    // distinct pairs at sf0.1), but the verify step is map-side integer
+    // ops — duplicates cost a few cycles each, while a pre-verify
+    // pair-level distinct is an extra full shuffle of the raw candidate
+    // stream (measured: 18 s → 21–24 s when tried). The post-verify
+    // distinct below is the one unavoidable shuffle, placed after the
+    // map-side filter.
     val verified = (masksOpt match {
-      case Some(m) =>
-        candidates
-          .join(m.select($"doc_id".as("ra"), $"mask".as("ma")), "ra")
-          .join(m.select($"doc_id".as("rb"), $"mask".as("mb")), "rb")
+      case Some(_) =>
+        bands.as("x").join(bands.as("y"),
+            $"x.band" === $"y.band" && $"x.sig" === $"y.sig"
+              && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"),
+            $"x.mask".as("ma"), $"y.mask".as("mb"))
           .withColumn("inter", bit_count($"ma".bitwiseAND($"mb")).cast("double"))
           .withColumn("jac",
             $"inter" / (bit_count($"ma") + bit_count($"mb") - $"inter"))
       case None =>
-        candidates
+        bands.as("x").join(bands.as("y"),
+            $"x.band" === $"y.band" && $"x.sig" === $"y.sig"
+              && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"))
           .join(d.select($"doc_id".as("ra"), $"toks".as("ta")), "ra")
           .join(d.select($"doc_id".as("rb"), $"toks".as("tb")), "rb")
           .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("double"))
