@@ -78,6 +78,21 @@ object ApproxOps {
   def q47(s: SparkSession, dir: String): DataFrame =
     minhashNearDupPairs(LlmOps.docTokens(s, dir)) // shared token-set definition
 
+  /** `(doc_id, band, sig, mask)` rows for the STREAMING near-dup path
+    * (E09, [[graft.streaming.StreamingNearDup]]): the same band
+    * signatures and exact-verify bitmasks the batch pipeline uses,
+    * exploded per band. Bitmask-vocabulary corpora only (the
+    * streaming state holds one int64 per member). */
+  private[graft] def docSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = LlmOps.docTokens(s, dir)
+    val masks = LlmOps
+      .tokenBitmasks(d.select($"doc_id", explode($"toks").as("tok")))
+      .getOrElse(throw new IllegalStateException(
+        "streaming near-dup needs the int64 bitmask vocabulary regime"))
+    bandSignatures(d.join(masks, "doc_id"), carryCols = Seq("mask"))
+  }
+
   /** The frame-shaped core of [[q47]] — MinHash-LSH near-dup pairs over
     * any `(doc_id, toks)` frame (facade: `Graft.minHashNearDupPairs`).
     * Same plan as the driver-verified query: dedupe → map-side

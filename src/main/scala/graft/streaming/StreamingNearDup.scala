@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One banded MinHash signature row of a document (16 rows per doc:
+  * one per band), with its exact-verify bitmask. */
+case class DocSig(doc_id: Long, band: Int, sig: Long, mask: Long)
+
+/** An emitted near-dup match (doc_a < doc_b, exact jaccard). */
+case class NearDupMatch(doc_a: Long, doc_b: Long, jaccard: Double)
+
+/** E09: STREAMING near-dup detection — the ingest-time shape of q47's
+  * batch pipeline: every arriving document is checked against all
+  * previously seen documents and matches are emitted incrementally,
+  * without ever rescanning the corpus.
+  *
+  * Mechanics: documents arrive exploded into their 16 (band, sig)
+  * LSH keys (built by the same `ApproxOps.bandSignatures` the batch
+  * path uses); state per (band, sig) bucket is the list of
+  * (doc_id, bitmask) members; a new doc exact-verifies (AND+popcount
+  * jaccard — never approximate) against its bucket's members, emits
+  * the ≥ threshold matches, and joins the bucket. Banding recall is
+  * q47's: a true pair collides in ≥1 band w.h.p. (P ≈ 0.999 at
+  * s = 0.7 with 16×3 bands).
+  *
+  * Contract notes:
+  *  - the output is a pair MULTISET — a pair colliding in k bands is
+  *    emitted up to k times (bands share no state); the consumer
+  *    dedupes (e.g. a foreachBatch upsert keyed on the pair, exactly
+  *    like the batch path's single post-verify distinct). Specs
+  *    dedupe on collect.
+  *  - within a micro-batch, bucket members are processed in doc_id
+  *    order, so output is deterministic for a given batch split.
+  *  - state grows with DISTINCT (band, sig) membership — the corpus's
+  *    signature footprint, 16 rows of (id, mask) pairs per doc.
+  *    Production deployments bound it with an event-time TTL on bucket
+  *    entries (drop-off of stale corpora) exactly as
+  *    [[EventStreams.latestKeyStateTtl]] does for CDC keys.
+  *  - batch mode processes each bucket once with empty initial state,
+  *    so the same code is its own batch twin: it reproduces the
+  *    candidates+verify core of `ApproxOps.q47` (asserted in
+  *    StreamingNearDupSpec against exact q36 pairs).
+  */
+object StreamingNearDup {
+
+  def matches(sigs: Dataset[DocSig],
+      threshold: Double = 0.7): Dataset[NearDupMatch] = {
+    import sigs.sparkSession.implicits._
+    sigs.groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState[List[(Long, Long)], NearDupMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[List[(Long, Long)]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupMatch]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            members.foreach { case (id0, m0) =>
+              if (id0 != d.doc_id) {
+                val inter = java.lang.Long.bitCount(m0 & d.mask).toDouble
+                val union = java.lang.Long.bitCount(m0) +
+                  java.lang.Long.bitCount(d.mask) - inter
+                val jac = if (union == 0) 1.0 else inter / union
+                if (jac >= threshold) {
+                  out += NearDupMatch(math.min(id0, d.doc_id),
+                    math.max(id0, d.doc_id),
+                    math.round(jac * 1e6) / 1e6)
+                }
+              }
+            }
+            members ::= (d.doc_id, d.mask)
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+}
