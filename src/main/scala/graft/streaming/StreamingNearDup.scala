@@ -1,11 +1,18 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One banded MinHash signature row of a document (16 rows per doc:
   * one per band), with its exact-verify bitmask. */
 case class DocSig(doc_id: Long, band: Int, sig: Long, mask: Long)
+
+/** [[DocSig]] plus the event-time column the TTL variant keys bucket
+  * retirement on. */
+case class TimedDocSig(doc_id: Long, band: Int, sig: Long, mask: Long,
+    ts: Timestamp)
 
 /** An emitted near-dup match (doc_a < doc_b, exact jaccard). */
 case class NearDupMatch(doc_a: Long, doc_b: Long, jaccard: Double)
@@ -71,6 +78,62 @@ object StreamingNearDup {
           }
           state.update(members)
           out.iterator
+      }
+  }
+
+  /** [[matches]] with event-time TTL on bucket ENTRIES: a document
+    * unseen for `ttlMinutes` of event time stops matching (its bucket
+    * entries are pruned as the watermark passes ts + TTL), and fully
+    * idle buckets are removed on timeout — state tracks the LIVE
+    * corpus window, not everything ever ingested. The dedup policy
+    * this implements is the standard sliding-window one: "drop a doc
+    * only if it near-duplicates something seen in the last T". */
+  def matchesTtl(sigs: Dataset[TimedDocSig], ttlMinutes: Int = 60,
+      watermarkDelay: String = "10 minutes",
+      threshold: Double = 0.7): Dataset[NearDupMatch] = {
+    import sigs.sparkSession.implicits._
+    val ttlMs = ttlMinutes * 60L * 1000L
+    sigs.withWatermark("ts", watermarkDelay)
+      .groupByKey(d => (d.band, d.sig))
+      .flatMapGroupsWithState[List[(Long, Long, Long)], NearDupMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val cutoff = wm - ttlMs
+          // prune expired entries on EVERY visit, not just timeouts
+          var members = state.getOption.getOrElse(Nil)
+            .filter(_._3 >= cutoff)
+          if (!rows.hasNext && state.hasTimedOut) {
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(members)
+              state.setTimeoutTimestamp(
+                math.max(members.map(_._3).max + ttlMs, wm + 1))
+            }
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[NearDupMatch]
+            rows.toSeq.sortBy(_.doc_id).foreach { d =>
+              members.foreach { case (id0, m0, _) =>
+                if (id0 != d.doc_id) {
+                  val inter = java.lang.Long.bitCount(m0 & d.mask).toDouble
+                  val union = java.lang.Long.bitCount(m0) +
+                    java.lang.Long.bitCount(d.mask) - inter
+                  val jac = if (union == 0) 1.0 else inter / union
+                  if (jac >= threshold) {
+                    out += NearDupMatch(math.min(id0, d.doc_id),
+                      math.max(id0, d.doc_id),
+                      math.round(jac * 1e6) / 1e6)
+                  }
+                }
+              }
+              members ::= ((d.doc_id, d.mask, d.ts.getTime))
+            }
+            state.update(members)
+            state.setTimeoutTimestamp(
+              math.max(members.map(_._3).max + ttlMs, wm + 1))
+            out.iterator
+          }
       }
   }
 }

@@ -72,4 +72,40 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val buckets = sigRows.map(s => (s.band, s.sig)).distinct.size
     assert(stateRows == buckets, s"$stateRows state rows vs $buckets buckets")
   }
+
+  test("E09-TTL: expired corpus entries stop matching; live window still does") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // synthetic signatures: docs sharing (band 0, sig 42) with identical
+    // masks are jac-1 near-dups; the operator only sees sigs+masks
+    def ds(id: Long, t: String, mask: Long = 0xF0F0L) =
+      TimedDocSig(id, 0, 42L, mask, java.sql.Timestamp.valueOf(t))
+    val mem = MemoryStream[TimedDocSig]
+    val q = StreamingNearDup
+      .matchesTtl(mem.toDS(), ttlMinutes = 30, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("e09ttl")
+      .outputMode(OutputMode.Append()).start()
+    def pairs: Set[(Long, Long)] = spark.table("e09ttl")
+      .as[NearDupMatch].collect().map(m => (m.doc_a, m.doc_b)).toSet
+
+    // doc 1 enters at 12:00; doc 2 (dup) at 12:10 — inside the window
+    mem.addData(ds(1, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    mem.addData(ds(2, "2024-01-01 12:10:00"))
+    q.processAllAvailable()
+    assert(pairs == Set((1L, 2L)))
+    // advance event time far past both entries' TTLs (watermark 13:55)
+    mem.addData(ds(90, "2024-01-01 14:00:00", mask = 0x0F0FL))
+    q.processAllAvailable()
+    // doc 3: same signature and mask as 1 and 2 — but they are expired:
+    // no resurrected matches, only future ones
+    mem.addData(ds(3, "2024-01-01 14:05:00"))
+    q.processAllAvailable()
+    assert(pairs == Set((1L, 2L)), s"expired entries matched: $pairs")
+    // a FRESH dup inside doc 3's window still matches
+    mem.addData(ds(4, "2024-01-01 14:10:00"))
+    q.processAllAvailable()
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    q.stop()
+  }
 }
