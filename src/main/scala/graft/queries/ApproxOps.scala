@@ -33,31 +33,41 @@ object ApproxOps {
   private val NumHashes = 48
   private val BandRows = 3 // → 16 bands; P(candidate|s=0.7) ≈ 0.999
 
-  /** Q47 ≈: near-dup pairs via the full 100 TB pipeline shape:
-    * exact-dedupe token sets first (distinct-set representatives), run
-    * banded MinHash over representatives only, verify candidates
-    * exactly, then expand back to document pairs (identical-set groups
-    * contribute their jaccard=1 pairs directly). On this corpus the
-    * dedupe step alone removes ~20% of the LSH input; at real scale it
-    * is the difference between hashing every copy of a boilerplate page
-    * and hashing it once. */
   /** MinHash band signatures `(doc_id, band, sig)` over a
     * `(doc_id, toks)` frame — the LSH candidate key: two docs are a
     * candidate pair iff they share a `(band, sig)` value. Extracted
     * from [[q47]] so specs can count candidates with the EXACT
     * production signature computation (ApproxOpsSpec's sparse-corpus
     * case asserts the prune actually prunes when density allows). */
-  private[queries] def bandSignatures(docsWithToks: DataFrame,
+  private[graft] def bandSignatures(docsWithToks: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    import docsWithToks.sparkSession.implicits._
+    val carry = carryCols.map(col)
+    // fused codegen Expression (functions.MinHashBands): one two-level
+    // loop per row inside whole-stage codegen, bit-equal to the HOF
+    // chain below (MinHashBandsSpec) — the HOF plumbing allocated 48
+    // intermediate arrays per row through interpreted lambdas.
+    docsWithToks
+      .withColumn("sigs", graft.functions.MinHashBands
+        .minhashBands($"toks", NumHashes, BandRows))
+      .select(($"doc_id" +: carry) :+ posexplode($"sigs"): _*)
+      .select($"doc_id" +: $"pos".as("band") +: $"col".as("sig")
+        +: carry: _*)
+  }
+
+  /** The declarative HOF reference for [[bandSignatures]] — kept as
+    * the readable specification of the signature scheme and as the
+    * equality oracle for the fused Expression. Token hash = builtin
+    * `xxhash64(t)` (one per token, reused by all 48 lanes — replaced a
+    * per-character substring+ascii fold, 5.8 s → 1.1 s at sf0.1;
+    * engine-internal hash, the verify stays exact); lane i =
+    * min over tokens of `pmod(xxhash64(th, i), P)`; 16 base-31
+    * polynomial band signatures. */
+  private[graft] def bandSignaturesHof(docsWithToks: DataFrame,
       carryCols: Seq[String] = Nil): DataFrame = {
     import docsWithToks.sparkSession.implicits._
     val carry = carryCols.map(col)
     docsWithToks
-      // one builtin xxhash64 per token (evaluated once, reused by all
-      // 48 minhash lanes below) — replaces a per-CHARACTER
-      // substring+ascii fold that cost L interpreted expression
-      // evaluations per token (measured: the signature stage dropped
-      // 5.8 s → 1.1 s at sf0.1). Engine-internal hash (the verify is
-      // exact), so the family only needs determinism + mixing.
       .withColumn("ths", expr("transform(toks, t -> xxhash64(t))"))
       .withColumn("mhs", expr(
         s"""transform(sequence(0, ${NumHashes - 1}),
@@ -75,6 +85,14 @@ object ApproxOps {
         +: carry: _*)
   }
 
+  /** Q47 ≈: near-dup pairs via the full 100 TB pipeline shape:
+    * exact-dedupe token sets first (distinct-set representatives), run
+    * banded MinHash over representatives only, verify candidates
+    * exactly, then expand back to document pairs (identical-set groups
+    * contribute their jaccard=1 pairs directly). On this corpus the
+    * dedupe step alone removes ~20% of the LSH input; at real scale it
+    * is the difference between hashing every copy of a boilerplate page
+    * and hashing it once. */
   def q47(s: SparkSession, dir: String): DataFrame =
     minhashNearDupPairs(LlmOps.docTokens(s, dir)) // shared token-set definition
 
