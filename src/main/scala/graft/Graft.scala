@@ -22,6 +22,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * // 3. scale operators:
   * Graft.topKPerGroup(scored, 10, Seq("query_id"),
   *   Seq(Graft.Order("score", desc = true)))
+  *
+  * // 4. the LLM-data-pipeline families (each frame-shaped, each with
+  * //    100 TB notes on its method):
+  * Graft.dedupPipeline(docs, "doc_id", "text")          // exact→near→canonical
+  * Graft.minHashNearDupPairs(docsWithToks)              // LSH scale path
+  * Graft.fuzzySelfJoin(keys, "name", maxDist = 2)       // edit-distance join
+  * Graft.applyChanges(base, changes, "key")             // CDC merge
+  * Graft.intervalJoin(windows, points, "s", "e", "ts")  // no-equi-key join
+  * Graft.buildIvfIndex(emb, "/idx"); Graft.queryIvfIndex(spark, "/idx", q)
   * }}}
   */
 object Graft {
