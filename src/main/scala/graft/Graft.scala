@@ -227,6 +227,15 @@ object Graft {
     operators.IntervalJoin.pointInInterval(
       intervals, points, startCol, endCol, pointCol)
 
+  /** Interval×interval OVERLAP join without a theta join: both sides
+    * explode onto a shared derived grid; a pair is emitted exactly
+    * once, from the bin containing `max(start_a, start_b)` (which both
+    * intervals provably cover). See
+    * [[operators.IntervalJoin.intervalOverlap]]. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String): DataFrame =
+    operators.IntervalJoin.intervalOverlap(a, b, aStart, aEnd, bStart, bEnd)
+
   /** Resample observations onto a dense per-`unit` grid with
     * last-observation-carried-forward (NULL before a key's first
     * observation). The fill window runs over the calendar-sized spine,

@@ -112,4 +112,51 @@ object IntervalJoin {
           pSide(pointCol) < wSide(endCol))
       .drop("__level", "__width", "__bin", "__plevel", "__pwidth", "__pbin")
   }
+
+  /** All (a, b) pairs whose half-open intervals OVERLAP
+    * (`aStart < bEnd && bStart < aEnd`) — the interval×interval
+    * sibling of [[pointInInterval]], again without a theta join.
+    *
+    * Lemma: two overlapping intervals BOTH cover the time bin
+    * containing `max(aStart, bStart)` (that instant lies in both), so
+    * an equi-join on covered-bin ids is recall-complete for ANY bin
+    * width. Duplicate-freeness comes from the responsibility
+    * predicate: a pair is emitted only from that one bin
+    * (`bin == floor(max(aStart, bStart) / W)`) — no post-dedup
+    * shuffle. The residual overlap predicate only discards.
+    *
+    * Cost: each interval explodes onto `len/W + 1` bins, so W is
+    * derived from the MEDIAN length of the longer-median side
+    * (balanced explode on typical rows; a long-tail interval explodes
+    * proportionally to its own length — at 100 TB that is the knob to
+    * revisit with a two-level scheme if tails dominate). Inputs must
+    * have disjoint column names. */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      binWidth: Option[Long] = None): DataFrame = {
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "interval frames' column names must be disjoint (alias before joining)")
+    def medianLen(df: DataFrame, s: String, e: String): Long = {
+      val row = df.select((col(e) - col(s)).cast("long").as("len"))
+        .agg(expr("approx_percentile(len, 0.5, 1000)")).head()
+      if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+    }
+    // one shared grid (the lemma needs it); width = the larger median
+    // so BOTH sides' typical rows land on ~1-2 bins
+    val w = binWidth.getOrElse(
+      math.max(medianLen(a, aStart, aEnd), medianLen(b, bStart, bEnd)))
+    val aSide = a.withColumn("__abin", explode(sequence(
+      expr(binExpr(aStart, s"${w}L")),
+      expr(binExpr(s"($aEnd - 1)", s"${w}L")))))
+    val bSide = b.withColumn("__bbin", explode(sequence(
+      expr(binExpr(bStart, s"${w}L")),
+      expr(binExpr(s"($bEnd - 1)", s"${w}L")))))
+    aSide.join(bSide,
+        aSide("__abin") === bSide("__bbin") &&
+          aSide(aStart) < bSide(bEnd) && bSide(bStart) < aSide(aEnd) &&
+          // responsibility bin: emit each pair exactly once
+          aSide("__abin") === expr(
+            binExpr(s"greatest($aStart, $bStart)", s"${w}L")))
+      .drop("__abin", "__bbin")
+  }
 }

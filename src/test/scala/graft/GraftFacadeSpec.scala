@@ -144,6 +144,12 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("w_id", "p_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L)))
+    val shifts = Seq((7L, 120L, 500L)).toDF("s_id", "s_s", "s_e")
+    val overlaps = Graft.intervalOverlapJoin(intervals, shifts,
+        "w_start", "w_end", "s_s", "s_e")
+      .select("w_id", "s_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(overlaps.sorted == Seq((1L, 7L), (2L, 7L))) // once each, no dups
   }
 
   test("LOCF resample via the facade fills gaps and leaves leading nulls") {

@@ -101,6 +101,47 @@ class IntervalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("interval-overlap join == theta oracle, duplicate-free, no BNL") {
+    import spark.implicits._
+    for (seed <- 0 until 8) {
+      val rng = new scala.util.Random(100 + seed)
+      val span = 2000
+      val as = (0 until 80).map { i =>
+        val s = rng.nextInt(span).toLong
+        (i.toLong, s, s + 1 + rng.nextInt(1 + rng.nextInt(600)))
+      }
+      val bs = (0 until 120).map { j =>
+        val s = rng.nextInt(span).toLong
+        (j.toLong, s, s + 1 + rng.nextInt(1 + rng.nextInt(300)))
+      }
+      val got = IntervalJoin.intervalOverlap(
+          as.toDF("a_id", "a_s", "a_e"), bs.toDF("b_id", "b_s", "b_e"),
+          "a_s", "a_e", "b_s", "b_e")
+        .select($"a_id", $"b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = for {
+        (ai, s1, e1) <- as; (bi, s2, e2) <- bs if s1 < e2 && s2 < e1
+      } yield (ai, bi)
+      // Seq equality after sort: a responsibility-bin bug would show as
+      // duplicates, not just set mismatch
+      assert(got.sorted == want.sorted, s"seed $seed")
+    }
+    // boundary: half-open — touching intervals do not overlap
+    val a1 = Seq((1L, 0L, 10L)).toDF("a_id", "a_s", "a_e")
+    val b1 = Seq((1L, 10L, 20L), (2L, 9L, 11L)).toDF("b_id", "b_s", "b_e")
+    val touch = IntervalJoin.intervalOverlap(
+        a1, b1, "a_s", "a_e", "b_s", "b_e")
+      .select($"b_id").collect().map(_.getLong(0)).toSeq
+    assert(touch == Seq(2L))
+    // and the plan stays an equi join
+    val plan = IntervalJoin.intervalOverlap(
+        a1, b1, "a_s", "a_e", "b_s", "b_e")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("hierarchy cap coarsens the base instead of dropping coverage") {
     import spark.implicits._
     // max/median = 1024× would need 11 levels; cap at 4 must still fit
