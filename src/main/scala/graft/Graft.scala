@@ -244,6 +244,16 @@ object Graft {
       valueCol: String, unit: String = "hour"): DataFrame =
     operators.Resample.resampleLocf(df, keyCol, tsCol, valueCol, unit)
 
+  /** One-pass column profiling (rows/nulls/distinct/min/max per
+    * column) — exact counts; see [[operators.Profiler]]. At 100 TB use
+    * [[profileApprox]] (HLL distinct — no Expand, mergeable partials). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    operators.Profiler.profile(df, cols)
+
+  /** [[profile]] with sketch-based distinct counts. */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    operators.Profiler.profileApprox(df, cols)
+
   // ---- columnar functions ---------------------------------------------
 
   /** Codegen cosine similarity between two ARRAY&lt;DOUBLE&gt; columns. */

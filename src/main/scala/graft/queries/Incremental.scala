@@ -385,6 +385,32 @@ object Incremental {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
       |FROM grid ORDER BY hour, event_type""".stripMargin
 
+  // ---- Q100: one-pass column profiling -------------------------------
+  // The data-quality sweep through the general operator
+  // ([[graft.operators.Profiler]]): row/null/distinct counts per column
+  // from ONE aggregation pass. min/max are engine-side only (cross-
+  // engine number formatting differs) — the driver-verified projection
+  // is the formatting-free counts.
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Profiler
+      .profile(Tables(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+      .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct")
+      .orderBy($"col_name")
+  }
+  val q100Sql: String =
+    """SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+      |  COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+      |  COUNT(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+      |UNION ALL SELECT 'l_quantity', COUNT(*),
+      |  COUNT(*) - COUNT(l_quantity), COUNT(DISTINCT l_quantity) FROM lineitem
+      |UNION ALL SELECT 'l_returnflag', COUNT(*),
+      |  COUNT(*) - COUNT(l_returnflag), COUNT(DISTINCT l_returnflag) FROM lineitem
+      |UNION ALL SELECT 'l_shipdate', COUNT(*),
+      |  COUNT(*) - COUNT(l_shipdate), COUNT(DISTINCT l_shipdate) FROM lineitem
+      |ORDER BY col_name""".stripMargin
+
   // ---- x15: mergeable HLL sketches (two-level union) -----------------
   // The scale path for Q14/Q15-style distinct counts when a single agg
   // pass is not possible (per-shard jobs, incremental refresh):
