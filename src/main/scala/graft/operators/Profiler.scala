@@ -40,13 +40,17 @@ object Profiler {
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    // ONE pass; the reshape below projects this single row per column,
-    // so pin it (eager checkpoint of one row — metadata-sized)
-    val row = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
-    cols.map { c =>
-      row.select(lit(c).as("col_name"), col("__n").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_str"), col(s"__max_$c").as("max_str"))
-    }.reduce(_.unionAll(_)).orderBy(col("col_name"))
+    // ONE pass, ONE plan: the stack() generator reshapes the single
+    // aggregated row to a row per column inside the same projection —
+    // no checkpoint, no union of |cols| re-reads of the aggregate
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `__nulls_$c`, `__nd_$c`, `__min_$c`, `__max_$c`").mkString(", ")
+    row.select(col("__n").as("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_str, max_str)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
   }
 }
