@@ -155,10 +155,13 @@ object Graft {
     * 100 TB scale path (q47's driver-verified plan: dedupe identical
     * sets → map-side zero-shuffle signatures over representatives →
     * banded self-join → broadcast exact verify → ONE post-verify
-    * shuffle). 16 bands × 3 minhashes: P(candidate) ≈ 0.999 at
-    * jaccard 0.7; candidates are verified exactly, so band collisions
-    * cost time, never correctness. Same output contract as
-    * [[nearDupPairs]] (recall spec'd ≥ 0.95, exact on sparse corpora). */
+    * shuffle). The band shape is derived from `threshold` over a fixed
+    * 48-hash budget (16 × 3 at the default 0.7, where P(candidate) ≈
+    * 0.999 at jaccard 0.7; wider bands at lower thresholds) so the
+    * candidate-recall design point moves with the request; candidates
+    * are verified exactly, so band collisions cost time, never
+    * correctness. Same output contract as [[nearDupPairs]] (recall
+    * spec'd ≥ 0.95, exact on sparse corpora). */
   def minHashNearDupPairs(docsWithToks: DataFrame,
       threshold: Double = 0.7): DataFrame =
     queries.ApproxOps.minhashNearDupPairs(docsWithToks, threshold)
@@ -250,7 +253,9 @@ object Graft {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =
     operators.Profiler.profile(df, cols)
 
-  /** [[profile]] with sketch-based distinct counts. */
+  /** [[profile]] with sketch-based distinct counts plus `p50`/`p95`
+    * sketch percentiles for numeric columns (mergeable positional
+    * sketch — still one constant-state aggregation pass). */
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     operators.Profiler.profileApprox(df, cols)
 

@@ -36,15 +36,19 @@ object Cdc {
       .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol)).as("__c"))
       .select(col(keyCol).as("__k") +: col(s"__c.$opCol").as("__op") +:
         payload.map(p => col(s"__c.$p").as(s"__n_$p")): _*)
-    val joined = base.join(latest, base(keyCol) === latest("__k"), "full_outer")
+    // Base-side presence is detected via a sentinel, not key nullness: a
+    // NULL-keyed base row never matches the join but must survive untouched,
+    // not be misread as an insert with a null payload.
+    val baseT = base.withColumn("__b", lit(true))
+    val joined = baseT.join(latest, baseT(keyCol) === latest("__k"), "full_outer")
     val baseOnly = base.columns.toSeq.filterNot(payload.contains)
       .filterNot(_ == keyCol)
     joined.filter(coalesce(col("__op"), lit("")) =!= "D")
-      .select(coalesce(base(keyCol), col("__k")).as(keyCol) +:
+      .select(coalesce(baseT(keyCol), col("__k")).as(keyCol) +:
         (payload.map { p =>
-          when(base(keyCol).isNull, col(s"__n_$p"))               // insert
-            .when(col("__op").isNotNull, coalesce(col(s"__n_$p"), base(p)))
-            .otherwise(base(p)).as(p)                             // untouched
-        } ++ baseOnly.map(c => base(c).as(c))): _*)
+          when(col("__b").isNull, col(s"__n_$p"))                 // insert
+            .when(col("__op").isNotNull, coalesce(col(s"__n_$p"), baseT(p)))
+            .otherwise(baseT(p)).as(p)                            // untouched
+        } ++ baseOnly.map(c => baseT(c).as(c))): _*)
   }
 }

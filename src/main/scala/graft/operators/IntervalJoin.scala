@@ -55,6 +55,7 @@ object IntervalJoin {
       endCol: String, maxLevels: Int = 6): Hierarchy = {
     val lens = intervals
       .select((col(endCol) - col(startCol)).cast("long").as("len"))
+      .filter(col("len") > 0) // malformed rows must not skew the stats
     // ONE driver action for both stats (exact max + sketch median) —
     // the derivation is on the per-query path, so a second job for the
     // quantile would double its cost for nothing
@@ -95,7 +96,13 @@ object IntervalJoin {
         lit(h.levels - 1): org.apache.spark.sql.Column) { (l, rest) =>
       when(col(endCol) - col(startCol) <= h.width(l), l).otherwise(rest)
     }
+    // Malformed intervals (end ≤ start) contain no instants, so dropping
+    // them is semantics-preserving — and necessary: explode(sequence(s, e))
+    // with e < s yields a DESCENDING sequence (Spark defaults step to −1),
+    // so one corrupt row would fan out onto |start−end|/W bins and blow up
+    // the stage even though the residual predicate discards every pair.
     val wSide = intervals
+      .filter(col(endCol) > col(startCol))
       .withColumn("__level", levelCol)
       .withColumn("__width", expr(s"shiftleft(${h.baseWidth}L, __level)"))
       .withColumn("__bin", explode(sequence(
@@ -138,6 +145,7 @@ object IntervalJoin {
       "interval frames' column names must be disjoint (alias before joining)")
     def medianLen(df: DataFrame, s: String, e: String): Long = {
       val row = df.select((col(e) - col(s)).cast("long").as("len"))
+        .filter(col("len") > 0) // malformed rows must not skew the stats
         .agg(expr("approx_percentile(len, 0.5, 1000)")).head()
       if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
     }
@@ -145,12 +153,18 @@ object IntervalJoin {
     // so BOTH sides' typical rows land on ~1-2 bins
     val w = binWidth.getOrElse(
       math.max(medianLen(a, aStart, aEnd), medianLen(b, bStart, bEnd)))
-    val aSide = a.withColumn("__abin", explode(sequence(
-      expr(binExpr(aStart, s"${w}L")),
-      expr(binExpr(s"($aEnd - 1)", s"${w}L")))))
-    val bSide = b.withColumn("__bbin", explode(sequence(
-      expr(binExpr(bStart, s"${w}L")),
-      expr(binExpr(s"($bEnd - 1)", s"${w}L")))))
+    // drop malformed (empty) intervals BEFORE the explode — with
+    // end ≤ start the sequence() is descending (default step −1) and one
+    // corrupt row fans out onto |start−end|/W bins; an empty interval
+    // overlaps nothing, so the filter is semantics-preserving
+    val aSide = a.filter(col(aEnd) > col(aStart))
+      .withColumn("__abin", explode(sequence(
+        expr(binExpr(aStart, s"${w}L")),
+        expr(binExpr(s"($aEnd - 1)", s"${w}L")))))
+    val bSide = b.filter(col(bEnd) > col(bStart))
+      .withColumn("__bbin", explode(sequence(
+        expr(binExpr(bStart, s"${w}L")),
+        expr(binExpr(s"($bEnd - 1)", s"${w}L")))))
     aSide.join(bSide,
         aSide("__abin") === bSide("__bbin") &&
           aSide(aStart) < bSide(bEnd) && bSide(bStart) < aSide(aEnd) &&

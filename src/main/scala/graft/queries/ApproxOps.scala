@@ -33,6 +33,23 @@ object ApproxOps {
   private val NumHashes = 48
   private val BandRows = 3 // → 16 bands; P(candidate|s=0.7) ≈ 0.999
 
+  /** Band shape for a requested similarity threshold, at the fixed
+    * NumHashes=48 budget: the LARGEST rows-per-band r (dividing 48)
+    * whose theoretical candidate probability at s = threshold,
+    * `1 − (1 − s^r)^(48/r)`, stays ≥ 0.98 — i.e. the most selective
+    * banding that still meets the recall design point. At the default
+    * 0.7 this derives exactly the measured 16-band × 3-row scheme; at
+    * e.g. 0.4 it derives 24 × 2 (the 16 × 3 scheme's candidate recall
+    * at s=0.4 would be ~0.65 — the silent-recall-drop ADVICE r4 flagged). */
+  private[graft] def bandRowsFor(threshold: Double): Int = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"similarity threshold must be in (0, 1]: $threshold")
+    val divisors = Seq(16, 12, 8, 6, 4, 3, 2, 1) // descending r, each divides 48
+    divisors.find { r =>
+      1.0 - math.pow(1.0 - math.pow(threshold, r), NumHashes.toDouble / r) >= 0.98
+    }.getOrElse(1)
+  }
+
   /** MinHash band signatures `(doc_id, band, sig)` over a
     * `(doc_id, toks)` frame — the LSH candidate key: two docs are a
     * candidate pair iff they share a `(band, sig)` value. Extracted
@@ -40,7 +57,7 @@ object ApproxOps {
     * production signature computation (ApproxOpsSpec's sparse-corpus
     * case asserts the prune actually prunes when density allows). */
   private[graft] def bandSignatures(docsWithToks: DataFrame,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil, bandRows: Int = BandRows): DataFrame = {
     import docsWithToks.sparkSession.implicits._
     val carry = carryCols.map(col)
     // fused codegen Expression (functions.MinHashBands): one two-level
@@ -49,7 +66,7 @@ object ApproxOps {
     // intermediate arrays per row through interpreted lambdas.
     docsWithToks
       .withColumn("sigs", graft.functions.MinHashBands
-        .minhashBands($"toks", NumHashes, BandRows))
+        .minhashBands($"toks", NumHashes, bandRows))
       .select(($"doc_id" +: carry) :+ posexplode($"sigs"): _*)
       .select($"doc_id" +: $"pos".as("band") +: $"col".as("sig")
         +: carry: _*)
@@ -64,7 +81,7 @@ object ApproxOps {
     * min over tokens of `pmod(xxhash64(th, i), P)`; 16 base-31
     * polynomial band signatures. */
   private[graft] def bandSignaturesHof(docsWithToks: DataFrame,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil, bandRows: Int = BandRows): DataFrame = {
     import docsWithToks.sparkSession.implicits._
     val carry = carryCols.map(col)
     docsWithToks
@@ -75,10 +92,10 @@ object ApproxOps {
       // polynomial band signature; a band collision is only a CANDIDATE —
       // verification in q47 is exact, so signature collisions are harmless
       .select($"doc_id" +: explode(expr(
-        s"""transform(sequence(0, ${NumHashes / BandRows - 1}),
+        s"""transform(sequence(0, ${NumHashes / bandRows - 1}),
             b -> named_struct('band', b, 'sig',
-              aggregate(sequence(0, ${BandRows - 1}), 0L,
-                (acc, r) -> acc + mhs[b * $BandRows + r]
+              aggregate(sequence(0, ${bandRows - 1}), 0L,
+                (acc, r) -> acc + mhs[b * $bandRows + r]
                   * CAST(pow(31, r) AS BIGINT) % $P) % $P))""")).as("bs")
         +: carry: _*)
       .select($"doc_id" +: $"bs.band".as("band") +: $"bs.sig".as("sig")
@@ -115,11 +132,15 @@ object ApproxOps {
     * any `(doc_id, toks)` frame (facade: `Graft.minHashNearDupPairs`).
     * Same plan as the driver-verified query: dedupe → map-side
     * signatures over representatives → banded self-join → broadcast
-    * exact verify → one post-verify distinct shuffle → expand. */
+    * exact verify → one post-verify distinct shuffle → expand.
+    * The band shape is DERIVED from `threshold` ([[bandRowsFor]]) so
+    * the candidate-recall design point (≥ 0.98 theoretical) moves with
+    * the request instead of silently degrading below the 0.7 tuning. */
   private[graft] def minhashNearDupPairs(docsWithToks: DataFrame,
       threshold: Double = 0.7): DataFrame = {
     val s = docsWithToks.sparkSession
     import s.implicits._
+    val bandRows = bandRowsFor(threshold)
     val d = docsWithToks.select($"doc_id", $"toks")
     val tok = d.select($"doc_id", explode($"toks").as("tok"))
 
@@ -167,8 +188,8 @@ object ApproxOps {
     // too wide to carry ×16 bands — so it keeps the join-based verify.
     val bands = (masksOpt match {
       case Some(m) => bandSignatures(repToks.join(m, "doc_id"),
-        carryCols = Seq("mask"))
-      case None => bandSignatures(repToks)
+        carryCols = Seq("mask"), bandRows = bandRows)
+      case None => bandSignatures(repToks, bandRows = bandRows)
     }).persist()
 
     // NOTE deliberately NO distinct here: a pair colliding in several

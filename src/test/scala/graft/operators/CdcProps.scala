@@ -67,4 +67,26 @@ class CdcProps extends AnyFunSuite with BeforeAndAfterAll {
         s"trial $trial\nbase=$base\nchanges=$changes\ngot=$got\nwant=$want")
     }
   }
+
+  test("NULL-keyed base rows survive untouched (not misread as inserts)") {
+    import spark.implicits._
+    // ADVICE r4: presence was detected via base(key).isNull after the
+    // full-outer join, so a NULL-keyed base row (which never joins) was
+    // classified as an insert and its payload silently wiped to the
+    // (null) change-side values. The sentinel-column fix keeps it intact.
+    val base = Seq((Option(1L), "x", 1.0), (Option.empty[Long], "keepme", 2.0))
+      .toDF("k", "a", "b")
+    val changes = Seq(
+      (1L, "U", Option("y"), Option.empty[Double], 1L),
+      (5L, "I", Option("new"), Option(9.0), 1L)).toDF("k", "op", "a", "b", "seq")
+    val got = Cdc.applyChanges(base, changes, "k").collect()
+    assert(got.length == 3)
+    val nullKeyed = got.find(_.isNullAt(got.head.fieldIndex("k"))).get
+    assert(nullKeyed.getAs[String]("a") == "keepme")
+    assert(nullKeyed.getAs[Double]("b") == 2.0)
+    val updated = got.find(r => !r.isNullAt(0) && r.getAs[Long]("k") == 1L).get
+    assert(updated.getAs[String]("a") == "y" && updated.getAs[Double]("b") == 1.0)
+    val inserted = got.find(r => !r.isNullAt(0) && r.getAs[Long]("k") == 5L).get
+    assert(inserted.getAs[String]("a") == "new" && inserted.getAs[Double]("b") == 9.0)
+  }
 }

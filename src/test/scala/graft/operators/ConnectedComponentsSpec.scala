@@ -71,4 +71,23 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(3L -> 3L, 5L -> 5L, 9L -> 9L))
   }
+
+  test("non-convergence throw does not leak the persisted edge relation") {
+    import spark.implicits._
+    // ADVICE r4: unpersist ran only on the success path, so the
+    // IllegalStateException left the symmetrized edges cached for the
+    // life of the session. Force the throw with an impossible cap. The
+    // observable is the DataFrame cache manager: only the edges
+    // `.persist()` registers there (the per-round localCheckpoint RDDs
+    // are context-cleaner-owned and out of scope for this guarantee).
+    assert(spark.sharedState.cacheManager.isEmpty)
+    intercept[IllegalStateException] {
+      ConnectedComponents.labels(
+        (0L until 10L).toDF("id"),
+        (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst"),
+        maxIters = 1)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "non-convergence leaked the persisted edge relation")
+  }
 }

@@ -142,6 +142,35 @@ class IntervalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("malformed intervals (end <= start) are dropped, never exploded") {
+    import spark.implicits._
+    // ADVICE r4: sequence(bin(start), bin(end-1)) with end <= start is
+    // DESCENDING (default step −1), so one corrupt row used to fan out
+    // onto |start−end|/W bins. An empty interval contains no instants,
+    // so the guard filter is semantics-preserving — and the corrupt row
+    // below (span 86 400 000 backwards) must not cost a 86k-bin explode.
+    val ivs = Seq(
+      (1L, 100L, 200L),               // well-formed
+      (2L, 500L, 500L),               // empty (end == start)
+      (3L, 86400000L, 0L)             // corrupt: end far before start
+    ).toDF("w_id", "w_s", "w_e")
+    val pts = Seq((1L, 150L), (2L, 500L), (3L, 1000L)).toDF("p_id", "p_ts")
+    val got = IntervalJoin.pointInInterval(ivs, pts, "w_s", "w_e", "p_ts")
+      .select($"w_id", $"p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L)))
+    // same guard on both sides of the overlap join: the malformed rows
+    // pair with nothing. Note (2) WOULD pass the raw half-open overlap
+    // predicate against (10) (500 < 1000 && 0 < 500) despite containing
+    // no instants — the filter is what keeps it out, not the residual.
+    val bs = Seq((10L, 0L, 1000L)).toDF("b_id", "b_s", "b_e")
+    val ov = IntervalJoin.intervalOverlap(
+        ivs, bs, "w_s", "w_e", "b_s", "b_e")
+      .select($"w_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ov == Seq((1L, 10L)))
+  }
+
   test("hierarchy cap coarsens the base instead of dropping coverage") {
     import spark.implicits._
     // max/median = 1024× would need 11 levels; cap at 4 must still fit

@@ -97,6 +97,57 @@ class ApproxOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.length == n - 11)
   }
 
+  test("LSH band shape derives from the requested threshold " +
+      "(low thresholds widen bands instead of silently dropping recall)") {
+    import spark.implicits._
+    // ADVICE r4: the fixed 16-band × 3-row scheme is the s=0.7 design
+    // point; at threshold 0.4 its candidate recall is ~0.65 while the
+    // facade still claimed the ≥0.95 spec. bandRowsFor re-derives the
+    // most selective banding meeting the ≥0.98 theoretical candidate
+    // probability at the REQUESTED threshold over the same 48-hash budget.
+    assert(ApproxOps.bandRowsFor(0.7) == 3)  // the measured default shape
+    assert(ApproxOps.bandRowsFor(0.9) == 6)  // tighter bands when allowed
+    assert(ApproxOps.bandRowsFor(0.4) == 2)  // wider bands when needed
+    assert(ApproxOps.bandRowsFor(0.15) == 1)
+    intercept[IllegalArgumentException](ApproxOps.bandRowsFor(0.0))
+
+    // functional twin at a moderate threshold: 12 planted pairs sharing
+    // 10 of 30 distinct tokens (jaccard exactly 1/3) in a 100-doc
+    // background corpus. The derived banding (r=1, b=48 at t=0.3:
+    // P(candidate) ≈ 1) recovers every planted pair; the fixed 0.7-tuned
+    // shape provably cannot (P(candidate|s=1/3) ≈ 0.45 per pair).
+    // Deterministic: fixed seeds, fixed hash constants.
+    def randSet(seed: Int, n: Int = 20): Seq[String] = {
+      val rng = new scala.util.Random(seed)
+      Iterator.continually(rng.nextInt(2000)).distinctBy(identity)
+        .take(n).map(i => f"w$i%04d").toSeq
+    }
+    val planted = (0 until 12).flatMap { k =>
+      val a = randSet(300000 + k)
+      val b = a.take(10) ++ randSet(400000 + k).filterNot(a.contains).take(10)
+      Seq((3000L + 2 * k, a), (3001L + 2 * k, b)) // jac = 10/30
+    }
+    val docs = (0 until 100).map(i => (i.toLong, randSet(i))) ++ planted
+    val d = docs.toDF("doc_id", "toks")
+    val plantedPairs = (0 until 12).map(k => (3000L + 2 * k, 3001L + 2 * k)).toSet
+
+    val got = ApproxOps.minhashNearDupPairs(d, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plantedPairs.subsetOf(got),
+      s"derived banding missed: ${plantedPairs -- got}")
+
+    // and the un-derived 0.7-tuned candidates DO miss planted pairs on
+    // this corpus — the regression the derivation exists to prevent
+    val fixedBands = ApproxOps.bandSignatures(d, bandRows = 3)
+    val fixedCands = fixedBands.as("x").join(fixedBands.as("y"),
+        $"x.band" === $"y.band" && $"x.sig" === $"y.sig" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((plantedPairs -- fixedCands).nonEmpty,
+      "corpus no longer demonstrates the fixed-banding recall gap")
+  }
+
   test("Q48 IVF ANN recalls a usable share of the exact top-10") {
     val exact = LlmOps.q37(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
