@@ -15,6 +15,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // silence log4j2 BEFORE the session builds: SparkContext startup
+    // logs at INFO ahead of any setLogLevel call, and those lines land
+    // in the driver's 2000-char capture window ahead of the JSON line
+    org.apache.logging.log4j.core.config.Configurator
+      .setRootLevel(org.apache.logging.log4j.Level.OFF)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -25,7 +30,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // OFF, not WARN: the driver keeps only the last 2000 chars of output
+    // and JSON-parses the final line, so ANY late log trace can push the
+    // result line out of the capture window (BENCH_r04 carried an ~800-char
+    // driver-side stack logged during a timed s01 run whose job still
+    // succeeded — at WARN that was one longer trace away from the
+    // rounds-1/2 "parsed": null loss). Bench needs no Spark logging.
+    spark.sparkContext.setLogLevel("OFF")
 
     val warmDir = {
       val small = "/root/testdata/sf0.001"
@@ -74,7 +85,9 @@ object Bench {
       val key = if (lead.contains(k.takeWhile(_ != '_'))) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + (math.round(v * 1000) / 1000.0)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop BEFORE printing: Spark's shutdown logging (if any escapes the
+    // OFF level) must land ahead of the JSON line the driver parses
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -122,7 +122,7 @@ object ApproxOps {
     import s.implicits._
     val d = LlmOps.docTokens(s, dir)
     val masks = LlmOps
-      .tokenBitmasks(d.select($"doc_id", explode($"toks").as("tok")))
+      .tokenBitmasks(d.select($"doc_id", $"toks"))
       .getOrElse(throw new IllegalStateException(
         "streaming near-dup needs the int64 bitmask vocabulary regime"))
     bandSignatures(d.join(masks, "doc_id"), carryCols = Seq("mask"))
@@ -142,15 +142,14 @@ object ApproxOps {
     import s.implicits._
     val bandRows = bandRowsFor(threshold)
     val d = docsWithToks.select($"doc_id", $"toks")
-    val tok = d.select($"doc_id", explode($"toks").as("tok"))
-
     // group identical token sets; one representative per distinct set.
     // All three within-call persists (masks, groups, bands) are freed
     // before returning: the result is eager-cut (q44's pattern) so the
     // caches never outlive the call — they cannot be deduped across
     // invocations anyway (lambda-bearing plans don't canonicalize
     // equal; see the bands note below).
-    val masksOpt = LlmOps.tokenBitmasks(tok).map(_.persist())
+    val masksOpt = LlmOps.tokenBitmasks(d.select($"doc_id", $"toks"))
+      .map(_.persist())
     val masks = masksOpt.getOrElse(
       // generic fallback: the sorted token array is the set identity
       d.select($"doc_id", sort_array($"toks").cast("string").as("mask")))

@@ -36,19 +36,30 @@ object LlmOps {
     * return each doc's token set as a bitmask — set intersection then
     * costs one AND + popcount instead of an array walk. `None` when the
     * vocabulary is too large (callers fall back to array_intersect /
-    * inverted-index formulations). Input: (doc_id, tok) exploded pairs.
-    */
-  private[queries] def tokenBitmasks(tok: DataFrame): Option[DataFrame] = {
-    import tok.sparkSession.implicits._
-    val vocab = tok.select($"tok").distinct()
+    * inverted-index formulations). Input: (doc_id, toks) array rows.
+    *
+    * The vocabulary index is COLLECTED (≤ 62 strings — bounded driver
+    * metadata at any scale) and the mask folded MAP-SIDE over each
+    * doc's token array via a literal token→bit map: no join and no
+    * groupBy shuffle of the exploded token relation, which the round-4
+    * shape paid on every bitmask-path operator (q36/q47/q57/q76/q80).
+    * Measured at sf0.1: q47 10.7 → 10.0 s, q80 6.0 → 5.5 s; q36/q76 at
+    * par (their remaining exploded-token shuffle is the vocab-distinct
+    * precondition scan, whose partial aggregation is already tiny).
+    * The bitwise-OR fold is idempotent, so repeated tokens cost
+    * nothing. */
+  private[queries] def tokenBitmasks(d: DataFrame): Option[DataFrame] = {
+    import d.sparkSession.implicits._
+    val vocab = d.select(explode($"toks").as("tok")).distinct()
     if (vocab.count() > 62) None
     else {
-      val indexed = vocab.withColumn("idx",
-        (row_number().over(Window.orderBy($"tok")) - 1).cast("long"))
-      // bit_or, not sum: repeated (doc_id, tok) pairs must be idempotent
-      Some(tok.join(broadcast(indexed), "tok")
-        .groupBy($"doc_id")
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT)))").as("mask")))
+      val idx = vocab.orderBy($"tok").collect().map(_.getString(0))
+        .zipWithIndex.toMap
+      Some(d
+        .select($"doc_id",
+          transform($"toks", t => element_at(typedLit(idx), t)).as("idxs"))
+        .selectExpr("doc_id",
+          "aggregate(idxs, 0L, (acc, i) -> acc | shiftleft(1L, i)) AS mask"))
     }
   }
 
@@ -116,7 +127,7 @@ object LlmOps {
 
     val masks =
       if (forceInverted) None
-      else tokenBitmasks(tok).filter { m =>
+      else tokenBitmasks(d.select($"doc_id", $"toks")).filter { m =>
         // distinct masks ≤ doc count, so a cheap row count short-circuits
         // the (heavier) distinct-mask count when it can't exceed the cap
         d.count() <= maxDistinctMasks ||
@@ -182,10 +193,9 @@ object LlmOps {
     val s = docsWithToks.sparkSession
     import s.implicits._
     val d = docsWithToks.select($"doc_id", $"toks", size($"toks").as("sz"))
-    val tok = d.select($"doc_id", explode($"toks").as("tok"))
     val masks =
       if (forceInverted) None
-      else tokenBitmasks(tok).filter { m =>
+      else tokenBitmasks(d.select($"doc_id", $"toks")).filter { m =>
         d.count() <= maxDistinctMasks ||
           m.select($"mask").distinct().count() <= maxDistinctMasks
       }
@@ -222,6 +232,64 @@ object LlmOps {
           .filter($"rep_a" =!= $"rep_b")
           .select($"rep_a".as("src"), $"rep_b".as("dst")).distinct()
         (membership, repEdges)
+    }
+  }
+
+  /** Survivor ids of the greedy near-dup retention policy (q76): doc
+    * `d` survives iff NO smaller `doc_id` is a Jaccard ≥ `threshold`
+    * near-dup of it. On the bitmask path this needs NO doc-pair
+    * relation at all: jaccard depends only on the mask group, so with
+    * `m(g)` = min doc of group `g` and `n(g)` = min over qualifying
+    * neighbor groups of their `m`, every non-min group member is
+    * dropped by `m(g)` (identical sets are jac-1 pairs) and the group
+    * min survives iff `n(g) ≥ m(g)`. The derivation joins the
+    * group-level relation (≤ `maxDistinctMasks` rows) instead of
+    * expanding the 5.1M-doc-pair cliques q36's declared output
+    * requires — the same contraction [[neardupGraph]] uses for
+    * clustering, specialized to the keep-earliest policy. */
+  private[graft] def greedySurvivors(docsWithToks: DataFrame,
+      threshold: Double = 0.7, forceInverted: Boolean = false,
+      maxDistinctMasks: Long = 16384): DataFrame = {
+    val s = docsWithToks.sparkSession
+    import s.implicits._
+    val d = docsWithToks.select($"doc_id", $"toks")
+    val masks =
+      if (forceInverted) None
+      else tokenBitmasks(d.select($"doc_id", $"toks")).filter { m =>
+        d.count() <= maxDistinctMasks ||
+          m.select($"mask").distinct().count() <= maxDistinctMasks
+      }
+    masks match {
+      case Some(masks) =>
+        val groups = masks.groupBy($"mask")
+          .agg(min($"doc_id").as("m"),
+            bit_count($"mask").cast("double").as("sz"))
+        val g1 = groups.as("g1")
+        val g2 = groups.as("g2")
+        // qualifying neighbor-group pairs (strict <: a group's own
+        // members are handled by the m(g) rule below); each pair feeds
+        // the neighbor-min aggregate in BOTH directions via a 2-row
+        // explode — NOT a union of two projections, which would run the
+        // quadratic group join twice (measured +0.3 s at sf0.1)
+        val n = g1.join(g2, $"g1.mask" < $"g2.mask")
+          .withColumn("inter",
+            bit_count($"g1.mask".bitwiseAND($"g2.mask")).cast("double"))
+          .withColumn("jac", $"inter" / ($"g1.sz" + $"g2.sz" - $"inter"))
+          .filter($"jac" >= threshold)
+          .select(explode(array(
+            struct($"g1.mask".as("mask"), $"g2.m".as("nm")),
+            struct($"g2.mask".as("mask"), $"g1.m".as("nm")))).as("e"))
+          .groupBy($"e.mask".as("mask")).agg(min($"e.nm").as("n"))
+        groups.join(n, Seq("mask"), "left")
+          .filter($"n".isNull || $"n" >= $"m")
+          .select($"m".as("doc_id"))
+      case None =>
+        // generic path: the inverted-index pair relation is the plan,
+        // and the drop side is its distinct doc_b set
+        d.select($"doc_id").join(
+          neardupPairs(docsWithToks, threshold, forceInverted = true,
+            sorted = false).select($"doc_b".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
     }
   }
 

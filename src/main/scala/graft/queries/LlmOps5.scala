@@ -24,18 +24,23 @@ object LlmOps5 {
   // require the earlier doc to itself survive (that transitive variant
   // is cluster-canonical retention = q57's component labels; this one is
   // a single pass with no iteration).
-  // Scale shape: pair generation is q36's adaptive dispatch (bitmask or
-  // inverted index — never blind all-pairs). The drop set is O(corpus)
-  // exactly when dedup matters (heavily duplicated corpora), so it is
-  // NOT broadcast-hinted — the anti-join shuffles on doc_id and AQE
-  // demotes it to a broadcast join at runtime when the set turns out
-  // small.
+  // Scale shape: the survivor set comes from LlmOps.greedySurvivors —
+  // q36's adaptive dispatch (bitmask or inverted index, never blind
+  // all-pairs), but on the bitmask path derived ENTIRELY at the mask-
+  // group level (min-doc + neighbor-group-min per group): no doc-pair
+  // clique expansion and no pair-level distinct shuffle — the two terms
+  // that grow with corpus duplication. Measured at par with the
+  // pair-based formulation at sf0.1 (±0.2 s ambient; this fixture's
+  // dense duplication makes the 5.1M-row expansion cheap relative to
+  // the shared mask pipeline), kept for the scale shape: q76's tail
+  // beyond the shared q36 core measures ~0.1 s. The survivor set is
+  // O(corpus), so it is NOT broadcast-hinted — the join shuffles on
+  // doc_id and AQE demotes it to a broadcast join at runtime when the
+  // set turns out small.
   def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables(s, dir, "documents")
-    val drops = LlmOps.neardupPairs(LlmOps.docTokens(s, dir), sorted = false)
-      .select($"doc_b".as("doc_id")).distinct()
-    d.join(drops, Seq("doc_id"), "left_anti")
+    d.join(LlmOps.greedySurvivors(LlmOps.docTokens(s, dir)), Seq("doc_id"))
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }

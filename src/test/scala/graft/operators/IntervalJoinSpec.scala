@@ -171,6 +171,41 @@ class IntervalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ov == Seq((1L, 10L)))
   }
 
+  test("deriveHierarchy memoizes per (plan, cols, cap): a repeated call " +
+      "runs zero Spark jobs") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val ivs = (0 until 200).map(i => (i.toLong, i.toLong, i + 10L))
+        .toDF("w_id", "s", "e")
+      // listener events are async: poll until the count is stable for a
+      // few windows (all actions below are blocking, so in-flight events
+      // drain within the stability window)
+      def settled(): Int = {
+        var prev = -1
+        var cur = jobs.get()
+        while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get() }
+        cur
+      }
+      val h1 = IntervalJoin.deriveHierarchy(ivs, "s", "e")
+      val afterFirst = settled()
+      assert(afterFirst >= 1) // the derivation really ran an aggregate
+      val h2 = IntervalJoin.deriveHierarchy(ivs, "s", "e")
+      assert(h2 == h1)
+      assert(settled() == afterFirst,
+        "second deriveHierarchy on the same frame ran a Spark job")
+      // a different cap is a different key — recomputes (and may differ)
+      IntervalJoin.deriveHierarchy(ivs, "s", "e", maxLevels = 2)
+      assert(settled() > afterFirst)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("hierarchy cap coarsens the base instead of dropping coverage") {
     import spark.implicits._
     // max/median = 1024× would need 11 levels; cap at 4 must still fit

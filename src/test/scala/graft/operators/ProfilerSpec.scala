@@ -48,4 +48,32 @@ class ProfilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(e2 == a2)
   }
+
+  test("sketch percentiles track exact p50/p95 within 2% (VERDICT r4 #4)") {
+    import org.apache.spark.sql.functions.expr
+    val li = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_returnflag")
+    val got = Profiler.profileApprox(li, cols).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getAs[java.lang.Double]("p50")),
+          Option(r.getAs[java.lang.Double]("p95"))))).toMap
+    // non-numeric columns: null percentiles, never an analysis error
+    assert(got("l_returnflag") == ((None, None)))
+    // numeric columns: ≤2% relative error (plus one inter-value step —
+    // exact percentile() interpolates, the sketch returns a sample; x53's
+    // documented allowance) vs exact q53-style quantiles
+    val exact = li.agg(
+        expr("percentile(l_quantity, 0.5)"), expr("percentile(l_quantity, 0.95)"),
+        expr("percentile(l_extendedprice, 0.5)"),
+        expr("percentile(l_extendedprice, 0.95)")).head()
+    def check(c: String, e50: Double, e95: Double, step: Double): Unit = {
+      val (p50, p95) = (got(c)._1.get, got(c)._2.get)
+      assert(math.abs(p50 - e50) <= math.max(0.02 * math.abs(e50), step),
+        s"$c p50: $p50 vs $e50")
+      assert(math.abs(p95 - e95) <= math.max(0.02 * math.abs(e95), step),
+        s"$c p95: $p95 vs $e95")
+    }
+    check("l_quantity", exact.getDouble(0), exact.getDouble(1), 1.0)
+    check("l_extendedprice", exact.getDouble(2), exact.getDouble(3), 0.01)
+  }
 }

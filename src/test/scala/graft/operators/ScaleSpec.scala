@@ -62,4 +62,50 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = shuffles(plan)
     assert(n <= 1, s"expected at most 1 shuffle (final agg), got $n:\n$plan")
   }
+
+  test("mid-vocab inverted-index path: token-join candidates track true " +
+      "pairs, not all-pairs (VERDICT r4 #6)") {
+    import spark.implicits._
+    // The sparse-corpus LSH spec covers q47's banding prune; this is the
+    // same evidence for q36's INVERTED-INDEX dispatch arm on the regime
+    // it exists for: vocabulary ≫ 62 (no bitmask), co-occurrence rare.
+    // 500 docs × 8 tokens from a 1M vocabulary → P(random pair shares
+    // a token) ≈ 64/1M, so expected random candidates ≈ 8 over the
+    // 125k all-pairs; 12 planted drop-one near-dups (jac 7/9 ≥ 0.7).
+    def randSet(seed: Int, n: Int = 8): Seq[String] = {
+      val rng = new scala.util.Random(seed)
+      Iterator.continually(rng.nextInt(1000000)).distinctBy(identity)
+        .take(n).map(i => f"w$i%06d").toSeq
+    }
+    val planted = (0 until 12).flatMap { k =>
+      val a = randSet(500000 + k)
+      Seq((9000L + 2 * k, a), (9001L + 2 * k, a.dropRight(1))) // jac 7/8
+    }
+    val docs = (0 until 476).map(i => (i.toLong, randSet(i))) ++ planted
+    val d = docs.toDF("doc_id", "toks")
+    val nDocs = docs.size.toLong
+    val allPairs = nDocs * (nDocs - 1) / 2
+
+    // the candidate set of the PRODUCTION inverted-index plan is exactly
+    // its output at a vanishing threshold: every co-occurring pair
+    // survives jac >= ~0 and reaches the verify filter
+    val candidates = graft.queries.LlmOps
+      .neardupPairs(d, threshold = 1e-9, forceInverted = true, sorted = false)
+      .count()
+    val truePairs = graft.queries.LlmOps
+      .neardupPairs(d, forceInverted = true, sorted = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.size == 12, s"planted 12, found ${truePairs.size}")
+    // candidates track true pairs (≤ ~4× slack for random co-occurrence
+    // at this density), nowhere near the all-pairs volume
+    assert(candidates <= 4L * truePairs.size,
+      s"$candidates candidates for ${truePairs.size} true pairs")
+    assert(candidates < allPairs / 1000,
+      s"$candidates candidates vs $allPairs all-pairs")
+    // and the auto dispatch really takes the inverted arm here (vocab
+    // ~4k distinct ≫ 62): same result without forcing
+    val auto = graft.queries.LlmOps.neardupPairs(d, sorted = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == truePairs)
+  }
 }

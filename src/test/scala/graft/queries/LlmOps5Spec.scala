@@ -38,6 +38,30 @@ class LlmOps5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.nonEmpty && dropped.nonEmpty)
   }
 
+  test("greedySurvivors == pair-based reference on random corpora, " +
+      "both dispatch paths") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 6) {
+      // even trials: 20-token vocab → bitmask group-level derivation;
+      // odd trials: 200-token vocab → generic inverted-index path
+      val vocab = (0 until (if (trial % 2 == 0) 20 else 200)).map(i => s"t$i")
+      val docs = (0L until 60L).map { id =>
+        (id, rng.shuffle(vocab).take(3 + rng.nextInt(6)))
+      } ++ Seq( // planted: an exact-dup pair and a chain onto doc 0
+        (100L, Seq("t0", "t1", "t2")), (101L, Seq("t0", "t1", "t2")))
+      val d = docs.toDF("doc_id", "toks")
+      val got = LlmOps.greedySurvivors(d)
+        .select($"doc_id").as[Long].collect().toSet
+      val dropped = LlmOps.neardupPairs(d, sorted = false)
+        .select($"doc_b").as[Long].collect().toSet
+      val want = docs.map(_._1).toSet -- dropped
+      assert(got == want, s"trial $trial: " +
+        s"extra=${got -- want} missing=${want -- got}")
+      assert(dropped.nonEmpty) // the planted dup guarantees a drop
+    }
+  }
+
   test("Q77 short docs (< 8 tokens) report 0 grams, fraction 0") {
     import spark.implicits._
     val rows = LlmOps5.q77(spark, dir).collect()

@@ -196,6 +196,44 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no status-bearing update survived — group migration untested")
   }
 
+  test("E08 duplicate seqs: every micro-batch interleaving converges to " +
+      "the same (seq, tiebreak)-max state (VERDICT r4 #7)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // three changes per key with DUPLICATE top seq and different
+    // payloads — round 4's arrival-order tie-keeping made the winner
+    // depend on the batch split; the explicit tiebreak must not
+    val changes = (0L until 8L).flatMap { k =>
+      Seq(
+        Change(k, "I", Some(1.0), None, 1L),
+        Change(k, "U", Some(2.0 + k), Some("x"), 5L),
+        Change(k, "U", Some(9.0 + k), Some("y"), 5L)) // dup seq 5
+    }
+    // deterministic expectation, computed independently of the operator
+    def tb(c: Change) = s"${c.op}|${c.price}|${c.status}"
+    val want = changes.groupBy(_.key)
+      .map { case (_, cs) => cs.maxBy(c => (c.seq, tb(c))) }.toSet
+
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val shuffled = rng.shuffle(changes)
+      val batches = shuffled.grouped(1 + rng.nextInt(6)).toSeq
+      val mem = MemoryStream[Change]
+      val name = s"e08tb$trial"
+      val q = EventStreams.latestKeyState(mem.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      // final state per key = the last emission that carries the
+      // winning (seq, tiebreak) — reconstruct it the way a downstream
+      // materialization would (highest resolution order wins)
+      val got = spark.table(name).as[Change].collect()
+        .groupBy(_.key).map(_._2.maxBy(c => (c.seq, tb(c)))).toSet
+      assert(got == want, s"trial $trial (split ${batches.map(_.size)})")
+    }
+  }
+
   test("file source: readStream over parquet events == batch twin (end-to-end)") {
     import spark.implicits._
     // stage the events table as a streaming source directory, with the

@@ -108,4 +108,64 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
     q.stop()
   }
+
+  test("capped buckets: state stops at the cap, retained recall holds, " +
+      "overflow routed to batch (VERDICT r4 #3)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // adversarial corpus: 12 identical docs, ONE (band, sig) bucket.
+    // cap=5 → docs 1..5 join the bucket; 6..12 verify against the five
+    // retained members (full recall vs the retained corpus) but emit
+    // overflow events instead of joining.
+    def sig(id: Long) = DocSig(id, 0, 42L, 7L)
+    val batches = Seq((1L to 4L), (5L to 8L), (9L to 12L)).map(_.map(sig))
+    val mem = MemoryStream[DocSig]
+    val q = StreamingNearDup
+      .matchesCapped(mem.toDS(), maxBucketMembers = 5)
+      .writeStream.format("memory").queryName("e09cap")
+      .outputMode(OutputMode.Append()).start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    q.stop()
+    val events = spark.table("e09cap").as[CappedNearDupEvent].collect()
+    val matched = events.filter(_.kind == "match")
+      .map(e => (e.doc_a, e.doc_b)).toSet
+    val overflowed = events.filter(_.kind == "overflow").map(_.doc_a).toSet
+
+    // every pair with a retained (<=5) member is found; no pair between
+    // two overflowed docs is (that residue is the batch sweep's job)
+    val want = (for {
+      a <- 1L to 12L; b <- (a + 1) to 12L if a <= 5
+    } yield (a, b)).toSet
+    assert(matched == want, s"diff: ${(matched -- want) ++ (want -- matched)}")
+    assert(overflowed == (6L to 12L).toSet)
+    assert(stateRows == 1L) // one bucket, membership frozen at the cap
+
+    // a late arrival proves membership really stayed at 5: doc 13
+    // matches exactly the retained docs 1..5, not any overflowed doc
+    val mem2 = MemoryStream[DocSig]
+    val q2 = StreamingNearDup
+      .matchesCapped(mem2.toDS(), maxBucketMembers = 5)
+      .writeStream.format("memory").queryName("e09cap2")
+      .outputMode(OutputMode.Append()).start()
+    mem2.addData(batches.flatten)
+    q2.processAllAvailable()
+    mem2.addData(Seq(sig(13L)))
+    q2.processAllAvailable()
+    q2.stop()
+    val late = spark.table("e09cap2").as[CappedNearDupEvent].collect()
+      .filter(e => e.kind == "match" && e.doc_b == 13L).map(_.doc_a).toSet
+    assert(late == (1L to 5L).toSet, s"doc 13 matched $late")
+
+    // overflow-to-batch: the batch LSH reconcile over the overflowed ids
+    // recovers exactly the residue the stream skipped
+    val toks = overflowed.toSeq.sorted
+      .map(id => (id, Seq("a", "b", "c"))).toDF("doc_id", "toks")
+    val residue = graft.queries.ApproxOps.minhashNearDupPairs(toks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantResidue = (for {
+      a <- 6L to 12L; b <- (a + 1) to 12L
+    } yield (a, b)).toSet
+    assert(residue == wantResidue)
+  }
 }
