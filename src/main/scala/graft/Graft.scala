@@ -259,6 +259,34 @@ object Graft {
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     operators.Profiler.profileApprox(df, cols)
 
+  // ---- corpus assembly ------------------------------------------------
+
+  /** RNG-free weighted Bernoulli subsample: keep each row with
+    * probability `(fNum/fDen) · weight · N / Σweight`, decided by the
+    * portable rolling hash of `textCol` — membership is a pure,
+    * engine-portable function of content (exact decimal arithmetic; one
+    * pass, scalar broadcast, no data shuffle). See
+    * [[queries.LlmOps6.weightedSample]]. */
+  def weightedSample(df: DataFrame, textCol: String, weightCol: String,
+      fNum: Int = 1, fDen: Int = 5): DataFrame =
+    queries.LlmOps6.weightedSample(df, textCol, weightCol, fNum, fDen)
+
+  /** Okapi BM25 scores of every document against a query term set
+    * (`(idCol, bm25, n_terms_hit)`, docs with ≥1 hit). The term explode
+    * filters to the query terms before aggregating — only matching
+    * occurrences shuffle. See [[queries.LlmOps6.bm25Score]]. */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    queries.LlmOps6.bm25Score(docs, idCol, textCol, terms, k1, b)
+
+  /** Deterministic source-mixture slice: per source, keep its quota
+    * rows with the smallest (content hash, `tieCol`). `tieCol` must be
+    * unique per row (duplicate texts share a hash). See
+    * [[queries.LlmOps6.mixtureSample]]. */
+  def mixtureSample(df: DataFrame, sourceCol: String, textCol: String,
+      tieCol: String, quotas: Map[String, Int]): DataFrame =
+    queries.LlmOps6.mixtureSample(df, sourceCol, textCol, tieCol, quotas)
+
   // ---- columnar functions ---------------------------------------------
 
   /** Codegen cosine similarity between two ARRAY&lt;DOUBLE&gt; columns. */
