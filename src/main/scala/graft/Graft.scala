@@ -287,6 +287,18 @@ object Graft {
       tieCol: String, quotas: Map[String, Int]): DataFrame =
     queries.LlmOps6.mixtureSample(df, sourceCol, textCol, tieCol, quotas)
 
+  /** Passage-level duplication report: document pairs sharing ≥
+    * `minShared` winnowed `k`-gram fingerprints (fingerprinting is a
+    * fused codegen pass; pairs come from the inverted-index join on
+    * the sparse fingerprint key, with a document-frequency guard
+    * dropping boilerplate fingerprints before the join). See
+    * [[queries.LlmOps6.winnowSharedPassages]]. */
+  def sharedPassages(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 3,
+      maxDocsPerFp: Long = 10000): DataFrame =
+    queries.LlmOps6.winnowSharedPassages(docs, idCol, textCol, k, w,
+      minShared, maxDocsPerFp)
+
   // ---- columnar functions ---------------------------------------------
 
   /** Codegen cosine similarity between two ARRAY&lt;DOUBLE&gt; columns. */

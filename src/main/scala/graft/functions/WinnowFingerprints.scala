@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression for q104's winnowing fingerprints
+  * (SURVEY §2.C.14): per token array, hash every word `k`-gram with
+  * the PORTABLE base-31 byte fold (q43's `rolling_hash` over the
+  * space-joined gram, capped at 64 bytes) and keep the distinct
+  * minima of every `w`-window of consecutive gram hashes
+  * (Schleimer/Wilkerson/Aiken winnowing), first-occurrence order —
+  * bit-for-bit the HOF chain in `LlmOps6.winnowFingerprintsHof`
+  * (WinnowFingerprintsSpec proves equality on real and random
+  * corpora, both codegen and interpreted paths).
+  *
+  * The HOF chain walks interpreted lambdas per CHARACTER (substring +
+  * ascii + per-element fold allocation) — measured 201 s for 5 000
+  * documents at sf0.1; this is one fused byte loop inside whole-stage
+  * codegen over token bytes that are materialized once per row.
+  *
+  * Contract: fewer than `k` tokens → EMPTY array (no gram exists);
+  * `1 ≤ grams < w` → the single global-min fingerprint (coverage
+  * never silently drops to zero); a NULL token element → NULL.
+  * ASCII domain like `rolling_hash` (byte fold ≡ the oracle's
+  * per-character `ascii()` fold for single-byte characters).
+  */
+case class WinnowFingerprints(child: Expression, k: Int = 5, w: Int = 4)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(k >= 2 && w >= 2)
+
+  private val P = 1000000007L
+  private val MaxBytes = 64
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null token element → NULL
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // null-element check FIRST, exactly like the codegen path — the
+    // two paths must agree for every input or constant folding and
+    // runtime evaluation diverge
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) return null
+      j += 1
+    }
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val tb = new Array[Array[Byte]](n)
+    j = 0
+    while (j < n) {
+      tb(j) = arr.getUTF8String(j).getBytes
+      j += 1
+    }
+    val m = n - k + 1
+    val ghs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var cnt = 0
+      var t = 0
+      while (t < k && cnt < MaxBytes) {
+        if (t > 0) { acc = (acc * 31 + 32) % P; cnt += 1 } // ' ' separator
+        val bs = tb(i + t)
+        var bi = 0
+        while (bi < bs.length && cnt < MaxBytes) {
+          acc = (acc * 31 + (bs(bi) & 0xff)) % P
+          cnt += 1
+          bi += 1
+        }
+        t += 1
+      }
+      ghs(i) = acc
+      i += 1
+    }
+    val out = new Array[Long](m)
+    var outN = 0
+    if (m >= w) {
+      var s = 0
+      while (s <= m - w) {
+        var mn = Long.MaxValue
+        var x = 0
+        while (x < w) { if (ghs(s + x) < mn) mn = ghs(s + x); x += 1 }
+        var seen = false
+        var c = 0
+        while (c < outN && !seen) { if (out(c) == mn) seen = true; c += 1 }
+        if (!seen) { out(outN) = mn; outN += 1 }
+        s += 1
+      }
+    } else {
+      var mn = Long.MaxValue
+      var x = 0
+      while (x < m) { if (ghs(x) < mn) mn = ghs(x); x += 1 }
+      out(0) = mn
+      outN = 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outN))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val bi = ctx.freshName("bi")
+      val bs = ctx.freshName("bs")
+      val tb = ctx.freshName("tb")
+      val m = ctx.freshName("m")
+      val ghs = ctx.freshName("ghs")
+      val acc = ctx.freshName("acc")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val outN = ctx.freshName("outN")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val mn = ctx.freshName("mn")
+      val seen = ctx.freshName("seen")
+      val c = ctx.freshName("c")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |final int $n = $v.numElements();
+         |boolean $anyNull = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($v.isNullAt($j)) { $anyNull = true; break; }
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else if ($n < $k) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  final byte[][] $tb = new byte[$n][];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $tb[$j] = $v.getUTF8String($j).getBytes();
+         |  }
+         |  final int $m = $n - ${k - 1};
+         |  final long[] $ghs = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $acc = 0L;
+         |    int $cnt = 0;
+         |    for (int $t = 0; $t < $k && $cnt < $MaxBytes; $t++) {
+         |      if ($t > 0) { $acc = ($acc * 31L + 32L) % ${P}L; $cnt++; }
+         |      final byte[] $bs = $tb[$i + $t];
+         |      for (int $bi = 0; $bi < $bs.length && $cnt < $MaxBytes; $bi++) {
+         |        $acc = ($acc * 31L + ($bs[$bi] & 0xff)) % ${P}L;
+         |        $cnt++;
+         |      }
+         |    }
+         |    $ghs[$i] = $acc;
+         |  }
+         |  final long[] $out = new long[$m];
+         |  int $outN = 0;
+         |  if ($m >= $w) {
+         |    for (int $s = 0; $s <= $m - $w; $s++) {
+         |      long $mn = Long.MAX_VALUE;
+         |      for (int $x = 0; $x < $w; $x++) {
+         |        if ($ghs[$s + $x] < $mn) $mn = $ghs[$s + $x];
+         |      }
+         |      boolean $seen = false;
+         |      for (int $c = 0; $c < $outN && !$seen; $c++) {
+         |        if ($out[$c] == $mn) $seen = true;
+         |      }
+         |      if (!$seen) { $out[$outN] = $mn; $outN++; }
+         |    }
+         |  } else {
+         |    long $mn = Long.MAX_VALUE;
+         |    for (int $x = 0; $x < $m; $x++) {
+         |      if ($ghs[$x] < $mn) $mn = $ghs[$x];
+         |    }
+         |    $out[0] = $mn;
+         |    $outN = 1;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($out, $outN));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WinnowFingerprints = copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** Column API: distinct winnowed fingerprints of an
+    * ARRAY&lt;STRING&gt; token column. */
+  def winnowFingerprints(toks: Column, k: Int = 5, w: Int = 4): Column =
+    GraftSqlBridge.column(
+      WinnowFingerprints(GraftSqlBridge.expression(toks), k, w))
+}

@@ -218,4 +218,125 @@ object LlmOps6 {
       |      FROM d WHERE quota > 0)
       |SELECT doc_id, source, rnk FROM r WHERE rnk <= quota
       |ORDER BY doc_id""".stripMargin
+
+  // ---- Q104: passage-level dedup via winnowing fingerprints -----------
+  // The dedup family the doc-level operators (q35 exact, q36/q47
+  // near-dup) don't cover: SHARED PASSAGES between otherwise-different
+  // documents (boilerplate headers, quoted blocks). Winnowing
+  // (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every word 5-gram,
+  // then keep only each 4-window's MINIMUM hash — a ~2/(w+1) density
+  // fingerprint subset with the guarantee that any shared run of
+  // ≥ k+w−1 tokens shares ≥ 1 fingerprint. Docs shorter than one
+  // window contribute their global-min hash (coverage never drops to
+  // zero). Pairs sharing ≥ 3 fingerprints are reported with the count.
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    winnowSharedPassages(
+      Tables(s, dir, "documents").select($"doc_id", $"text"),
+      "doc_id", "text")
+  }
+
+  /** Frame-shaped core of [[q104]] (facade: `Graft.sharedPassages`):
+    * `(doc_a, doc_b, n_shared)` for document pairs sharing ≥
+    * `minShared` winnowed fingerprints. Every hash is the portable
+    * base-31 fold (q43's), so the fingerprint sets — and therefore the
+    * pairs — are bit-identical in any engine.
+    *
+    * Scale shape: fingerprinting is pure map-side HOF work (no UDF);
+    * the pair generation is the inverted-index join on the fingerprint
+    * key — candidates exist only for docs actually sharing a passage
+    * fingerprint, and the winnowed index is ~1/w the size of the full
+    * gram index q44's trigram join carries. The one quadratic hazard
+    * is a fingerprint shared by a large doc set (classic boilerplate);
+    * `maxDocsPerFp` drops fingerprints above that document frequency —
+    * exactly the stop-word analogue for passages, and standard
+    * practice for winnowing indexes (a fingerprint in thousands of
+    * docs identifies boilerplate, not plagiarism-style duplication). */
+  private[graft] def winnowSharedPassages(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, w: Int = 4, minShared: Int = 3,
+      maxDocsPerFp: Long = 10000): DataFrame = {
+    require(k >= 2 && w >= 2 && minShared >= 1)
+    // fingerprinting is the fused codegen Expression
+    // (functions.WinnowFingerprints): one byte loop per row, bit-equal
+    // to the HOF reference below. The all-HOF formulation walked
+    // interpreted lambdas per CHARACTER — measured 201 s for the
+    // 5 000-doc sf0.1 corpus vs ~1 s fused.
+    val fps = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), explode(graft.functions.WinnowFingerprints
+        .winnowFingerprints(col("toks"), k, w)).as("fp"))
+    // boilerplate guard: a fingerprint in more than maxDocsPerFp docs
+    // is dropped BEFORE the self-join (document frequency is one
+    // aggregate on the already-shuffled fp key; the join reuses that
+    // partitioning)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocsPerFp && col("__df") >= 2)
+      .select(col("fp"))
+    val indexed = fps.join(rare, "fp")
+    indexed.as("x").join(indexed.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  /** The declarative HOF reference for [[winnowSharedPassages]]'s
+    * fingerprint step — kept as the readable specification of the
+    * scheme and as the equality oracle for the fused Expression
+    * (WinnowFingerprintsSpec): gram strings built once, char-folded
+    * with q43's portable hash, then per-window minima, distinct in
+    * first-occurrence order. Input (doc_id, toks) → (doc_id, fps). */
+  private[graft] def winnowFingerprintsHof(d: DataFrame, k: Int = 5,
+      w: Int = 4): DataFrame =
+    d.withColumn("grams", expr(
+        s"""CASE WHEN size(toks) >= $k THEN
+           |  transform(sequence(1, size(toks) - ${k - 1}),
+           |            i -> array_join(slice(toks, i, $k), ' '))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("ghs", expr(
+        s"""transform(grams, g ->
+           |  aggregate(
+           |    transform(sequence(1, least(length(g), 64)),
+           |      j -> ascii(substring(g, j, 1))),
+           |    0L, (acc, x) -> (acc * 31 + x) % 1000000007))""".stripMargin))
+      .withColumn("fps", expr(
+        s"""CASE WHEN size(ghs) >= $w THEN
+           |  array_distinct(transform(sequence(1, size(ghs) - ${w - 1}),
+           |    i -> array_min(slice(ghs, i, $w))))
+           |WHEN size(ghs) >= 1 THEN array(array_min(ghs))
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .select(col("doc_id"), col("fps"))
+
+  val q104Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g0 AS (SELECT doc_id,
+      |  CASE WHEN len(toks) >= 5 THEN
+      |    list_transform(generate_series(1, len(toks) - 4),
+      |                   i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+      |  ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM t),
+      |g AS (SELECT doc_id,
+      |  list_transform(grams, s ->
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, least(len(s), 64)),
+      |          j -> CAST(ascii(s[j]) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS ghs
+      |  FROM g0),
+      |f AS (SELECT doc_id,
+      |  CASE WHEN len(ghs) >= 4 THEN
+      |    list_distinct(list_transform(generate_series(1, len(ghs) - 3),
+      |      i -> list_min(list_slice(ghs, i, i + 3))))
+      |  WHEN len(ghs) >= 1 THEN [list_min(ghs)]
+      |  ELSE CAST([] AS BIGINT[]) END AS fps
+      |  FROM g),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |rare AS (SELECT fp FROM e GROUP BY fp
+      |         HAVING COUNT(*) <= 10000 AND COUNT(*) >= 2),
+      |i AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp))
+      |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+      |FROM i x JOIN i y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

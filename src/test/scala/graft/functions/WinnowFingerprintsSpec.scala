@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fused winnowing Expression == the declarative HOF chain, bit for
+  * bit, on real and random corpora — codegen AND interpreted paths. */
+class WinnowFingerprintsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def viaExpr(d: org.apache.spark.sql.DataFrame) = d
+    .select(col("doc_id"),
+      WinnowFingerprints.winnowFingerprints(col("toks")).as("fps"))
+    .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  private def viaHof(d: org.apache.spark.sql.DataFrame) =
+    graft.queries.LlmOps6.winnowFingerprintsHof(d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("expression == HOF chain on the documents fixture") {
+    import spark.implicits._
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val e = viaExpr(d)
+    val h = viaHof(d)
+    assert(e == h && e.nonEmpty)
+    assert(e.values.exists(_.nonEmpty))
+  }
+
+  test("expression == HOF chain on random corpora incl. edge lengths") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // lengths straddle every contract branch: 0 tokens, < k, k..k+w-2
+    // (fewer grams than a window), and long docs
+    val docs = (0L until 200L).map { id =>
+      val n = rng.nextInt(14) // 0..13 tokens around k=5, w=4 boundaries
+      (id, (0 until n).map(_ => s"t${rng.nextInt(30)}"))
+    } ++ Seq((900L, (0 until 300).map(_ => s"t${rng.nextInt(10)}").toSeq))
+    val d = docs.toDF("doc_id", "toks")
+    assert(viaExpr(d) == viaHof(d))
+    // interpreted path (no codegen) agrees too
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(viaExpr(d) == viaHof(d))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("contract edges: empty array, short docs, null element") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq.empty[String]),            // no tokens → empty
+      (2L, Seq("a", "b")),                // < k tokens → empty
+      (3L, Seq("a", "b", "c", "d", "e")) // exactly one gram → its hash
+    ).toDF("doc_id", "toks")
+    val e = viaExpr(d)
+    assert(e(1L).isEmpty && e(2L).isEmpty && e(3L).size == 1)
+    // null element → NULL array
+    val withNull = spark.sql(
+      "SELECT 4L AS doc_id, array('a', CAST(NULL AS STRING)) AS toks")
+    val r = withNull.select(WinnowFingerprints
+      .winnowFingerprints(col("toks")).as("fps")).collect()
+    assert(r.head.isNullAt(0))
+  }
+}

@@ -59,6 +59,28 @@ class LlmOps6Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Q104 winnow: exact-dup docs share all fingerprints; pairs need " +
+      ">= 3 shared; disjoint docs never pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, split}
+    val base = (0 until 60).map(i => s"w${(i * 7) % 97}x").mkString(" ")
+    val other = (0 until 60).map(i => s"z${(i * 11) % 89}q").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),                     // exact dup pair
+      (3L, base.split(" ").take(30).mkString(" ")), // shared 30-token prefix
+      (4L, other)                                  // disjoint
+    ).toDF("doc_id", "text")
+    val got = LlmOps6.winnowSharedPassages(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fpCount = docs.filter($"doc_id" === 1L)
+      .select(explode(graft.functions.WinnowFingerprints
+        .winnowFingerprints(split($"text", " ")))).count()
+    assert(got((1L, 2L)) == fpCount) // exact dups share every fingerprint
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L))) // shared passage
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L)) // disjoint
+    assert(got((1L, 3L)) < fpCount) // partial overlap is partial
+  }
+
   test("Q103 mixture: per-source quotas filled (capped by availability), " +
       "nothing stolen across sources") {
     import spark.implicits._
