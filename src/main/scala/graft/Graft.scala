@@ -287,6 +287,38 @@ object Graft {
       tieCol: String, quotas: Map[String, Int]): DataFrame =
     queries.LlmOps6.mixtureSample(df, sourceCol, textCol, tieCol, quotas)
 
+  /** Leakage-safe train/valid/test split: near-duplicate documents
+    * land in the SAME split — the guard a per-document hash split
+    * (q62's rule) cannot give, because a paraphrase of a training doc
+    * in the validation set leaks eval signal. Composition of the
+    * individually verified pieces: near-dup component labels
+    * ([[nearDupLabelsFor]]) → the component CANONICAL's content hash
+    * decides the whole component's split (the same portable 80/10/10
+    * rolling-hash rule as q62, applied per component instead of per
+    * doc). Returns `df`'s rows plus `(label, split)`.
+    *
+    * 100 TB posture: the labels relation is the clustering cost
+    * (bounded, see [[nearDupLabels]]); everything after is one
+    * doc-keyed join for the canonical text plus one map-side hash —
+    * split assignment itself never shuffles the corpus. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, col, split, when}
+    val withToks = df.select(col(idCol).as("doc_id"),
+      array_distinct(split(col(textCol), " ")).as("toks"))
+    val labels = nearDupLabelsFor(withToks, threshold)
+    val canonicalText = df.select(col(idCol).as("label"),
+      col(textCol).as("__ctext"))
+    val splits = labels.join(canonicalText, "label")
+      .withColumn("__h", functions.RollingHash.rollingHash(col("__ctext"), 64))
+      .withColumn("split",
+        when(col("__h") % 100 < 80, "train")
+          .when(col("__h") % 100 < 90, "valid")
+          .otherwise("test"))
+      .select(col("doc_id").as(idCol), col("label"), col("split"))
+    df.join(splits, idCol)
+  }
+
   /** Passage-level duplication report: document pairs sharing ≥
     * `minShared` winnowed `k`-gram fingerprints (fingerprinting is a
     * fused codegen pass; pairs come from the inverted-index join on

@@ -234,6 +234,42 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
       labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("leakage-safe split: near-dup components never straddle splits; " +
+      "singletons follow q62's per-doc rule") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val out = Graft.leakageSafeSplit(docs, "doc_id", "text")
+    val rows = out.collect() // (doc_id, text, label, split)
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(rows.length == docs.count())
+    // every component is wholly inside one split (no train/eval leak
+    // through near-duplicates)
+    val byLabel = rows.groupBy(_._2).values
+    assert(byLabel.forall(_.map(_._3).distinct.size == 1))
+    val multi = byLabel.filter(_.size > 1)
+    assert(multi.nonEmpty) // the fixture really has near-dup components
+    // and all three splits are populated at the component level
+    val perLabelSplit = rows.groupBy(_._2).map(_._2.head._3).toSeq
+    assert(perLabelSplit.toSet == Set("train", "valid", "test"))
+    val trainFrac = perLabelSplit.count(_ == "train").toDouble /
+      perLabelSplit.size
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train frac $trainFrac")
+    // a near-dup pair from q36 is the straddle that a naive q62-style
+    // per-doc split WOULD produce on this corpus: prove the guard binds
+    val pair = graft.queries.LlmOps.q36(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .find { case (a, b) =>
+        val ha = rows.find(_._1 == a).get
+        val hb = rows.find(_._1 == b).get
+        ha._2 == hb._2 // same component (always true for q36 pairs)
+      }.get
+    val sa = rows.find(_._1 == pair._1).get._3
+    val sb = rows.find(_._1 == pair._2).get._3
+    assert(sa == sb)
+  }
+
   // Graft.extensions (the installer function) is exercised end-to-end in
   // GraftExtensionsSpec, which builds a session with the extensions and
   // runs SQL through the injected functions and strategy.
