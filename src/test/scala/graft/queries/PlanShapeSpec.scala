@@ -98,4 +98,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TopKPerGroup"), s"expected the bounded-heap operator:\n$p")
     assert(!p.contains("Window"), s"must not window-shuffle every doc:\n$p")
   }
+
+  test("q101: the scalar (sumw, n) side broadcasts; the keep decision is " +
+      "a filter, not a join on data") {
+    val p = plan("q101_weighted_sample")
+    // the only join is the 1-row-aggregate broadcast (BNL over a scalar
+    // relation is a constant-cost construction, not a data cross join)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Filter"), p)
+  }
+
+  test("q104: winnowed pair generation is an equi-join on the fingerprint " +
+      "key — no cartesian, no BNL, fingerprints inside codegen") {
+    val p = plan("q104_winnow_passages")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("winnow_fingerprints"), p) // the fused Expression
+    // formatted mode marks codegen membership per node — the winnow
+    // Generate must carry one (the Expression is not CodegenFallback)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Generate") && l.contains("codegen id")), p)
+  }
 }
