@@ -220,6 +220,17 @@ object Graft {
       opCol: String = "op", seqCol: String = "seq"): DataFrame =
     operators.Cdc.applyChanges(base, changes, keyCol, opCol, seqCol)
 
+  /** As-of join: each left row gets the LATEST right row with
+    * `rightTs ≤ leftTs` in its key group (backward, exact matches
+    * allowed, left rows kept; right ts-ties resolved by greatest
+    * `tieCol`). Union-and-carry plan — ONE shuffle, no join operator,
+    * O(1) state per row regardless of right-side fanout. See
+    * [[operators.AsofJoin.asofJoin]]. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String, tieCol: String): DataFrame =
+    operators.AsofJoin.asofJoin(left, right, keyCols, leftTsCol,
+      rightTsCol, tieCol)
+
   /** Point-in-interval join without an equi key: data-derived
     * multi-resolution time binning manufactures one (lossless and
     * duplicate-free per the banding lemma); candidate volume per

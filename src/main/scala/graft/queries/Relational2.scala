@@ -61,6 +61,25 @@ object Relational2 {
         (unix_micros($"ts") - $"click_us").as("lag_us"))
       .orderBy($"purchase_id")
   }
+  /** q12 through the general as-of operator ([[graft.operators.AsofJoin]])
+    * — the general operator is driver-verified against q12's oracle
+    * (the x87/x94 delegation pattern). Same union-and-carry plan, but
+    * built from two separate frames with the contract surface a user
+    * actually has (keys, two timestamp columns, a tiebreak). */
+  def x12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("cts"))
+    graft.operators.AsofJoin
+      .asofJoin(purchases, clicks, Seq("user_id"), "ts", "cts", "click_id")
+      .select($"event_id".as("purchase_id"), $"user_id", $"click_id",
+        (unix_micros($"ts") - unix_micros($"cts")).as("lag_us"))
+      .orderBy($"purchase_id")
+  }
+
   val q12Sql: String =
     """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
       |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),

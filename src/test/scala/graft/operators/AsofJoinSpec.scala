@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** General as-of join vs the naive theta-join oracle on randomized
+  * instances (ties, matchless lefts, hot keys), plus the plan pin:
+  * union-and-carry means NO join operator in the physical plan. */
+class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("randomized instances == theta-join oracle (backward, exact " +
+      "matches, greatest-tie determinism)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    for (trial <- 0 until 8) {
+      val nKeys = 1 + rng.nextInt(5)
+      // coarse timestamps force plenty of exact-equality and tie cases
+      val lefts = (0 until 60).map(i => (
+        i.toLong, rng.nextInt(nKeys).toLong, rng.nextInt(20).toLong))
+      val rights = (0 until 80).map(j => (
+        1000L + j, rng.nextInt(nKeys).toLong, rng.nextInt(20).toLong,
+        s"v$j"))
+      val l = lefts.toDF("l_id", "k", "lts")
+      val r = rights.toDF("r_id", "k", "rts", "payload")
+      val got = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts", "r_id")
+        .collect()
+        .map(x => x.getLong(0) ->
+          ((Option(x.getAs[java.lang.Long]("r_id")).map(_.toLong),
+            Option(x.getAs[String]("payload"))))).toMap
+      val want = lefts.map { case (lid, k, lts) =>
+        val cands = rights.filter(rr => rr._2 == k && rr._3 <= lts)
+        val best = if (cands.isEmpty) None
+          else Some(cands.maxBy(rr => (rr._3, rr._1)))
+        lid -> ((best.map(_._1), best.map(_._4)))
+      }.toMap
+      assert(got == want, s"trial $trial")
+      assert(got.size == lefts.size) // left rows always kept
+    }
+  }
+
+  test("plan: union-and-carry — no join operator, one exchange on the key") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 5L)).toDF("l_id", "k", "lts")
+    val r = Seq((9L, 1L, 3L, "x")).toDF("r_id", "k", "rts", "payload")
+    val df = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts", "r_id")
+    df.collect()
+    // AQE prints Final and Initial sections — count in the final only
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one shuffle expected:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("x12 delegation == q12's window formulation on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.Relational2.q12(spark, dir).collect().map(_.toSeq)
+    val b = graft.queries.Relational2.x12(spark, dir).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+}
