@@ -220,16 +220,18 @@ object Graft {
       opCol: String = "op", seqCol: String = "seq"): DataFrame =
     operators.Cdc.applyChanges(base, changes, keyCol, opCol, seqCol)
 
-  /** As-of join: each left row gets the LATEST right row with
-    * `rightTs ≤ leftTs` in its key group (backward, exact matches
-    * allowed, left rows kept; right ts-ties resolved by greatest
-    * `tieCol`). Union-and-carry plan — ONE shuffle, no join operator,
-    * O(1) state per row regardless of right-side fanout. See
+  /** As-of join: each left row gets the latest right row at-or-before
+    * its timestamp (`direction = "backward"`, ties → greatest
+    * `tieCol`) or the earliest at-or-after (`"forward"`, ties →
+    * least), per key group; left rows always kept. Union-and-carry
+    * plan — ONE shuffle, no join operator, O(1) state per row
+    * regardless of right-side fanout. See
     * [[operators.AsofJoin.asofJoin]]. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTsCol: String, rightTsCol: String, tieCol: String): DataFrame =
+      leftTsCol: String, rightTsCol: String, tieCol: String,
+      direction: String = "backward"): DataFrame =
     operators.AsofJoin.asofJoin(left, right, keyCols, leftTsCol,
-      rightTsCol, tieCol)
+      rightTsCol, tieCol, direction)
 
   /** Point-in-interval join without an equi key: data-derived
     * multi-resolution time binning manufactures one (lossless and

@@ -28,11 +28,20 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** `left.*` plus every non-key `right` column (null when no right
-    * row is at or before the left row's timestamp). `right`'s non-key
-    * column names must be disjoint from `left`'s; `tieCol` must be one
-    * of them. Timestamp columns must be of comparable types. */
+    * row qualifies). `direction = "backward"` (default) attaches the
+    * latest right row with `rightTs ≤ leftTs` (ties → greatest
+    * `tieCol`); `"forward"` attaches the EARLIEST right row with
+    * `rightTs ≥ leftTs` (ties → least `tieCol`) — next-event
+    * attribution, the same one-shuffle carry plan with the frame
+    * mirrored. `right`'s non-key column names must be disjoint from
+    * `left`'s; `tieCol` must be one of them. Timestamp columns must be
+    * of comparable types. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTsCol: String, rightTsCol: String, tieCol: String): DataFrame = {
+      leftTsCol: String, rightTsCol: String, tieCol: String,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward: $direction")
+    val backward = direction == "backward"
     val rightOnly = right.columns.toSeq.filterNot(keyCols.contains)
     require(keyCols.nonEmpty &&
       keyCols.forall(left.columns.contains) &&
@@ -45,29 +54,39 @@ object AsofJoin {
       s"tieCol $tieCol must be a non-key right column")
 
     val leftCols = left.columns.toSeq
+    // side ordering: the qualifying-at-equal-ts right rows must sit
+    // INSIDE the left row's frame — before it for backward, after it
+    // for forward (exact matches allowed in both directions)
+    val (rightSide, leftSide) = if (backward) (0, 1) else (1, 0)
     val rTagged = right.select(
       (keyCols.map(col) ++
         leftCols.filterNot(keyCols.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c))) :+
-        col(rightTsCol).as("__ts") :+ lit(0).as("__side") :+
+        col(rightTsCol).as("__ts") :+ lit(rightSide).as("__side") :+
         col(tieCol).as("__tie") :+
         struct(rightOnly.map(col): _*).as("__p"): _*)
     val pType = rTagged.schema("__p").dataType
     val tieType = rTagged.schema("__tie").dataType
     val lTagged = left.select(
       (keyCols.map(col) ++ leftCols.filterNot(keyCols.contains).map(col)) :+
-        col(leftTsCol).as("__ts") :+ lit(1).as("__side") :+
+        col(leftTsCol).as("__ts") :+ lit(leftSide).as("__side") :+
         lit(null).cast(tieType).as("__tie") :+
         lit(null).cast(pType).as("__p"): _*)
 
-    // right rows first at equal ts (exact matches allowed), ties on the
-    // right side resolved ascending so `last` picks the greatest tie
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    // ties on the right side sort ascending, so backward's `last` picks
+    // the greatest tie and forward's `first` picks the least
+    val base = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, carry) =
+      if (backward)
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__p"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__p"), ignoreNulls = true))
     rTagged.unionByName(lTagged)
-      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__c", carry.over(w))
+      .filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++ rightOnly.map(c => col(s"__c.$c").as(c)): _*)
   }
 }

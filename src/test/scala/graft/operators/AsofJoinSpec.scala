@@ -32,19 +32,30 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"v$j"))
       val l = lefts.toDF("l_id", "k", "lts")
       val r = rights.toDF("r_id", "k", "rts", "payload")
-      val got = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts", "r_id")
-        .collect()
-        .map(x => x.getLong(0) ->
-          ((Option(x.getAs[java.lang.Long]("r_id")).map(_.toLong),
-            Option(x.getAs[String]("payload"))))).toMap
-      val want = lefts.map { case (lid, k, lts) =>
+      def run(direction: String) =
+        AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts", "r_id", direction)
+          .collect()
+          .map(x => x.getLong(0) ->
+            ((Option(x.getAs[java.lang.Long]("r_id")).map(_.toLong),
+              Option(x.getAs[String]("payload"))))).toMap
+      val gotB = run("backward")
+      val wantB = lefts.map { case (lid, k, lts) =>
         val cands = rights.filter(rr => rr._2 == k && rr._3 <= lts)
         val best = if (cands.isEmpty) None
           else Some(cands.maxBy(rr => (rr._3, rr._1)))
         lid -> ((best.map(_._1), best.map(_._4)))
       }.toMap
-      assert(got == want, s"trial $trial")
-      assert(got.size == lefts.size) // left rows always kept
+      assert(gotB == wantB, s"trial $trial backward")
+      assert(gotB.size == lefts.size) // left rows always kept
+      // forward: earliest right at-or-after, least tie
+      val gotF = run("forward")
+      val wantF = lefts.map { case (lid, k, lts) =>
+        val cands = rights.filter(rr => rr._2 == k && rr._3 >= lts)
+        val best = if (cands.isEmpty) None
+          else Some(cands.minBy(rr => (rr._3, rr._1)))
+        lid -> ((best.map(_._1), best.map(_._4)))
+      }.toMap
+      assert(gotF == wantF, s"trial $trial forward")
     }
   }
 
