@@ -27,10 +27,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * //    100 TB notes on its method):
   * Graft.dedupPipeline(docs, "doc_id", "text")          // exact→near→canonical
   * Graft.minHashNearDupPairs(docsWithToks)              // LSH scale path
+  * Graft.sharedPassages(docs, "doc_id", "text")         // winnowed passage dedup
   * Graft.fuzzySelfJoin(keys, "name", maxDist = 2)       // edit-distance join
   * Graft.applyChanges(base, changes, "key")             // CDC merge
+  * Graft.asofJoin(trades, quotes, Seq("sym"), "t", "qt", "quote_id")
   * Graft.intervalJoin(windows, points, "s", "e", "ts")  // no-equi-key join
   * Graft.buildIvfIndex(emb, "/idx"); Graft.queryIvfIndex(spark, "/idx", q)
+  *
+  * // 5. corpus assembly (RNG-free, engine-portable membership):
+  * Graft.weightedSample(docs, "text", "n_chars")        // quality-weighted thin
+  * Graft.mixtureSample(docs, "source", "text", "doc_id", quotas)
+  * Graft.leakageSafeSplit(docs, "doc_id", "text")       // near-dups co-split
   * }}}
   */
 object Graft {

@@ -59,6 +59,30 @@ class WinnowFingerprintsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowing coverage lemma: any shared run of >= k+w-1 tokens " +
+      "shares >= 1 fingerprint (randomized plants)") {
+    import spark.implicits._
+    // The property the operator's recall rests on (Schleimer et al.):
+    // a shared run of k+w-1 tokens contains w consecutive shared grams,
+    // i.e. one full shared window — and every window's min is selected,
+    // so both docs select the same fingerprint from it. Plant length-8
+    // runs (k=5, w=4) into random contexts and check the intersection.
+    val rng = new scala.util.Random(57)
+    val docs = (0 until 40).flatMap { t =>
+      val run = (0 until 8).map(_ => s"r${t}_${rng.nextInt(50)}")
+      def ctx(n: Int) = (0 until n).map(_ => s"c${rng.nextInt(5000)}")
+      Seq(
+        (t * 2L, (ctx(rng.nextInt(30)) ++ run ++ ctx(rng.nextInt(30)))),
+        (t * 2L + 1, (ctx(rng.nextInt(30)) ++ run ++ ctx(rng.nextInt(30)))))
+    }
+    val fps = viaExpr(docs.toDF("doc_id", "toks"))
+    (0 until 40).foreach { t =>
+      val shared = fps(t * 2L).toSet.intersect(fps(t * 2L + 1).toSet)
+      assert(shared.nonEmpty, s"plant $t: shared 8-run left no " +
+        s"common fingerprint")
+    }
+  }
+
   test("contract edges: empty array, short docs, null element") {
     import spark.implicits._
     val d = Seq(
