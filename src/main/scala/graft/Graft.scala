@@ -324,6 +324,9 @@ object Graft {
   def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.functions.{array_distinct, col, split, when}
+    require(!df.columns.contains("label") && !df.columns.contains("split"),
+      "leakageSafeSplit emits columns `label` and `split`: rename or drop " +
+        "the input's columns of those names first")
     val withToks = df.select(col(idCol).as("doc_id"),
       array_distinct(split(col(textCol), " ")).as("toks"))
     val labels = nearDupLabelsFor(withToks, threshold)

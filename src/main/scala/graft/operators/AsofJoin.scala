@@ -35,7 +35,15 @@ object AsofJoin {
     * attribution, the same one-shuffle carry plan with the frame
     * mirrored. `right`'s non-key column names must be disjoint from
     * `left`'s; `tieCol` must be one of them. Timestamp columns must be
-    * of comparable types. */
+    * of comparable types.
+    *
+    * NULL timestamps follow the theta-join contract (a NULL comparison
+    * never qualifies): right rows with NULL `rightTsCol` are dropped
+    * before the union (they can match no left row), and left rows with
+    * NULL `leftTsCol` are kept with all-null right columns (they match
+    * no right row). Without the filter, a NULL right timestamp would
+    * sort nulls-first into the window and be carried into every left
+    * row that precedes the first real right row. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTsCol: String, rightTsCol: String, tieCol: String,
       direction: String = "backward"): DataFrame = {
@@ -58,7 +66,7 @@ object AsofJoin {
     // INSIDE the left row's frame — before it for backward, after it
     // for forward (exact matches allowed in both directions)
     val (rightSide, leftSide) = if (backward) (0, 1) else (1, 0)
-    val rTagged = right.select(
+    val rTagged = right.filter(col(rightTsCol).isNotNull).select(
       (keyCols.map(col) ++
         leftCols.filterNot(keyCols.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c))) :+
@@ -85,7 +93,8 @@ object AsofJoin {
         (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
           first(col("__p"), ignoreNulls = true))
     rTagged.unionByName(lTagged)
-      .withColumn("__c", carry.over(w))
+      // NULL leftTs ⇒ no right row qualifies: mask the carried struct
+      .withColumn("__c", when(col("__ts").isNotNull, carry.over(w)))
       .filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++ rightOnly.map(c => col(s"__c.$c").as(c)): _*)
   }

@@ -47,10 +47,19 @@ object LlmOps {
     * par (their remaining exploded-token shuffle is the vocab-distinct
     * precondition scan, whose partial aggregation is already tiny).
     * The bitwise-OR fold is idempotent, so repeated tokens cost
-    * nothing. */
+    * nothing. NULL tokens are ignored (see below); a doc whose token
+    * set is empty after null-filtering gets mask 0 — callers forming
+    * pairs must exclude mask 0 (such docs pair with nothing, exactly
+    * as the inverted-index path behaves). */
   private[queries] def tokenBitmasks(d: DataFrame): Option[DataFrame] = {
     import d.sparkSession.implicits._
-    val vocab = d.select(explode($"toks").as("tok")).distinct()
+    // NULL tokens are ignored (matching the inverted-index path, whose
+    // equi-join drops them): filtered out of the vocabulary here, and
+    // out of the per-row index array below — otherwise one null element
+    // nulls the whole aggregate fold and the doc silently vanishes from
+    // every bitmask-path operator.
+    val vocab =
+      d.select(explode($"toks").as("tok")).filter($"tok".isNotNull).distinct()
     if (vocab.count() > 62) None
     else {
       val idx = vocab.orderBy($"tok").collect().map(_.getString(0))
@@ -59,7 +68,8 @@ object LlmOps {
         .select($"doc_id",
           transform($"toks", t => element_at(typedLit(idx), t)).as("idxs"))
         .selectExpr("doc_id",
-          "aggregate(idxs, 0L, (acc, i) -> acc | shiftleft(1L, i)) AS mask"))
+          "aggregate(filter(idxs, i -> i IS NOT NULL), 0L, " +
+            "(acc, i) -> acc | shiftleft(1L, i)) AS mask"))
     }
   }
 
@@ -135,7 +145,11 @@ object LlmOps {
       }
     val pairs = masks match {
       case Some(masks) =>
-        val groups = masks.groupBy($"mask")
+        // mask 0 (empty/all-null token set) pairs with NOTHING — the
+        // inverted path drops such docs for free (no token rows to
+        // join), and here a 0-0 pair would make the Jaccard
+        // denominator zero
+        val groups = masks.filter($"mask" =!= 0L).groupBy($"mask")
           .agg(sort_array(collect_list($"doc_id")).as("ids"),
             bit_count($"mask").cast("double").as("sz"))
         val g1 = groups.as("g1")
@@ -261,7 +275,10 @@ object LlmOps {
       }
     masks match {
       case Some(masks) =>
-        val groups = masks.groupBy($"mask")
+        // empty-set docs (mask 0) pair with nothing, so the policy
+        // keeps them ALL — the group-min rule below must not see them
+        // (it would treat them as a jac-1 identical-set group)
+        val groups = masks.filter($"mask" =!= 0L).groupBy($"mask")
           .agg(min($"doc_id").as("m"),
             bit_count($"mask").cast("double").as("sz"))
         val g1 = groups.as("g1")
@@ -283,6 +300,7 @@ object LlmOps {
         groups.join(n, Seq("mask"), "left")
           .filter($"n".isNull || $"n" >= $"m")
           .select($"m".as("doc_id"))
+          .unionByName(masks.filter($"mask" === 0L).select($"doc_id"))
       case None =>
         // generic path: the inverted-index pair relation is the plan,
         // and the drop side is its distinct doc_b set

@@ -53,8 +53,11 @@ object LlmOps6 {
     * Decision: `rh·Σw·fDen < P·w·N·fNum` in DECIMAL arithmetic — EXACT
     * (int64 would overflow once Σw passes ~9e9), bit-identical in any
     * engine. Explicit operand widths keep every product under both
-    * engines' 38-digit cap; the bounds they encode (w < 1e6, Σw < 1e18,
-    * N < 1e12, fNum/fDen < 100) hold far past 100 TB of documents.
+    * engines' 38-digit cap; the bounds they encode (w < 1e10, Σw < 1e18,
+    * N < 1e12, fNum/fDen < 100) hold far past 100 TB of documents —
+    * w's width is 10 digits, not 6, so a book-length per-doc weight
+    * (≥ 1e6) stays in range instead of casting to NULL and silently
+    * dropping the row.
     *
     * Scale shape: the (Σw, N) scalar aggregate broadcasts, then the
     * keep decision is a pure map-side filter — one pass over the
@@ -70,7 +73,7 @@ object LlmOps6 {
         s"""CAST(__rh AS DECIMAL(10,0)) * CAST(__sumw AS DECIMAL(18,0))
            |    * CAST($fDen AS DECIMAL(2,0))
            |  < CAST(1000000007 AS DECIMAL(10,0))
-           |    * CAST($weightCol AS DECIMAL(6,0))
+           |    * CAST($weightCol AS DECIMAL(10,0))
            |    * CAST(__n AS DECIMAL(12,0)) * CAST($fNum AS DECIMAL(2,0))"""
           .stripMargin))
       .drop("__rh", "__sumw", "__n")
@@ -88,7 +91,7 @@ object LlmOps6 {
        |WHERE CAST(rh AS DECIMAL(10,0)) * CAST(sumw AS DECIMAL(18,0))
        |      * CAST(5 AS DECIMAL(2,0))
        |    < CAST(1000000007 AS DECIMAL(10,0))
-       |      * CAST(n_chars AS DECIMAL(6,0)) * CAST(n AS DECIMAL(12,0))
+       |      * CAST(n_chars AS DECIMAL(10,0)) * CAST(n AS DECIMAL(12,0))
        |      * CAST(1 AS DECIMAL(2,0))
        |ORDER BY doc_id""".stripMargin
 

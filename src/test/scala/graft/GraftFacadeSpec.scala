@@ -234,6 +234,34 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
       labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("leakage-safe split refuses an input that already has the emitted " +
+      "column names") {
+    import spark.implicits._
+    val withLabel = Seq((1L, "a b", "x")).toDF("doc_id", "text", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.leakageSafeSplit(withLabel, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("label"))
+    val withSplit = Seq((1L, "a b", "x")).toDF("doc_id", "text", "split")
+    intercept[IllegalArgumentException] {
+      Graft.leakageSafeSplit(withSplit, "doc_id", "text")
+    }
+  }
+
+  test("weighted sample keeps book-length weights (≥ 1e6) in range " +
+      "instead of silently dropping them") {
+    import spark.implicits._
+    // One doc's weight dwarfs the rest: its keep probability caps at 1,
+    // so it MUST be kept; under the old DECIMAL(6,0) cast the predicate
+    // evaluated NULL and the row silently vanished.
+    val docs = (0L until 20L).map(i => (i, s"doc body $i", 100L)) :+
+      ((20L, "the enormous book", 50_000_000L))
+    val kept = Graft.weightedSample(docs.toDF("doc_id", "text", "w"),
+        "text", "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(20L), "heavy row must survive the decimal cast")
+  }
+
   test("leakage-safe split: near-dup components never straddle splits; " +
       "singletons follow q62's per-doc rule") {
     import spark.implicits._

@@ -74,6 +74,30 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), p)
   }
 
+  test("NULL timestamps: theta contract — null rights never attach, " +
+      "null-ts lefts kept with null right columns") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, java.lang.Long.valueOf(5L)),
+        (2L, 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("l_id", "k", "lts")
+    // r_id=7 has NULL rts: without the filter it sorts nulls-first and
+    // would be carried into every left row before the first real right
+    val r = Seq((7L, 1L, null.asInstanceOf[java.lang.Long], "bad"),
+        (9L, 1L, java.lang.Long.valueOf(3L), "good"))
+      .toDF("r_id", "k", "rts", "payload")
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts", "r_id", dir)
+        .collect().map(x => x.getLong(0) ->
+          ((Option(x.getAs[java.lang.Long]("r_id")),
+            Option(x.getAs[String]("payload"))))).toMap
+      assert(got.size == 2, dir) // left rows always kept
+      assert(got(2L) == ((None, None)), s"$dir: null leftTs matches nothing")
+      val want1: (Option[java.lang.Long], Option[String]) =
+        if (dir == "backward") ((Some(9L), Some("good"))) else ((None, None))
+      assert(got(1L) == want1, s"$dir: null rightTs must never attach")
+    }
+  }
+
   test("x12 delegation == q12's window formulation on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.queries.Relational2.q12(spark, dir).collect().map(_.toSeq)

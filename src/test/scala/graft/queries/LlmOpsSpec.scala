@@ -116,6 +116,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("tokenBitmasks ignores NULL tokens (matching the inverted path)") {
+    import spark.implicits._
+    // doc 0 has a null element in its token array; doc 1 is all-null.
+    // The old fold nulled doc 0's entire mask (the doc then silently
+    // vanished from every bitmask-path operator); the contract is to
+    // ignore null tokens, as the inverted-index equi-join does.
+    val df = Seq(
+      (0L, Seq("a", null, "b")), (1L, Seq(null.asInstanceOf[String])),
+      (2L, Seq("a", "b")), (3L, Seq("b"))).toDF("doc_id", "toks")
+    val masks = LlmOps.tokenBitmasks(df).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // vocab sorted: a→bit0, b→bit1
+    assert(masks == Map(0L -> 3L, 1L -> 0L, 2L -> 3L, 3L -> 2L))
+    // and the bitmask-path pair set matches the null-free equivalent
+    val clean = Seq((0L, Seq("a", "b")), (1L, Seq.empty[String]),
+      (2L, Seq("a", "b")), (3L, Seq("b"))).toDF("doc_id", "toks")
+    val got = LlmOps.neardupPairs(df, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = LlmOps.neardupPairs(clean, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.contains((0L, 2L)))
+  }
+
   test("Q36 fallback handles a vocabulary too large for the bitmask path") {
     import spark.implicits._
     // 200-token vocabulary → tokenBitmasks returns None → inverted path
