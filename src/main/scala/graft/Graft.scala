@@ -232,13 +232,16 @@ object Graft {
     * `tieCol`) or the earliest at-or-after (`"forward"`, ties →
     * least), per key group; left rows always kept. Union-and-carry
     * plan — ONE shuffle, no join operator, O(1) state per row
-    * regardless of right-side fanout. See
-    * [[operators.AsofJoin.asofJoin]]. */
+    * regardless of right-side fanout. `sliceWidth = Some(w)` is the
+    * hot-key scale path: sub-partition each key by `floor(ts / w)` so
+    * no single task ever sorts a whole key's timeline; output is
+    * row-identical for any w. See [[operators.AsofJoin.asofJoin]]. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTsCol: String, rightTsCol: String, tieCol: String,
-      direction: String = "backward"): DataFrame =
+      direction: String = "backward",
+      sliceWidth: Option[Long] = None): DataFrame =
     operators.AsofJoin.asofJoin(left, right, keyCols, leftTsCol,
-      rightTsCol, tieCol, direction)
+      rightTsCol, tieCol, direction, sliceWidth)
 
   /** Point-in-interval join without an equi key: data-derived
     * multi-resolution time binning manufactures one (lossless and

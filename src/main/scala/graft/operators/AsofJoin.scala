@@ -43,10 +43,40 @@ object AsofJoin {
     * NULL `leftTsCol` are kept with all-null right columns (they match
     * no right row). Without the filter, a NULL right timestamp would
     * sort nulls-first into the window and be carried into every left
-    * row that precedes the first real right row. */
+    * row that precedes the first real right row.
+    *
+    * `sliceWidth` is the HOT-KEY scale path. The default plan's window
+    * partitions by the key columns alone, so one key's entire merged
+    * timeline sorts in a single task — correct at any size (sort
+    * spills, state is O(1)), but a single hot symbol/user serializes
+    * into one straggler task at the 100 TB end. With
+    * `sliceWidth = Some(w)`, rows are sub-partitioned by
+    * `floor(ts / w)` (ts cast to long — epoch seconds for timestamps)
+    * and the carry is computed in two steps, neither of which ever
+    * sorts a whole key in one task:
+    *
+    *   1. intra-slice carry — the same window, partitioned by
+    *      (key, slice): a hot key now fans out across
+    *      timespan/`w` tasks;
+    *   2. boundary carry — per (key, slice), the slice's extreme right
+    *      payload (an aggregate, partial map-side), then a running
+    *      `last(ignoreNulls)` over the per-slice boundary relation
+    *      (rows = slice count, thousands not billions) carries each
+    *      slice's "latest right from all earlier slices"; a left row
+    *      with no intra-slice match coalesces to its slice's carried
+    *      boundary.
+    *
+    * Output is row-identical to the default plan for any `w > 0`
+    * (AsofJoinSpec proves equality on randomized and hot-key
+    * instances): slicing by a monotonic function of ts preserves
+    * cross-slice order, and within a slice the window order is
+    * unchanged — `w` tunes parallelism only. Pick `w` so a slice of
+    * the hottest key fits comfortably in one task (e.g. one hour of a
+    * feed that peaks at ~1M events/hour). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTsCol: String, rightTsCol: String, tieCol: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      sliceWidth: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward or forward: $direction")
     val backward = direction == "backward"
@@ -83,18 +113,54 @@ object AsofJoin {
 
     // ties on the right side sort ascending, so backward's `last` picks
     // the greatest tie and forward's `first` picks the least
-    val base = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
-    val (w, carry) =
+    def carryOver(w: org.apache.spark.sql.expressions.WindowSpec) =
       if (backward)
-        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("__p"), ignoreNulls = true))
+        last(col("__p"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       else
-        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("__p"), ignoreNulls = true))
-    rTagged.unionByName(lTagged)
-      // NULL leftTs ⇒ no right row qualifies: mask the carried struct
-      .withColumn("__c", when(col("__ts").isNotNull, carry.over(w)))
+        first(col("__p"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val uni = rTagged.unionByName(lTagged)
+    val withCarry = sliceWidth match {
+      case None =>
+        val base = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+        // NULL leftTs ⇒ no right row qualifies: mask the carried struct
+        uni.withColumn("__c", when(col("__ts").isNotNull, carryOver(base)))
+      case Some(width) =>
+        require(width > 0, s"sliceWidth must be positive: $width")
+        val sliced = uni.withColumn("__slice",
+          floor(col("__ts").cast("long") / width))
+        val intra = Window
+          .partitionBy((keyCols.map(col) :+ col("__slice")): _*)
+          .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+        // per-(key, slice) boundary: the slice's extreme right row by
+        // (ts, tie) — struct max/min ignores the nulled-out left rows,
+        // and (ts, tie) is unique per key so __p never decides the order
+        val bStruct = when(col("__side") === rightSide,
+          struct(col("__ts"), col("__tie"), col("__p")))
+        val boundaries = sliced
+          .groupBy((keyCols.map(col) :+ col("__slice")): _*)
+          .agg((if (backward) max(bStruct) else min(bStruct)).as("__bm"))
+        val overSlices = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__slice").asc)
+        val carryB =
+          if (backward)
+            last(col("__bm.__p"), ignoreNulls = true)
+              .over(overSlices.rowsBetween(Window.unboundedPreceding, -1))
+          else
+            first(col("__bm.__p"), ignoreNulls = true)
+              .over(overSlices.rowsBetween(1, Window.unboundedFollowing))
+        val carried = boundaries
+          .select((keyCols.map(col) :+ col("__slice") :+
+            carryB.as("__prev")): _*)
+        sliced
+          .withColumn("__cl", when(col("__ts").isNotNull, carryOver(intra)))
+          .join(carried, keyCols :+ "__slice", "left")
+          .withColumn("__c", when(col("__ts").isNotNull,
+            coalesce(col("__cl"), col("__prev"))))
+    }
+    withCarry
       .filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++ rightOnly.map(c => col(s"__c.$c").as(c)): _*)
   }
