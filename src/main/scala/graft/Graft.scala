@@ -49,7 +49,14 @@ object Graft {
   val MoveFilesOption: String = filemover.MoveFilesCommitProtocol.MOVE_FILES_OPTION
 
   /** Route this session's file-sink writes through the move-files
-    * commit protocol (no-op for writes without [[MoveFilesOption]]). */
+    * commit protocol (no-op for writes without [[MoveFilesOption]]).
+    *
+    * NOT compatible with
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`: dynamic
+    * overwrite bypasses the mover (the write succeeds, the template is
+    * ignored with a warning, the partition layout stays in place) —
+    * same as the reference's committer-level hook. Use the default
+    * static mode for template renames. */
   def enableFileMover(spark: SparkSession): Unit =
     filemover.MoveFilesCommitProtocol.register(spark)
 

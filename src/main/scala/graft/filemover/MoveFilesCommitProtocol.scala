@@ -52,7 +52,18 @@ class MoveFilesCommitProtocol(jobId: String, path: String,
     // it again would re-render templates against already-moved files
     val legacyActive = Option(conf.get("spark.sql.sources.outputCommitterClass"))
       .contains(classOf[MoveFilesOutputCommitterCompat].getName)
-    if (template != null && !legacyActive) {
+    if (template != null && dynamicPartitionOverwrite) {
+      // Deliberate bypass (SURVEY §4.3, parity with the reference whose
+      // OutputCommitter-level hook never engages under dynamic mode).
+      // Moving here would ALSO be a trap: dynamic overwrite clears only
+      // the touched partitions, so a re-write onto a previously-moved
+      // layout would list the earlier renders at the output root, fail
+      // partition-value extraction, and abort the job after the data
+      // commit (verified experimentally).
+      logWarning(s"${MoveFilesCommitProtocol.MOVE_FILES_OPTION} ignored: " +
+        "spark.sql.sources.partitionOverwriteMode=dynamic bypasses the " +
+        "file mover; use static overwrite mode for template renames")
+    } else if (template != null && !legacyActive) {
       MoverCore.moveFiles(new Path(path), conf, template)
     }
   }

@@ -117,6 +117,44 @@ class MoveFilesParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.isRegularFile(Paths.get(s"$out/o/cat_info.csv")))
   }
 
+  // SURVEY §4.3 bypass row: dynamic partition overwrite must leave the
+  // template unapplied (write succeeds, layout intact) — and a RE-write
+  // must also succeed, which is why the bypass is explicit: moving under
+  // dynamic mode would leave renders at the output root that crash the
+  // next write's partition-value extraction after its data commit.
+  test("dynamic partition overwrite bypasses the mover: no move, " +
+      "layout intact, re-write succeeds") {
+    val out = tmpDir()
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      def dynWrite(data: Seq[ExampleData]): Unit =
+        data.toDF().repartition(1)
+          .write.mode(SaveMode.Overwrite)
+          .option(MoveFilesCommitProtocol.MOVE_FILES_OPTION,
+            "$outputDirectory/cat_$category.csv")
+          .partitionBy("category")
+          .csv(s"$out/o")
+      dynWrite(baseData)
+      // no rendered targets; the hive-style partition layout survives
+      assert(!Files.exists(Paths.get(s"$out/o/cat_data.csv")))
+      assert(!Files.exists(Paths.get(s"$out/o/cat_info.csv")))
+      assert(listAll(s"$out/o").exists(p =>
+        p.toString.contains("category=data") &&
+          p.getFileName.toString.startsWith("part-")))
+      // second dynamic write over one partition: must not abort
+      dynWrite(Seq(ExampleData("data", 9, "rewrite")))
+      assert(listAll(s"$out/o").exists(_.toString.contains("category=info")))
+      assert(!Files.exists(Paths.get(s"$out/o/cat_data.csv")))
+      // and the same session moves again once back in static mode
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      dynWrite(baseData)
+      assert(Files.isRegularFile(Paths.get(s"$out/o/cat_data.csv")))
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    }
+  }
+
   // fix for a checked-rename regression: with template
   // "$outputDirectory" and ONE output file the target renders to the
   // output directory itself; the reference's unchecked fs.rename
