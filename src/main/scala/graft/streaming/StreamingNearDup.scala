@@ -145,6 +145,69 @@ object StreamingNearDup {
       }
   }
 
+  /** [[matchesCapped]] COMPOSED with its batch reconcile — the
+    * stream/batch split as ONE operator instead of a manual recipe.
+    * Runs the capped stream through `foreachBatch`; each micro-batch
+    *
+    *  1. appends its `kind="match"` pairs to `workDir/stream_matches`
+    *     and its overflowed doc ids to `workDir/overflow_ids`;
+    *  2. if any doc has EVER overflowed, sweeps the cumulative
+    *     overflow set with the batch LSH pipeline
+    *     (`ApproxOps.minhashNearDupPairs` over `docsWithToks`
+    *     restricted to the overflow ids);
+    *  3. overwrites `workDir/pairs` with the DISTINCT union — after
+    *     any processed batch, `pairs` is the complete near-dup pair
+    *     set (doc_a, doc_b, jaccard) of everything ingested so far.
+    *
+    * Completeness: a bucket that overflows is FULL, so every later
+    * arrival to it also overflows — any pair the capped stream misses
+    * therefore has BOTH ends in the overflow set, which is exactly the
+    * sweep's input (StreamingNearDupSpec proves pairs == the batch
+    * sweep of the whole corpus on an overflowing fixture).
+    *
+    * Scale posture: stream state stays bounded (the cap); the sweep's
+    * cost is the batch pipeline over |overflow| docs only, and all
+    * accumulation is in parquet, never driver memory. Production
+    * deployments with hot boilerplate would trigger step 2 on a cadence
+    * rather than every batch; the composition point is identical.
+    * `docsWithToks` is the corpus relation (doc_id, toks) the sweep
+    * reads — typically the same table the signatures were built from. */
+  def matchesWithReconcile(sigs: Dataset[DocSig],
+      docsWithToks: org.apache.spark.sql.DataFrame, workDir: String,
+      threshold: Double = 0.7, maxBucketMembers: Int = 4096)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CappedNearDupEvent] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    matchesCapped(sigs, threshold, maxBucketMembers)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[CappedNearDupEvent], _: Long) =>
+        val s = batch.sparkSession
+        batch.persist()
+        batch.filter(col("kind") === "match")
+          .select(col("doc_a"), col("doc_b"), col("jaccard")).distinct()
+          .write.mode("append").parquet(s"$workDir/stream_matches")
+        batch.filter(col("kind") === "overflow")
+          .select(col("doc_a").as("doc_id")).distinct()
+          .write.mode("append").parquet(s"$workDir/overflow_ids")
+        batch.unpersist()
+        val streamPairs =
+          s.read.parquet(s"$workDir/stream_matches").distinct()
+        val overflow = s.read.parquet(s"$workDir/overflow_ids").distinct()
+        val residue =
+          if (overflow.isEmpty) streamPairs.limit(0)
+          else graft.queries.ApproxOps.minhashNearDupPairs(
+            docsWithToks.join(overflow, "doc_id"), threshold)
+            .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        // distinct AFTER the union: a pair can be seen by both halves
+        // (stream match in one band, both ends overflowed in another)
+        streamPairs.unionByName(residue).distinct()
+          .write.mode("overwrite").parquet(s"$workDir/pairs")
+        ()
+      }
+  }
+
   /** [[matches]] with event-time TTL on bucket ENTRIES: a document
     * unseen for `ttlMinutes` of event time stops matching (its bucket
     * entries are pruned as the watermark passes ts + TTL), and fully
