@@ -178,6 +178,11 @@ object ApproxOps {
     // on BOTH sides — lambda-bearing HOF plans don't canonicalize
     // equal, so ReuseExchange (which deduped the round-1 explode-based
     // formulation) cannot fire on this shape.
+    // REPARTITIONED by the join key BEFORE the persist: both sides of
+    // the banded self-join then read the cache's HashPartitioning(band,
+    // sig) and the join plans ZERO exchanges (only sorts) — the
+    // partition-local banding NOTES r5 proposed. Measured at sf0.1:
+    // q47 median 10.3 s → 6.0 s (steady-state runs 5.7–7.0).
     val repToks = groups.select($"rep".as("doc_id")).join(d, "doc_id")
     // on the bitmask path, CARRY the 8-byte mask inside the band
     // relation: the self-join below then has both sides' masks in-row
@@ -189,7 +194,7 @@ object ApproxOps {
       case Some(m) => bandSignatures(repToks.join(m, "doc_id"),
         carryCols = Seq("mask"), bandRows = bandRows)
       case None => bandSignatures(repToks, bandRows = bandRows)
-    }).persist()
+    }).repartition($"band", $"sig").persist()
 
     // NOTE deliberately NO distinct here: a pair colliding in several
     // bands is verified several times (26.4M raw candidates vs 6.1M
