@@ -383,4 +383,10 @@ object Graft {
   /** Exact-integer text quality score over a token-array column name. */
   def qualityScore(toksCol: String): Column =
     queries.LlmOps2.qualityScore(toksCol)
+
+  /** Codegen winnowed passage fingerprints straight from a raw text
+    * column — `winnow_fingerprints(split(text, " "))` with the split
+    * fused into the byte loop. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    functions.WinnowFingerprints.winnowFingerprintsText(text, k, w)
 }

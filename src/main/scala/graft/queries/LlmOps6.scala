@@ -260,14 +260,17 @@ object LlmOps6 {
       maxDocsPerFp: Long = 10000): DataFrame = {
     require(k >= 2 && w >= 2 && minShared >= 1)
     // fingerprinting is the fused codegen Expression
-    // (functions.WinnowFingerprints): one byte loop per row, bit-equal
-    // to the HOF reference below. The all-HOF formulation walked
-    // interpreted lambdas per CHARACTER — measured 201 s for the
-    // 5 000-doc sf0.1 corpus vs ~1 s fused.
+    // (functions.WinnowFingerprintsText): one byte loop per row with
+    // the tokenization ABSORBED (no split() array per row), bit-equal
+    // to winnow_fingerprints(split(text)) and to the HOF reference
+    // below. The all-HOF formulation walked interpreted lambdas per
+    // CHARACTER — measured 201 s for the 5 000-doc sf0.1 corpus vs
+    // ~1 s fused; fusing the split shaved another ~0.3 s (q104 median
+    // 1.313 → 1.028 at sf0.1).
     val fps = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .select(col("doc_id"), explode(graft.functions.WinnowFingerprints
-        .winnowFingerprints(col("toks"), k, w)).as("fp"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.WinnowFingerprints
+          .winnowFingerprintsText(col(textCol), k, w)).as("fp"))
     // boilerplate guard: a fingerprint in more than maxDocsPerFp docs
     // is dropped BEFORE the self-join (document frequency is one
     // aggregate on the already-shuffled fp key; the join reuses that

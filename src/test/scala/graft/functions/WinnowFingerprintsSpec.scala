@@ -59,6 +59,52 @@ class WinnowFingerprintsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("text variant (split fused into the byte loop) == " +
+      "winnow_fingerprints(split(text)) bit for bit, incl. space edges") {
+    import spark.implicits._
+    def viaText(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"),
+        WinnowFingerprints.winnowFingerprintsText(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def viaSplit(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"),
+        WinnowFingerprints.winnowFingerprints(split(col("text"), " ")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // real corpus
+    val real = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    assert(viaText(real) == viaSplit(real))
+    // adversarial space layouts: empty string, all spaces, consecutive /
+    // leading / trailing spaces (empty tokens!), multibyte characters,
+    // long docs over the 64-byte gram cap
+    val rng = new scala.util.Random(41)
+    val edge = Seq("", " ", "   ", "a", " a", "a ", "a  b", "  a b c d e  ",
+      "é ü ß 漢 字 test token七 x y", "a b c d e f") ++
+      (0 until 120).map { _ =>
+        val n = rng.nextInt(14)
+        (0 until n).map(_ => if (rng.nextInt(6) == 0) ""
+          else s"t${rng.nextInt(30)}").mkString(" ")
+      } :+ (0 until 300).map(_ => s"t${rng.nextInt(10)}").mkString(" ")
+    val d = edge.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    assert(viaText(d) == viaSplit(d))
+    // interpreted path agrees with codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(viaText(d) == viaSplit(d))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null text → null row value
+    val withNull = Seq((0L, "a b c d e f"), (1L, null)).toDF("doc_id", "text")
+    val got = withNull.select(col("doc_id"),
+      WinnowFingerprints.winnowFingerprintsText(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty && got(0L).nonEmpty)
+  }
+
   test("winnowing coverage lemma: any shared run of >= k+w-1 tokens " +
       "shares >= 1 fingerprint (randomized plants)") {
     import spark.implicits._
