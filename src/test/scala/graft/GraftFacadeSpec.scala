@@ -234,6 +234,59 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
       labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("end-to-end composition: dedup → weighted thin → mixture quotas " +
+      "→ leakage-safe split; the invariants compose (VERDICT r5 #8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, col, split => fsplit}
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars", $"text")
+
+    // 1. dedup (exact near-dup path so the downstream theorem is exact)
+    val ded = Graft.dedupPipeline(base, "doc_id", "text", useLsh = false)
+    val dedRows = ded.collect()
+    assert(dedRows.length > 0 && dedRows.length < base.count())
+    // survivors carry no near-dup pair at the pipeline threshold
+    val survToks = ded.select($"doc_id",
+      array_distinct(fsplit($"text", " ")).as("toks"))
+    assert(Graft.nearDupPairs(survToks).isEmpty,
+      "dedup left a near-dup pair among survivors")
+
+    // 2. weighted thinning — deterministic (content-hash decided), ⊆ input
+    val thin = Graft.weightedSample(ded, "text", "n_chars")
+    val thinIds = thin.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(thinIds.subsetOf(dedRows.map(_.getLong(0)).toSet))
+    assert(thinIds == Graft.weightedSample(ded, "text", "n_chars")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet,
+      "weighted sample must be a pure function of content")
+    assert(thinIds.nonEmpty)
+
+    // 3. mixture quotas over the thinned survivors: per-source counts
+    // equal min(quota, available) — i.e. the quotas HOLD after dedup,
+    // no source borrows from another
+    val avail = thin.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = Map("src0" -> 2, "src1" -> 2, "src2" -> 2, "src3" -> 50)
+    val mix = Graft.mixtureSample(thin, "source", "text", "doc_id", quotas)
+    val mixBySource = mix.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixBySource.keySet.subsetOf(quotas.keySet))
+    for ((src, q) <- quotas if avail.getOrElse(src, 0L) > 0)
+      assert(mixBySource.getOrElse(src, 0L) ==
+        math.min(q.toLong, avail(src)), s"quota violated for $src")
+
+    // 4. leakage-safe split last: every row labeled, and because the
+    // SAME threshold deduped upstream, every component is a singleton —
+    // the straddle guard holds by construction (cross-operator theorem)
+    val sp = Graft.leakageSafeSplit(mix, "doc_id", "text")
+    val spRows = sp.select($"doc_id", $"label", $"split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(spRows.length == mix.count())
+    assert(spRows.forall { case (id, label, _) => id == label },
+      "dedup upstream must make every split component a singleton")
+    assert(spRows.map(_._3).toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
   test("leakage-safe split refuses an input that already has the emitted " +
       "column names") {
     import spark.implicits._
