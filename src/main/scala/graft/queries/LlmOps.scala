@@ -277,10 +277,19 @@ object LlmOps {
       case Some(masks) =>
         // empty-set docs (mask 0) pair with nothing, so the policy
         // keeps them ALL — the group-min rule below must not see them
-        // (it would treat them as a jac-1 identical-set group)
-        val groups = masks.filter($"mask" =!= 0L).groupBy($"mask")
+        // (it would treat them as a jac-1 identical-set group). Their
+        // ids are collected INSIDE this one aggregate (collect_list
+        // skips the nulls the `when` emits for every nonzero group) so
+        // the mask fold runs exactly once — a second `masks` reference
+        // would recompute the whole map-side fold (measured +1 s at
+        // sf0.1). The zero group is degenerate-corpus-only, so the
+        // collected list is empty in practice.
+        val groupsAll = masks.groupBy($"mask")
           .agg(min($"doc_id").as("m"),
-            bit_count($"mask").cast("double").as("sz"))
+            bit_count($"mask").cast("double").as("sz"),
+            collect_list(when($"mask" === 0L, $"doc_id")).as("zids"))
+        val groups = groupsAll.filter($"mask" =!= 0L)
+          .select($"mask", $"m", $"sz")
         val g1 = groups.as("g1")
         val g2 = groups.as("g2")
         // qualifying neighbor-group pairs (strict <: a group's own
@@ -300,7 +309,8 @@ object LlmOps {
         groups.join(n, Seq("mask"), "left")
           .filter($"n".isNull || $"n" >= $"m")
           .select($"m".as("doc_id"))
-          .unionByName(masks.filter($"mask" === 0L).select($"doc_id"))
+          .unionByName(groupsAll.filter($"mask" === 0L)
+            .select(explode($"zids").as("doc_id")))
       case None =>
         // generic path: the inverted-index pair relation is the plan,
         // and the drop side is its distinct doc_b set

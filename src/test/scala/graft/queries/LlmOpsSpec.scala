@@ -137,6 +137,15 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = LlmOps.neardupPairs(clean, threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want && got.contains((0L, 2L)))
+    // greedy retention: empty-set docs pair with nothing, so ALL of
+    // them survive (the generic path yields no pair to drop them by) —
+    // while identical NON-empty sets still collapse to the min doc
+    val withTwoEmpty = Seq(
+      (0L, Seq("a", "b")), (1L, Seq(null.asInstanceOf[String])),
+      (2L, Seq("a", "b")), (3L, Seq.empty[String])).toDF("doc_id", "toks")
+    val survivors = LlmOps.greedySurvivors(withTwoEmpty, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 1L, 3L), s"got $survivors")
   }
 
   test("Q36 fallback handles a vocabulary too large for the bitmask path") {
