@@ -26,6 +26,19 @@ object HammingJoin {
     * Hamming distance ≤ `maxDist`. Output: (id_a < id_b, hamming). */
   def selfJoin(fp: DataFrame, idCol: String, fpCol: String, maxDist: Int,
       bits: Int = 32, numBands: Int = 0): DataFrame = {
+    val (bands, pairs) = bandedPairs(fp, idCol, fpCol, maxDist, bits, numBands)
+    val out = pairs.localCheckpoint(true)
+    bands.unpersist(blocking = false)
+    out
+  }
+
+  /** The pre-checkpoint shape of [[selfJoin]]: the cached band relation
+    * (still persisted — the caller must unpersist) and the verified
+    * pair frame whose plan still shows the banded equi-join (the
+    * plan-shape spec pins it here; after the lineage cut in [[selfJoin]]
+    * the returned frame is just a checkpointed-RDD scan). */
+  private[graft] def bandedPairs(fp: DataFrame, idCol: String, fpCol: String,
+      maxDist: Int, bits: Int, numBands: Int): (DataFrame, DataFrame) = {
     val s = fp.sparkSession
     import s.implicits._
     val b = if (numBands > 0) numBands else maxDist + 2
@@ -39,15 +52,24 @@ object HammingJoin {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       s"named_struct('band', $i, 'bkey', shiftright(f, ${i * base}) & ${mask}L)"
     }.mkString("array(", ", ", ")")
+    // compact (4 longs/row) band relation, cached PRE-PARTITIONED on
+    // the join key (the q47 round-6 pattern): the fingerprint
+    // derivation in `fp`'s lineage runs once into the cache instead of
+    // once per join side, and both sides reuse the cache's
+    // HashPartitioning(band, bkey) so the self-join plans no exchanges.
+    // Eager-cut like q44: the verified pair set is checkpointed and the
+    // cache released before returning.
     val bands = fp.select(col(idCol).as("id"), col(fpCol).as("f"))
       .select($"id", $"f", explode(expr(specs)).as("bs"))
       .select($"id", $"f", $"bs.band".as("band"), $"bs.bkey".as("bkey"))
-    bands.as("a").join(bands.as("b"),
+      .repartition($"band", $"bkey").persist()
+    val pairs = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey"
           && $"a.id" < $"b.id")
       .withColumn("hamming", bit_count(expr("a.f ^ b.f")))
       .filter($"hamming" <= maxDist)
       .select($"a.id".as(s"${idCol}_a"), $"b.id".as(s"${idCol}_b"), $"hamming")
       .distinct()
+    (bands, pairs)
   }
 }

@@ -88,10 +88,16 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pair queries leave no persistent storage behind") {
     graft.Hygiene.clearAll(spark) // other suites may share this session
-    for (q <- Seq("q45_embed_neardup", "q52_simhash_pairs")) {
-      graft.SparkEntry.queries(q)(spark, dir).collect()
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty, s"$q leaked persists")
-    }
+    graft.SparkEntry.queries("q45_embed_neardup")(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "q45 leaked persists")
+    // q52 eager-cuts its band cache like q44/q47: only the small
+    // checkpointed pair result may remain, nothing registered
+    graft.SparkEntry.queries("q52_simhash_pairs")(spark, dir).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q52 left its band cache registered")
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      "q52 left more than its checkpointed result behind")
+    graft.Hygiene.clearAll(spark)
     // q44 eager-cuts its trigram cache: after the call only the small
     // checkpointed pair result may remain in storage, never the
     // exploded trigram relation (whose cache entry is named by persist)

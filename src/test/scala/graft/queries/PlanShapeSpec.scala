@@ -67,11 +67,46 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q52: banded simhash candidates come from an equi-join, not all-pairs") {
-    val p = plan("q52_simhash_pairs")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"q52 must not compare all fingerprint pairs:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+    // q52 itself returns a checkpointed result (eager lineage cut), so
+    // pin the pre-checkpoint shape that selfJoin materializes. Disable
+    // auto-broadcast so the join shape at this tiny SF matches the one
+    // the cache pre-partitioning was built for (SMJ/SHJ at scale).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fps = graft.SparkEntry.queries("q46_simhash")(spark, dir)
+    val (bands, pairs) = graft.operators.HammingJoin.bandedPairs(
+      fps, "doc_id", "simhash", maxDist = 2, bits = 32, numBands = 4)
+    try {
+      pairs.collect() // let AQE finalize
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+      // AQE wraps each stage as a leaf node, so descend through stages
+      // explicitly (but not into InMemoryRelation — the cache's own
+      // build plan may shuffle freely, it runs once)
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+        case q: QueryStageExec => p +: nodes(q.plan)
+        case _ => p +: p.children.flatMap(nodes)
+      }
+      val all = nodes(pairs.queryExecution.executedPlan)
+      val joins = all.collect { case j: BaseJoinExec => j }
+      assert(joins.nonEmpty, s"expected a join:\n${all.head}")
+      assert(joins.forall(j => j.isInstanceOf[SortMergeJoinExec]
+          || j.isInstanceOf[ShuffledHashJoinExec]),
+        s"q52 must not compare all fingerprint pairs:\n${all.head}")
+      // both join sides read the cached pre-partitioned band relation:
+      // zero shuffles between the cache scan and the join (the only
+      // exchange in the whole query is the final distinct's, above it)
+      val underJoin = joins.head.children.flatMap(nodes)
+      assert(underJoin.count(_.nodeName.contains("InMemoryTableScan")) >= 2,
+        s"both join sides should read the band cache:\n${all.head}")
+      assert(!underJoin.exists(_.isInstanceOf[ShuffleQueryStageExec]),
+        s"join sides must reuse the cache partitioning, not re-exchange:\n${all.head}")
+    } finally {
+      bands.unpersist(blocking = true)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 
   test("q82: filters reach all three scans; top-10 is TakeOrderedAndProject") {
