@@ -72,6 +72,24 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(3L -> 3L, 5L -> 5L, 9L -> 9L))
   }
 
+  test("labels above the broadcast cap: shuffle path == broadcast path") {
+    import spark.implicits._
+    // broadcastNodeCap = 0 forces the at-scale plan (label side shuffles
+    // against the pre-partitioned edge persist every round) — output
+    // must be identical to the default broadcast-hinted path
+    val rng = new scala.util.Random(23)
+    val ids = (0L until 500L).toSeq
+    val edges = (0 until 300).map(_ =>
+      (rng.nextInt(500).toLong, rng.nextInt(500).toLong))
+      .filter(e => e._1 != e._2)
+    val want = unionFind(ids, edges)
+    val got = ConnectedComponents.labels(
+        ids.toDF("id"), edges.toDF("src", "dst"), broadcastNodeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.toSet.size > 1, "degenerate fixture: one component")
+  }
+
   test("non-convergence throw does not leak the persisted edge relation") {
     import spark.implicits._
     // ADVICE r4: unpersist ran only on the success path, so the
