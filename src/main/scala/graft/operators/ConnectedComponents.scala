@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, Row, functions => F}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Connected-component labeling over an arbitrary undirected graph —
   * the frame-shaped core of the near-dup clustering family
@@ -18,40 +19,70 @@ import org.apache.spark.sql.functions._
   * (`localCheckpoint`) so the plan does not grow with iterations — the
   * standard large-graph CC shape when a graph library isn't warranted.
   *
-  * Scale posture: edges are persisted PRE-PARTITIONED on the join key,
-  * so when labels can't broadcast each round's join reuses that
+  * Scale posture: above `broadcastNodeCap` nodes, edges are persisted
+  * PRE-PARTITIONED on the join key, so each round's join reuses that
   * partitioning and only the (node-sized) label relation shuffles —
-  * never the edge list. Below `broadcastNodeCap` nodes the label side
-  * is broadcast-hinted (checkpointed frames carry no stats, so without
+  * never the edge list. Below the cap the label side is
+  * broadcast-hinted (checkpointed frames carry no stats, so without
   * the hint the planner would sort-merge the full edge list EVERY
-  * round). A component with diameter beyond `maxIters` rounds raises
-  * instead of silently splitting.
+  * round) and the edges persist unpartitioned — every join is
+  * map-side, so pre-partitioning would only add a full edge shuffle.
+  * Once contraction shrinks the label-level edge set under
+  * `driverFinishEdgeCap`, the remaining merges finish with a bounded
+  * driver-side union-find (see [[labels]]) instead of paying the
+  * multi-round scheduling tail. A component with diameter beyond
+  * `maxIters` rounds (reachable only above that cap) raises instead of
+  * silently splitting.
   */
 object ConnectedComponents {
 
   /** Labels `(id, label)` with label = min node id in the component.
     * `nodes`: one column `id` (every node, including isolated ones);
-    * `edges`: columns `src`, `dst` (undirected — symmetrized here). */
+    * `edges`: columns `src`, `dst` (undirected — symmetrized here).
+    *
+    * `driverFinishEdgeCap`: once per-round contraction shrinks the
+    * label-level edge set to at most this many rows, the remaining
+    * merges are finished with a driver-side union-find instead of more
+    * distributed rounds — the tail rounds of label propagation move a
+    * few thousand labels through full cluster barriers, which is pure
+    * scheduling latency at any scale. The collect is BOUNDED by the cap
+    * (≤ cap rows × 2 ids ≈ 16 MB at the default for long ids); above
+    * the cap the distributed loop continues and contraction shrinks the
+    * relation geometrically until the finish triggers. Output is
+    * byte-identical: the contracted graph's components correspond 1:1
+    * to the unresolved merges, and a component's min node is always its
+    * own label, so min-root union-find over the contracted edges yields
+    * exactly the distributed fixed point. */
   def labels(nodes: DataFrame, edgesIn: DataFrame,
-      broadcastNodeCap: Long = 4000000L, maxIters: Int = 30): DataFrame = {
+      broadcastNodeCap: Long = 4000000L, maxIters: Int = 30,
+      driverFinishEdgeCap: Long = 500000L): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
-    val edges = edgesIn.select($"src", $"dst")
+    val nNodes = nodes.count()
+    val bcastLabels = nNodes <= broadcastNodeCap
+    // pre-partition on the join key only when the label side will
+    // shuffle (above the cap); in the broadcast regime every per-round
+    // join is map-side and the repartition would be a pure extra
+    // shuffle of the full edge list
+    val sym = edgesIn.select($"src", $"dst")
       .unionAll(edgesIn.select($"dst".as("src"), $"src".as("dst")))
-      .repartition($"dst")
-      .persist()
+    val edges = (if (bcastLabels) sym else sym.repartition($"dst")).persist()
     try {
-      val nNodes = nodes.count()
       def labelSide(l: DataFrame): DataFrame =
-        if (nNodes <= broadcastNodeCap) broadcast(l) else l
+        if (bcastLabels) broadcast(l) else l
       var labels = nodes.select($"id", $"id".as("label")).localCheckpoint()
       var edgesCur = edges
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIters) {
-        val neighborMin = edgesCur.join(labelSide(labels),
-            edgesCur("dst") === labels("id"))
-          .groupBy($"src").agg(F.min($"label").as("nlabel"))
+        // round 0 runs against identity labels, so the neighborhood min
+        // label is just the min neighbor id — no label join needed over
+        // the full edge list, and the pointer jump below is a no-op
+        val neighborMin =
+          if (iter == 0) edgesCur.groupBy($"src").agg(F.min($"dst").as("nlabel"))
+          else edgesCur.join(labelSide(labels),
+              edgesCur("dst") === labels("id"))
+            .groupBy($"src").agg(F.min($"label").as("nlabel"))
         val propagated = labels.as("l")
           .join(neighborMin.as("n"), $"l.id" === $"n.src", "left")
           .select($"l.id".as("id"), $"l.label".as("prev"),
@@ -61,11 +92,12 @@ object ConnectedComponents {
         // would recompute the neighbor join twice per round. The previous
         // label rides along so convergence is a filter+count over this
         // frame — not a fourth join per round.
-        val next = propagated.as("x")
-          .join(labels.select($"id".as("jid"), $"label".as("jlabel")).as("y"),
-            $"x.label" === $"y.jid", "left")
-          .select($"x.id".as("id"), $"x.prev".as("prev"),
-            least($"x.label", coalesce($"jlabel", $"x.label")).as("label"))
+        val next = (if (iter == 0) propagated
+          else propagated.as("x")
+            .join(labels.select($"id".as("jid"), $"label".as("jlabel")).as("y"),
+              $"x.label" === $"y.jid", "left")
+            .select($"x.id".as("id"), $"x.prev".as("prev"),
+              least($"x.label", coalesce($"jlabel", $"x.label")).as("label")))
           .localCheckpoint()
         changed = next.filter($"label" =!= $"prev").count()
         labels = next.select($"id", $"label")
@@ -83,15 +115,36 @@ object ConnectedComponents {
         // explicitly below.
         if (changed > 0) {
           val lbl = labelSide(labels)
-          edgesCur = edgesCur.as("e")
+          val contracted = edgesCur.as("e")
             .join(lbl.select($"id".as("sid"), $"label".as("slabel")),
               $"e.src" === $"sid")
             .join(lbl.select($"id".as("did"), $"label".as("dlabel")),
               $"e.dst" === $"did")
             .select($"slabel".as("src"), $"dlabel".as("dst"))
             .filter($"src" =!= $"dst").distinct()
-            .repartition($"dst")
-            .localCheckpoint()
+          edgesCur = (if (bcastLabels) contracted
+            else contracted.repartition($"dst")).localCheckpoint()
+          // driver finish: the contracted relation is checkpointed, so
+          // this count is a metadata-cheap job; below the cap, resolve
+          // the remaining label merges locally (bounded collect — see
+          // scaladoc) instead of paying more full-barrier rounds.
+          // The contracted edges alone are NOT the full pending state:
+          // a node whose label-node moved this round is one jump behind
+          // (label(x)=l, label(l)<l), and that chase lives only in the
+          // label relation — so the chain pairs (l, label(l)) join the
+          // union-find input, under the same bounded-count gate.
+          val eCnt = edgesCur.count()
+          if (eCnt <= driverFinishEdgeCap) {
+            val chainPairs = labels.as("a")
+              .join(labelSide(labels.select($"id".as("jid"), $"label".as("jlabel"))),
+                $"a.label" === $"jid")
+              .filter($"jlabel" =!= $"a.label")
+              .select($"a.label".as("src"), $"jlabel".as("dst")).distinct()
+            if (eCnt + chainPairs.count() <= driverFinishEdgeCap) {
+              labels = driverFinish(labels, edgesCur.unionAll(chainPairs))
+              changed = 0L
+            }
+          }
         }
         iter += 1
       }
@@ -106,5 +159,44 @@ object ConnectedComponents {
       // safe on BOTH paths — the finally keeps the non-convergence throw
       // from leaking the symmetrized edge relation in a long-lived session
     } finally edges.unpersist()
+  }
+
+  /** Union-find over a (bounded, collected) label-level edge set, then
+    * one broadcast-joined remap of the label relation. Roots are the
+    * per-component min under the ids' natural ordering — the same
+    * ordering Spark's `min`/`least` use for the distributed rounds, so
+    * the result matches the distributed fixed point exactly. */
+  private def driverFinish(labels: DataFrame, contracted: DataFrame): DataFrame = {
+    val s = labels.sparkSession
+    import s.implicits._
+    val es = contracted.collect() // bounded by driverFinishEdgeCap
+    if (es.isEmpty) return labels
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val idType = contracted.schema.head.dataType
+    // materialize keys before remapping: find() path-compresses the map
+    val remap = parent.keys.toArray
+      .map(k => (k, find(k))).filter(kv => kv._1 != kv._2)
+      .map(kv => Row(kv._1, kv._2)).toSeq
+    val remapDf = s.createDataFrame(
+      s.sparkContext.parallelize(remap, 1),
+      StructType(Seq(StructField("ml", idType), StructField("mr", idType))))
+    labels.as("l")
+      .join(broadcast(remapDf), col("l.label") === $"ml", "left")
+      .select(col("l.id").as("id"), coalesce($"mr", col("l.label")).as("label"))
   }
 }

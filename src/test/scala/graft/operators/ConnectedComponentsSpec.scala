@@ -56,11 +56,29 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = (0L until 200L).toSeq
     val edges = (0L until 199L).map(i => (i, i + 1))
     // default maxIters=30 ≫ log2(200)≈8 but ≪ the chain length 200 —
-    // convergence inside the cap proves the jump is actually halving
+    // convergence inside the cap proves the jump is actually halving.
+    // driverFinishEdgeCap=0 keeps the union-find shortcut out of the
+    // way so the distributed rounds are what converges here.
     val got = ConnectedComponents.labels(
-        ids.toDF("id"), edges.toDF("src", "dst"))
+        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.forall(_ == 0L))
+  }
+
+  test("driver union-find finish == fully distributed convergence") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val ids = (0L until 400L).toSeq
+    val edges = (0 until 250).map(_ =>
+      (rng.nextInt(400).toLong, rng.nextInt(400).toLong))
+      .filter(e => e._1 != e._2)
+    def run(cap: Long) = ConnectedComponents.labels(
+        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val finished = run(Long.MaxValue) // finish after the first round
+    val distributed = run(0L)         // never finish on the driver
+    assert(finished == distributed)
+    assert(finished == unionFind(ids, edges))
   }
 
   test("empty edge set: every node is its own component") {
@@ -84,7 +102,8 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(e => e._1 != e._2)
     val want = unionFind(ids, edges)
     val got = ConnectedComponents.labels(
-        ids.toDF("id"), edges.toDF("src", "dst"), broadcastNodeCap = 0L)
+        ids.toDF("id"), edges.toDF("src", "dst"), broadcastNodeCap = 0L,
+        driverFinishEdgeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
     assert(got.values.toSet.size > 1, "degenerate fixture: one component")
@@ -103,7 +122,7 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ConnectedComponents.labels(
         (0L until 10L).toDF("id"),
         (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst"),
-        maxIters = 1)
+        maxIters = 1, driverFinishEdgeCap = 0L)
     }
     assert(spark.sharedState.cacheManager.isEmpty,
       "non-convergence leaked the persisted edge relation")
