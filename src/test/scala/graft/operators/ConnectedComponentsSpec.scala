@@ -81,6 +81,40 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(finished == unionFind(ids, edges))
   }
 
+  test("mid-round finish triggers: every cap point == union-find") {
+    import spark.implicits._
+    // cap=∞ fires the finish after round 1; cap=0 never fires. The
+    // hazard lives BETWEEN those: a finish fired at round k>1 must fold
+    // in the labels that are still mid-chase (label(x) moved this
+    // round). Sweep caps so the trigger round varies — a 300-node chain
+    // maximizes chase depth — and cross seeds on random graphs.
+    val chainIds = (0L until 300L).toSeq
+    val chainEdges = (0L until 299L).map(i => (i, i + 1))
+    val chainWant = unionFind(chainIds, chainEdges)
+    for (cap <- Seq(1L, 25L, 120L)) {
+      val got = ConnectedComponents.labels(
+          chainIds.toDF("id"), chainEdges.toDF("src", "dst"),
+          driverFinishEdgeCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == chainWant, s"chain diverged at driverFinishEdgeCap=$cap")
+    }
+    for (seed <- Seq(3, 29)) {
+      val rng = new scala.util.Random(seed)
+      val ids = (0L until 400L).toSeq
+      val edges = (0 until 260).map(_ =>
+        (rng.nextInt(400).toLong, rng.nextInt(400).toLong))
+        .filter(e => e._1 != e._2)
+      val want = unionFind(ids, edges)
+      for (cap <- Seq(20L, 200L)) {
+        val got = ConnectedComponents.labels(
+            ids.toDF("id"), edges.toDF("src", "dst"),
+            driverFinishEdgeCap = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"seed=$seed cap=$cap diverged")
+      }
+    }
+  }
+
   test("empty edge set: every node is its own component") {
     import spark.implicits._
     val ids = Seq(3L, 5L, 9L)
