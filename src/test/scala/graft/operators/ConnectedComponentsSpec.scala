@@ -115,6 +115,25 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("string node ids: driver finish orders labels like Spark's min") {
+    import spark.implicits._
+    // the q57/q80 path uses long rep ids, but the operator is
+    // id-type-generic; driverFinish compares collected ids through
+    // Comparable, which must agree with the distributed rounds'
+    // min/least ordering (lexicographic for strings)
+    val ids = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val edges = Seq(("beta", "gamma"), ("gamma", "alpha"),
+      ("zeta", "epsilon"))
+    def run(cap: Long) = ConnectedComponents.labels(
+        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = cap)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = Map("alpha" -> "alpha", "beta" -> "alpha",
+      "gamma" -> "alpha", "delta" -> "delta",
+      "epsilon" -> "epsilon", "zeta" -> "epsilon")
+    assert(run(Long.MaxValue) == want)
+    assert(run(0L) == want)
+  }
+
   test("empty edge set: every node is its own component") {
     import spark.implicits._
     val ids = Seq(3L, 5L, 9L)
