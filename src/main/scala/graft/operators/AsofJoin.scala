@@ -72,7 +72,16 @@ object AsofJoin {
     * cross-slice order, and within a slice the window order is
     * unchanged — `w` tunes parallelism only. Pick `w` so a slice of
     * the hottest key fits comfortably in one task (e.g. one hour of a
-    * feed that peaks at ~1M events/hour). */
+    * feed that peaks at ~1M events/hour).
+    *
+    * On BOTH plans, `(rightTs, tieCol)` is assumed UNIQUE per key
+    * group (the contract of "`tieCol` totally orders right rows within
+    * a key"): with duplicate (ts, tie) right rows the attached payload
+    * among the tied rows is arbitrary, and the default and sliced
+    * plans may break that residual tie differently. The boundary
+    * aggregate orders by `(ts, tie)` only — the payload struct never
+    * enters the comparison, so unorderable right column types (e.g.
+    * maps) work on either plan. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTsCol: String, rightTsCol: String, tieCol: String,
       direction: String = "backward",
@@ -135,21 +144,24 @@ object AsofJoin {
           .partitionBy((keyCols.map(col) :+ col("__slice")): _*)
           .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
         // per-(key, slice) boundary: the slice's extreme right row by
-        // (ts, tie) — struct max/min ignores the nulled-out left rows,
-        // and (ts, tie) is unique per key so __p never decides the order
-        val bStruct = when(col("__side") === rightSide,
-          struct(col("__ts"), col("__tie"), col("__p")))
+        // (ts, tie) — max_by/min_by with a NULL ordering for left rows
+        // skips them, and the payload never enters the comparison, so
+        // unorderable right column types (maps) work here exactly as on
+        // the default path
+        val bOrd = when(col("__side") === rightSide,
+          struct(col("__ts"), col("__tie")))
         val boundaries = sliced
           .groupBy((keyCols.map(col) :+ col("__slice")): _*)
-          .agg((if (backward) max(bStruct) else min(bStruct)).as("__bm"))
+          .agg((if (backward) max_by(col("__p"), bOrd)
+            else min_by(col("__p"), bOrd)).as("__bp"))
         val overSlices = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("__slice").asc)
         val carryB =
           if (backward)
-            last(col("__bm.__p"), ignoreNulls = true)
+            last(col("__bp"), ignoreNulls = true)
               .over(overSlices.rowsBetween(Window.unboundedPreceding, -1))
           else
-            first(col("__bm.__p"), ignoreNulls = true)
+            first(col("__bp"), ignoreNulls = true)
               .over(overSlices.rowsBetween(1, Window.unboundedFollowing))
         val carried = boundaries
           .select((keyCols.map(col) :+ col("__slice") :+

@@ -171,8 +171,16 @@ object ConnectedComponents {
     import s.implicits._
     val es = contracted.collect() // bounded by driverFinishEdgeCap
     if (es.isEmpty) return labels
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // string ids must compare the way the distributed rounds' min/least
+    // do — UTF8String's unsigned-byte (code point) order. Java String
+    // compareTo is UTF-16 code-unit order, which diverges once
+    // supplementary characters mix with U+E000..U+FFFF.
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x

@@ -23,13 +23,19 @@ import org.apache.spark.sql.functions._
 object HammingJoin {
 
   /** Pairs of `fp` (`idCol`, `fpCol`: integer fingerprint) with
-    * Hamming distance ≤ `maxDist`. Output: (id_a < id_b, hamming). */
+    * Hamming distance ≤ `maxDist`. Output: (id_a < id_b, hamming).
+    *
+    * EAGER: the verified pair set is materialized at call time (an
+    * eager `localCheckpoint` cuts the banded join out of downstream
+    * lineage and lets the band cache be released before returning), so
+    * this call runs a job rather than composing lazily — callers that
+    * need a lazy frame should compose the banding themselves. The
+    * unpersist runs even if the checkpoint job fails. */
   def selfJoin(fp: DataFrame, idCol: String, fpCol: String, maxDist: Int,
       bits: Int = 32, numBands: Int = 0): DataFrame = {
     val (bands, pairs) = bandedPairs(fp, idCol, fpCol, maxDist, bits, numBands)
-    val out = pairs.localCheckpoint(true)
-    bands.unpersist(blocking = false)
-    out
+    try pairs.localCheckpoint(true)
+    finally bands.unpersist(blocking = false)
   }
 
   /** The pre-checkpoint shape of [[selfJoin]]: the cached band relation

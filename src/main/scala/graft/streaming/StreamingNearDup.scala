@@ -151,12 +151,13 @@ object StreamingNearDup {
     *
     *  1. appends its `kind="match"` pairs to `workDir/stream_matches`
     *     and its overflowed doc ids to `workDir/overflow_ids`;
-    *  2. if any doc has EVER overflowed, sweeps the cumulative
-    *     overflow set with the batch LSH pipeline
-    *     (`ApproxOps.minhashNearDupPairs` over `docsWithToks`
-    *     restricted to the overflow ids);
+    *  2. on a RECONCILING batch (every `reconcileEvery`-th, counting
+    *     from the first — default every batch), and only if any doc has
+    *     ever overflowed, sweeps the cumulative overflow set with the
+    *     batch LSH pipeline (`ApproxOps.minhashNearDupPairs` over
+    *     `docsWithToks` restricted to the overflow ids);
     *  3. overwrites `workDir/pairs` with the DISTINCT union — after
-    *     any processed batch, `pairs` is the complete near-dup pair
+    *     any RECONCILING batch, `pairs` is the complete near-dup pair
     *     set (doc_a, doc_b, jaccard) of everything ingested so far.
     *
     * Completeness: a bucket that overflows is FULL, so every later
@@ -167,22 +168,30 @@ object StreamingNearDup {
     *
     * Scale posture: stream state stays bounded (the cap); the sweep's
     * cost is the batch pipeline over |overflow| docs only, and all
-    * accumulation is in parquet, never driver memory. Production
-    * deployments with hot boilerplate would trigger step 2 on a cadence
-    * rather than every batch; the composition point is identical.
-    * `docsWithToks` is the corpus relation (doc_id, toks) the sweep
-    * reads — typically the same table the signatures were built from. */
+    * accumulation is in parquet, never driver memory. The sweep reads
+    * the CUMULATIVE overflow history, so at the default
+    * `reconcileEvery = 1` the per-batch cost grows with total overflow
+    * volume — production deployments with hot boilerplate should raise
+    * the cadence (e.g. `reconcileEvery = 100`): non-reconciling batches
+    * then do appends only (no history re-read at all), trading
+    * freshness of `pairs` (stale by < `reconcileEvery` batches) for
+    * bounded per-batch latency. `docsWithToks` is the corpus relation
+    * (doc_id, toks) the sweep reads — typically the same table the
+    * signatures were built from. */
   def matchesWithReconcile(sigs: Dataset[DocSig],
       docsWithToks: org.apache.spark.sql.DataFrame, workDir: String,
-      threshold: Double = 0.7, maxBucketMembers: Int = 4096)
+      threshold: Double = 0.7, maxBucketMembers: Int = 4096,
+      reconcileEvery: Int = 1)
       : org.apache.spark.sql.streaming.DataStreamWriter[CappedNearDupEvent] = {
     val spark = sigs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    require(reconcileEvery >= 1,
+      s"reconcileEvery must be positive: $reconcileEvery")
     matchesCapped(sigs, threshold, maxBucketMembers)
       .writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[CappedNearDupEvent], _: Long) =>
+      .foreachBatch { (batch: Dataset[CappedNearDupEvent], batchId: Long) =>
         val s = batch.sparkSession
         batch.persist()
         batch.filter(col("kind") === "match")
@@ -192,18 +201,20 @@ object StreamingNearDup {
           .select(col("doc_a").as("doc_id")).distinct()
           .write.mode("append").parquet(s"$workDir/overflow_ids")
         batch.unpersist()
-        val streamPairs =
-          s.read.parquet(s"$workDir/stream_matches").distinct()
-        val overflow = s.read.parquet(s"$workDir/overflow_ids").distinct()
-        val residue =
-          if (overflow.isEmpty) streamPairs.limit(0)
-          else graft.queries.ApproxOps.minhashNearDupPairs(
-            docsWithToks.join(overflow, "doc_id"), threshold)
-            .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        // distinct AFTER the union: a pair can be seen by both halves
-        // (stream match in one band, both ends overflowed in another)
-        streamPairs.unionByName(residue).distinct()
-          .write.mode("overwrite").parquet(s"$workDir/pairs")
+        if (batchId % reconcileEvery == 0) {
+          val streamPairs =
+            s.read.parquet(s"$workDir/stream_matches").distinct()
+          val overflow = s.read.parquet(s"$workDir/overflow_ids").distinct()
+          val residue =
+            if (overflow.isEmpty) streamPairs.limit(0)
+            else graft.queries.ApproxOps.minhashNearDupPairs(
+              docsWithToks.join(overflow, "doc_id"), threshold)
+              .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          // distinct AFTER the union: a pair can be seen by both halves
+          // (stream match in one band, both ends overflowed in another)
+          streamPairs.unionByName(residue).distinct()
+            .write.mode("overwrite").parquet(s"$workDir/pairs")
+        }
         ()
       }
   }

@@ -124,6 +124,29 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unorderable right payload (MapType): sliced plan works and == " +
+      "default plan") {
+    import spark.implicits._
+    // ADVICE r6: the slice boundary used max/min over a struct that
+    // embedded the payload, so a MapType right column threw
+    // AnalysisException on the slice path only. max_by/min_by orders by
+    // (ts, tie) alone — the payload never enters a comparison.
+    val l = (0 until 40).map(i => (i.toLong, (i % 3).toLong, (i * 7 % 50).toLong))
+      .toDF("l_id", "k", "lts")
+    val r = (0 until 25).map(j => (1000L + j, (j % 3).toLong, (j * 11 % 50).toLong))
+      .toDF("r_id", "k", "rts")
+      .withColumn("attrs", map(lit("id"), $"r_id", lit("t"), $"rts"))
+    for (dir <- Seq("backward", "forward")) {
+      def rows(sw: Option[Long]) =
+        AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts", "r_id", dir, sw)
+          .select($"l_id", $"r_id", $"attrs"("id").as("m_id"))
+          .collect().map(_.toSeq).toSet
+      val defaultRows = rows(None)
+      assert(rows(Some(5L)) == defaultRows, s"$dir: map payload diverged")
+      assert(defaultRows.exists(_(2) != null), "fixture must attach maps")
+    }
+  }
+
   test("hot key: sliced plan sub-partitions the window by (key, slice) " +
       "and matches the default plan on a 1M-row single-key timeline") {
     import spark.implicits._

@@ -134,6 +134,30 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(0L) == want)
   }
 
+  test("non-BMP string ids: driver finish uses Spark's UTF8 binary order") {
+    import spark.implicits._
+    // Java's UTF-16 code-unit compareTo and Spark's UTF8String
+    // (code point) order DISAGREE between supplementary characters and
+    // U+E000..U+FFFF: U+1F600 (surrogate pair D83D DE00) sorts BELOW
+    // U+FFFD for Java but ABOVE it for Spark. The 4-chain below leaves
+    // the contracted graph with a (repl-labeled, emoji-labeled) edge at
+    // finish time, so the driver union-find must compare exactly that
+    // diverging pair when it picks the component root.
+    val repl = "\ufffd"            // U+FFFD — Spark min of the component
+    val mid = "\ufffe"             // U+FFFE
+    val emoji1 = "\ud83d\ude00"    // U+1F600 — Java min of the component
+    val emoji2 = "\ud83d\ude01"    // U+1F601
+    val ids = Seq(repl, mid, emoji2, emoji1)
+    val edges = Seq((repl, mid), (mid, emoji2), (emoji2, emoji1))
+    def run(cap: Long) = ConnectedComponents.labels(
+        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = cap)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = ids.map(_ -> repl).toMap
+    assert(run(0L) == want, "distributed rounds should label by UTF8 min")
+    assert(run(Long.MaxValue) == want,
+      "driver finish diverged from Spark's string ordering on non-BMP ids")
+  }
+
   test("empty edge set: every node is its own component") {
     import spark.implicits._
     val ids = Seq(3L, 5L, 9L)

@@ -208,4 +208,49 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed: ${(want -- got).take(5)} extra: ${(got -- want).take(5)}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
   }
+
+  test("reconcile cadence: non-reconciling batches append only (pairs " +
+      "untouched), the next reconciling batch catches up completely") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    // ADVICE r6: at the default every-batch cadence the sweep re-reads
+    // the cumulative history per batch; reconcileEvery=N must skip the
+    // sweep (and the history read) on N-1 of N batches without losing
+    // completeness at the next reconcile point.
+    val docsWithToks = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val want = graft.queries.ApproxOps.minhashNearDupPairs(docsWithToks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigRows = graft.queries.ApproxOps.docSigs(spark, dir).as[DocSig]
+      .collect().toSeq
+    val byDoc = sigRows.groupBy(_.doc_id).toSeq.sortBy(_._1).map(_._2)
+    // ceil-divide: exactly 3 batches covering the WHOLE corpus, so the
+    // final (reconciling) batchId is 2 and `want` is the full sweep
+    val batches = byDoc.grouped((byDoc.size + 2) / 3)
+      .map(_.flatten).toSeq
+    assert(batches.size == 3)
+    val work = java.nio.file.Files.createTempDirectory("e09cad").toString
+    val mem = MemoryStream[DocSig]
+    // reconcileEvery=2: batch 0 and batch 2 reconcile, batch 1 must not
+    val q = StreamingNearDup
+      .matchesWithReconcile(mem.toDS(), docsWithToks, work,
+        maxBucketMembers = 2, reconcileEvery = 2)
+      .option("checkpointLocation", s"$work/ckpt")
+      .start()
+    def pairsNow() = spark.read.parquet(s"$work/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    mem.addData(batches(0)); q.processAllAvailable()
+    val p0 = pairsNow()
+    mem.addData(batches(1)); q.processAllAvailable()
+    val p1 = pairsNow()
+    mem.addData(batches(2)); q.processAllAvailable()
+    val p2 = pairsNow()
+    q.stop()
+    assert(p1 == p0, "a non-reconciling batch must leave pairs untouched")
+    assert(p2 == want,
+      s"reconciling batch must catch up: missed ${(want -- p2).take(5)}")
+    assert(p0 != want, "fixture too small: batch 0 already complete")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+  }
 }
