@@ -141,6 +141,17 @@ object Graft {
       threshold: Double = 0.7): DataFrame =
     queries.LlmOps.neardupPairs(docsWithToks, threshold)
 
+  /** Incremental near-dup: every exact-Jaccard pair INTRODUCED by the
+    * `delta` batch (at least one end new) without ever comparing corpus
+    * docs to each other — the per-increment shape of corpus dedup
+    * (candidate volume scales with the delta, not the corpus). Inputs
+    * are `(doc_id, toks)` frames with per-doc distinct tokens and
+    * globally unique ids; see
+    * [[graft.operators.IncrementalNearDup.newPairs]]. */
+  def nearDupPairsDelta(corpus: DataFrame, delta: DataFrame,
+      threshold: Double = 0.7): DataFrame =
+    operators.IncrementalNearDup.newPairs(corpus, delta, threshold)
+
   /** The whole dedup pipeline in one call: exact dedup (digest-keyed,
     * min-id survivor) → near-dup pair generation over whitespace token
     * sets (LSH banding by default — the 100 TB path; exact adaptive

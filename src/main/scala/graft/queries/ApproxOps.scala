@@ -241,13 +241,15 @@ object ApproxOps {
       .select($"a".as("doc_a"), $"b".as("doc_b"), lit(1.0).as("jaccard"))
 
     // eager-cut: materialize the pair set, then free every within-call
-    // cache (the checkpointed result carries no lineage back to them)
-    val result = crossGroup.unionAll(intraGroup).orderBy($"doc_a", $"doc_b")
+    // cache (the checkpointed result carries no lineage back to them);
+    // the finally keeps a failed checkpoint job from leaking the caches
+    try crossGroup.unionAll(intraGroup).orderBy($"doc_a", $"doc_b")
       .localCheckpoint(true)
-    bands.unpersist()
-    groups.unpersist()
-    masksOpt.foreach(_.unpersist())
-    result
+    finally {
+      bands.unpersist()
+      groups.unpersist()
+      masksOpt.foreach(_.unpersist())
+    }
   }
 
   /** Q48 ≈: IVF top-k ANN. Coarse centroids come from the deterministic

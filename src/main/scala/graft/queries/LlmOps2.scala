@@ -117,15 +117,23 @@ object LlmOps2 {
   // Trigram sets are sparse (unlike the 31-token unigram vocab), so the
   // inverted-index join IS the scale path here: candidates only exist
   // for docs sharing a full trigram.
-  def q44(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc DISTINCT word-trigram sets `(doc_id, tris)` — q44's
+    * derivation, shared with q105's incremental formulation. */
+  private[queries] def triSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = Tables(s, dir, "documents")
+    Tables(s, dir, "documents")
       .withColumn("sp", split($"text", " "))
       .withColumn("tris",
         when(size($"sp") < 3, array().cast("array<string>"))
           .otherwise(array_distinct(expr(
             """transform(sequence(1, size(sp) - 2),
                i -> concat_ws(' ', sp[i-1], sp[i], sp[i+1]))"""))))
+      .select($"doc_id", $"tris")
+  }
+
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = triSets(s, dir)
       .select($"doc_id", $"tris", size($"tris").cast("double").as("sz"))
       // persist + EAGER CUT (unpersisted before returning): the trigram
       // derivation is the dominant per-row cost and, unpersisted, runs
@@ -148,9 +156,9 @@ object LlmOps2 {
     // stays pinned in storage after this call returns. (Corollary: a
     // Hygiene.clearAll invalidates this frame — consume it first, as
     // the harness mains do; see Hygiene's contract note.)
-    val out = pairs.localCheckpoint(eager = true)
-    d.unpersist(blocking = false)
-    out
+    // finally: a failed checkpoint job must not leak the persist
+    try pairs.localCheckpoint(eager = true)
+    finally d.unpersist(blocking = false)
   }
   val q44Sql: String =
     """WITH d AS (

@@ -226,12 +226,12 @@ object LlmOps3 {
     val repLabels = graft.operators.ConnectedComponents.labels(
       membership.select($"rep".as("id")).distinct(),
       repEdges)
-    val out = membership
+    // finally: a failed checkpoint job must not leak the persist
+    try membership
       .join(repLabels, membership("rep") === repLabels("id"))
       .select($"doc_id", $"label")
       .localCheckpoint()
-    membership.unpersist()
-    out
+    finally membership.unpersist()
   }
 
   // ---- Q80: cluster-canonical retention ------------------------------

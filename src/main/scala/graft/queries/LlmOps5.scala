@@ -223,10 +223,10 @@ object LlmOps5 {
           .partitionBy($"lang").orderBy($"doc_id")))
       .filter($"rn" <= $"admit")
       .select($"doc_id", $"lang", $"quality_score")
-    val result = above.unionAll(admitted).orderBy($"doc_id")
+    // finally: a failed checkpoint job must not leak the persist
+    try above.unionAll(admitted).orderBy($"doc_id")
       .localCheckpoint(true)
-    scored.unpersist()
-    result
+    finally scored.unpersist()
   }
   val q79Sql: String =
     """WITH d AS (

@@ -222,6 +222,43 @@ object LlmOps6 {
       |SELECT doc_id, source, rnk FROM r WHERE rnk <= quota
       |ORDER BY doc_id""".stripMargin
 
+  // ---- Q105: incremental near-dup — pairs INTRODUCED by a delta batch -
+  // The daily-increment dedup shape: corpus = docs with doc_id % 5 != 0,
+  // delta = the rest (a 20% "new crawl"); output = every trigram-Jaccard
+  // ≥ 0.2 pair touching the delta, computed WITHOUT the corpus×corpus
+  // half of q44's self-join (operators.IncrementalNearDup — candidate
+  // volume Σ df_all·df_delta, not Σ df_all²). Output is by construction
+  // the delta-touching subset of q44's pair set, which is what the
+  // oracle asserts.
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = LlmOps2.triSets(s, dir)
+      .select($"doc_id", $"tris".as("toks"))
+      // persist + eager cut (q44's measured rule): the trigram
+      // derivation dominates per-row cost and would otherwise run once
+      // per branch per join side; the cache lives only for this call
+      .persist()
+    try {
+      val pairs = graft.operators.IncrementalNearDup.newPairs(
+        d.filter($"doc_id" % 5 =!= 0), d.filter($"doc_id" % 5 === 0), 0.2)
+      pairs.localCheckpoint(true)
+    } finally d.unpersist(blocking = false)
+  }
+  val q105Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(len(sp) - 2, 1)),
+      |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])) AS tris
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+      |    / (len(a.tris) + len(b.tris) - len(list_intersect(a.tris, b.tris))), 6) AS jaccard
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+      |  AND CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+      |    / (len(a.tris) + len(b.tris) - len(list_intersect(a.tris, b.tris))) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- Q104: passage-level dedup via winnowing fingerprints -----------
   // The dedup family the doc-level operators (q35 exact, q36/q47
   // near-dup) don't cover: SHARED PASSAGES between otherwise-different

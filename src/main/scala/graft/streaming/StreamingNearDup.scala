@@ -194,13 +194,17 @@ object StreamingNearDup {
       .foreachBatch { (batch: Dataset[CappedNearDupEvent], batchId: Long) =>
         val s = batch.sparkSession
         batch.persist()
-        batch.filter(col("kind") === "match")
-          .select(col("doc_a"), col("doc_b"), col("jaccard")).distinct()
-          .write.mode("append").parquet(s"$workDir/stream_matches")
-        batch.filter(col("kind") === "overflow")
-          .select(col("doc_a").as("doc_id")).distinct()
-          .write.mode("append").parquet(s"$workDir/overflow_ids")
-        batch.unpersist()
+        // finally: a failed append must not leak the batch persist
+        // (the stream dies with the exception, but the session — and
+        // its cache manager — may outlive the query)
+        try {
+          batch.filter(col("kind") === "match")
+            .select(col("doc_a"), col("doc_b"), col("jaccard")).distinct()
+            .write.mode("append").parquet(s"$workDir/stream_matches")
+          batch.filter(col("kind") === "overflow")
+            .select(col("doc_a").as("doc_id")).distinct()
+            .write.mode("append").parquet(s"$workDir/overflow_ids")
+        } finally batch.unpersist()
         if (batchId % reconcileEvery == 0) {
           val streamPairs =
             s.read.parquet(s"$workDir/stream_matches").distinct()
