@@ -152,6 +152,15 @@ object Graft {
       threshold: Double = 0.7): DataFrame =
     operators.IncrementalNearDup.newPairs(corpus, delta, threshold)
 
+  /** LSH twin of [[nearDupPairsDelta]] — q47's banding probed by the
+    * delta only, exact verify; the 100 TB per-increment shape (corpus
+    * band signatures are compute-once-store; candidate volume scales
+    * with the increment). Approximate: banding recall applies (≥ 0.98
+    * theoretical at the derived shape). */
+  def minHashNearDupPairsDelta(corpus: DataFrame, delta: DataFrame,
+      threshold: Double = 0.7): DataFrame =
+    queries.ApproxOps.minhashNearDupPairsDelta(corpus, delta, threshold)
+
   /** The whole dedup pipeline in one call: exact dedup (digest-keyed,
     * min-id survivor) → near-dup pair generation over whitespace token
     * sets (LSH banding by default — the 100 TB path; exact adaptive

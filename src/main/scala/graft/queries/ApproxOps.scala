@@ -252,6 +252,97 @@ object ApproxOps {
     }
   }
 
+  /** x105 ≈: the LSH twin of the incremental exact near-dup
+    * ([[graft.operators.IncrementalNearDup]]) — every banded-MinHash
+    * candidate pair with at least one end in `delta`, verified EXACTLY,
+    * i.e. q47's banding probed by the increment only. This is the
+    * 100 TB shape of per-increment dedup: corpus band signatures are a
+    * pure function of each doc (compute once, store alongside the
+    * corpus — here they are recomputed because the fixture corpus is
+    * not persisted between calls), the delta's signatures probe them,
+    * and candidate volume per (band, sig) bucket is
+    * |bucket| · |bucket ∩ delta| — proportional to the increment, never
+    * the corpus×corpus |bucket|² the full sweep pays. No rep
+    * contraction here ([[minhashNearDupPairs]]'s dedupe-first step
+    * spans corpus∪delta and would force re-grouping the corpus every
+    * increment — the opposite of incremental); identical sets simply
+    * collide in every band and verify at jaccard 1.
+    *
+    * Orientation mirrors the exact operator: old–new candidates match
+    * once (old on the index side), new–new candidates keep only the
+    * id-ordered row, and the post-verify distinct collapses multi-band
+    * collisions. Recall vs the exact delta pair set is the banding's
+    * (≥ 0.98 theoretical at the derived shape; spec'd ≥ 0.95 on the
+    * fixture corpus). */
+  private[graft] def minhashNearDupPairsDelta(corpus: DataFrame,
+      delta: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val bandRows = bandRowsFor(threshold)
+    val all = corpus.select($"doc_id", $"toks", lit(false).as("is_new"))
+      .unionByName(delta.select($"doc_id", $"toks", lit(true).as("is_new")))
+      .select($"doc_id", $"toks", $"is_new")
+    val masksOpt = LlmOps.tokenBitmasks(all.select($"doc_id", $"toks"))
+      .map(_.persist())
+    // one band relation, cached pre-partitioned on the join key (the
+    // q47/q52 pattern): the probe side below is a FILTER of the same
+    // cache, so both join inputs read the cache's HashPartitioning and
+    // the join plans no exchanges. Masks ride along where the
+    // vocabulary allows a map-side exact verify.
+    val bands = (masksOpt match {
+      case Some(m) => bandSignatures(all.join(m, "doc_id"),
+        carryCols = Seq("mask", "is_new"), bandRows = bandRows)
+      case None => bandSignatures(all,
+        carryCols = Seq("is_new"), bandRows = bandRows)
+    }).repartition($"band", $"sig").persist()
+    val probe = bands.filter($"is_new")
+    val candidates = bands.as("x").join(probe.as("y"),
+      $"x.band" === $"y.band" && $"x.sig" === $"y.sig" &&
+        $"x.doc_id" =!= $"y.doc_id" &&
+        (!$"x.is_new" || $"x.doc_id" < $"y.doc_id"))
+    val verified = (masksOpt match {
+      case Some(_) =>
+        candidates
+          .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"),
+            $"x.mask".as("ma"), $"y.mask".as("mb"))
+          .withColumn("inter", bit_count($"ma".bitwiseAND($"mb")).cast("double"))
+          .withColumn("jac",
+            $"inter" / (bit_count($"ma") + bit_count($"mb") - $"inter"))
+      case None =>
+        val toks = all.select($"doc_id", $"toks")
+        candidates
+          .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"))
+          .join(toks.select($"doc_id".as("ra"), $"toks".as("ta")), "ra")
+          .join(toks.select($"doc_id".as("rb"), $"toks".as("tb")), "rb")
+          .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("double"))
+          .withColumn("jac", $"inter" / (size($"ta") + size($"tb") - $"inter"))
+    }).filter($"jac" >= threshold)
+      .select(least($"ra", $"rb").as("doc_a"),
+        greatest($"ra", $"rb").as("doc_b"),
+        round($"jac", 6).as("jaccard"))
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+    try verified.localCheckpoint(true)
+    finally {
+      bands.unpersist()
+      masksOpt.foreach(_.unpersist())
+    }
+  }
+
+  /** x105's driver binding: same corpus/delta split as q105 (trigram
+    * sets, delta = doc_id % 5 == 0) at its 0.2 threshold — the derived
+    * banding widens to keep the candidate-recall design point
+    * ([[bandRowsFor]]). No oracle by SURVEY rule §2.C.0.6; bounded
+    * recall vs the exact q105 in ApproxOpsSpec. */
+  def x105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = LlmOps2.triSets(s, dir).select($"doc_id", $"tris".as("toks"))
+      .persist()
+    try minhashNearDupPairsDelta(
+      d.filter($"doc_id" % 5 =!= 0), d.filter($"doc_id" % 5 === 0), 0.2)
+    finally d.unpersist(blocking = false)
+  }
+
   /** Q48 ≈: IVF top-k ANN. Coarse centroids come from the deterministic
     * k-means quantizer ([[graft.operators.KMeans]]: farthest-first
     * seeding and Lloyd iterations over a config-bounded, deterministic

@@ -30,6 +30,47 @@ class ApproxOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.95, s"recall $recall")
   }
 
+  test("x105 incremental LSH == exact delta pairs within banding recall " +
+      "(both vocab regimes); every emitted pair touches the delta") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // exact truth = operators.IncrementalNearDup (itself spec'd against
+    // the full sweep and, via q105, the DuckDB oracle)
+    def run(d: org.apache.spark.sql.DataFrame, t: Double,
+        mod: Long): Unit = {
+      val old = d.filter(col("doc_id") % mod =!= 0)
+      val neu = d.filter(col("doc_id") % mod === 0)
+      val exact = graft.operators.IncrementalNearDup
+        .newPairs(old, neu, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val approx = ApproxOps.minhashNearDupPairsDelta(old, neu, t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(exact.nonEmpty, "degenerate fixture")
+      val recall =
+        (exact.keySet & approx.keySet).size.toDouble / exact.size
+      assert(recall >= 0.95, s"recall $recall")
+      // verify is exact, so every emitted pair is a TRUE pair with the
+      // exact jaccard, and must touch the delta
+      approx.foreach { case (k, jac) =>
+        assert(exact.contains(k), s"false positive $k")
+        assert(exact(k) == jac, s"jaccard mismatch at $k")
+        assert(k._1 % mod == 0 || k._2 % mod == 0,
+          s"corpus-only pair $k emitted")
+      }
+    }
+    // bitmask regime (31-token unigram vocab → map-side mask verify)
+    run(LlmOps.docTokens(spark, dir), 0.7, 4L)
+    // generic regime (trigram sets, vocab ≫ 62 → array_intersect
+    // verify) — the q105/x105 shape
+    run(LlmOps2.triSets(spark, dir)
+      .select(col("doc_id"), col("tris").as("toks")), 0.2, 5L)
+    // empty delta → empty output
+    val d = LlmOps.docTokens(spark, dir)
+    assert(ApproxOps.minhashNearDupPairsDelta(
+      d, d.filter(col("doc_id") < -1), 0.7).isEmpty)
+  }
+
   test("sparse corpus (<0.01% true-pair density): LSH candidates ≪ all-pairs, " +
       "recall holds, clusters coherent") {
     import spark.implicits._
