@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *    `spark.sql.legacy.parquet.nanosAsLong`): truncate ns→µs with
   *    integer arithmetic (never a double division — 2^63 ns loses µs
   *    precision in a double), per FIXTURES.md §B.2;
-  *  - micros (reads as TIMESTAMP_NTZ): cast to TimestampType — under
-  *    the repo's pinned UTC session timezone this reinterprets the
-  *    same wall-clock instant, matching what DuckDB's raw read sees.
+  *  - micros (reads as TIMESTAMP_NTZ): promote to TimestampType with
+  *    the wall clock interpreted as a UTC instant via tz-independent
+  *    NTZ arithmetic — the same values in ANY session timezone,
+  *    matching what DuckDB's raw read sees.
   */
 object Tables {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -36,25 +37,38 @@ object Tables {
         // parquet schema conversion consults SQLConf only (verified —
         // a DataFrameReader option for the key still fails with
         // PARQUET_TYPE_ILLEGAL), so it must be a session conf. It only
-        // changes how TIMESTAMP(NANOS) columns are read (micros files
-        // are unaffected), and without it a nanos-era events file fails
-        // schema inference outright. Sessions built by this repo
-        // (Verify/Bench/test fixtures) set it at construction; for
-        // foreign sessions we set it here ONCE with a warning, rather
-        // than silently.
-        if (!spark.conf.getOption(NanosKey).contains("true")) {
-          log.warn(s"a nanos-era events table requires session-wide " +
-            s"$NanosKey=true; setting it now (prefer setting it at " +
-            "session construction)")
-          spark.conf.set(NanosKey, "true")
-        }
-        val raw = spark.read.parquet(path(dir, "events"))
+        // changes how TIMESTAMP(NANOS) columns are read, so it is set
+        // LAZILY: attempt the read first and flip the conf (once, with
+        // a warning) only when the file actually proves nanos-era —
+        // a micros-era read in a foreign session then never alters how
+        // that session reads other nanos-timestamp parquet. Sessions
+        // built by this repo (Verify/Bench/test fixtures) set it at
+        // construction and never hit the retry.
+        val p = path(dir, "events")
+        val raw =
+          try spark.read.parquet(p)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL")
+                  && !spark.conf.getOption(NanosKey).contains("true") =>
+              log.warn(s"nanos-era events table requires session-wide " +
+                s"$NanosKey=true; setting it now (prefer setting it at " +
+                "session construction)")
+              spark.conf.set(NanosKey, "true")
+              spark.read.parquet(p)
+          }
         raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType => // nanos era
             raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
           case org.apache.spark.sql.types.TimestampNTZType => // micros era
-            raw.withColumn("ts",
-              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            // tz-INDEPENDENT promotion: wall clock becomes the same UTC
+            // instant in ANY session (timestampdiff over NTZ operands is
+            // pure wall-clock arithmetic). A plain cast to TimestampType
+            // would reinterpret the wall clock in the session timezone —
+            // identical under the repo's pinned UTC, shifted elsewhere.
+            raw.withColumn("ts", expr(
+              "timestamp_micros(timestampdiff(MICROSECOND, " +
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
           case _ => raw // already TimestampType
         }
       case other =>
