@@ -45,6 +45,13 @@ object AsofJoin {
     * sort nulls-first into the window and be carried into every left
     * row that precedes the first real right row.
     *
+    * NULL KEYS follow the same equality contract: a right row with any
+    * NULL key column is dropped before the union (SQL equality never
+    * matches NULL — without the filter the window's partitionBy would
+    * group null keys together and attach them to null-key left rows),
+    * and left rows with NULL keys are kept with all-null right columns
+    * (their partition then holds no right rows at all).
+    *
     * `sliceWidth` is the HOT-KEY scale path. The default plan's window
     * partitions by the key columns alone, so one key's entire merged
     * timeline sorts in a single task — correct at any size (sort
@@ -105,7 +112,13 @@ object AsofJoin {
     // INSIDE the left row's frame — before it for backward, after it
     // for forward (exact matches allowed in both directions)
     val (rightSide, leftSide) = if (backward) (0, 1) else (1, 0)
-    val rTagged = right.filter(col(rightTsCol).isNotNull).select(
+    // NULL right ts or NULL right key ⇒ the row can match no left row
+    // (see the NULL contract above); left rows need no mask — a
+    // null-key partition then contains no right rows, so the carry is
+    // null for free
+    val rTagged = right
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .filter(col(rightTsCol).isNotNull).select(
       (keyCols.map(col) ++
         leftCols.filterNot(keyCols.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c))) :+

@@ -32,9 +32,16 @@ object Cdc {
       .filterNot(c => c == keyCol || c == opCol || c == seqCol)
     require(payload.nonEmpty && payload.forall(base.columns.contains),
       s"change payload columns ${payload.mkString(",")} must exist in base")
+    require(!base.columns.exists(c => c == "__b" || c == "__cp" || c == "__k"
+        || c == "__op" || c.startsWith("__n_")),
+      "base column names __b/__cp/__k/__op/__n_* are reserved")
     val latest = changes.groupBy(col(keyCol))
       .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol)).as("__c"))
-      .select(col(keyCol).as("__k") +: col(s"__c.$opCol").as("__op") +:
+      // __cp: change-side presence sentinel (the mirror of __b below) —
+      // presence must not be inferred from __op, whose NULL still means
+      // upsert per the contract ("anything else = upsert")
+      .select(col(keyCol).as("__k") +: lit(true).as("__cp") +:
+        col(s"__c.$opCol").as("__op") +:
         payload.map(p => col(s"__c.$p").as(s"__n_$p")): _*)
     // Base-side presence is detected via a sentinel, not key nullness: a
     // NULL-keyed base row never matches the join but must survive untouched,
@@ -47,7 +54,7 @@ object Cdc {
       .select(coalesce(baseT(keyCol), col("__k")).as(keyCol) +:
         (payload.map { p =>
           when(col("__b").isNull, col(s"__n_$p"))                 // insert
-            .when(col("__op").isNotNull, coalesce(col(s"__n_$p"), baseT(p)))
+            .when(col("__cp").isNotNull, coalesce(col(s"__n_$p"), baseT(p)))
             .otherwise(baseT(p)).as(p)                            // untouched
         } ++ baseOnly.map(c => baseT(c).as(c))): _*)
   }

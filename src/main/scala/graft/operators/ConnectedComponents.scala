@@ -135,11 +135,15 @@ object ConnectedComponents {
           // union-find input, under the same bounded-count gate.
           val eCnt = edgesCur.count()
           if (eCnt <= driverFinishEdgeCap) {
+            // checkpointed so the node-sized label self-join runs ONCE —
+            // the gate count below and the driverFinish collect would
+            // otherwise each execute it from scratch
             val chainPairs = labels.as("a")
               .join(labelSide(labels.select($"id".as("jid"), $"label".as("jlabel"))),
                 $"a.label" === $"jid")
               .filter($"jlabel" =!= $"a.label")
               .select($"a.label".as("src"), $"jlabel".as("dst")).distinct()
+              .localCheckpoint()
             if (eCnt + chainPairs.count() <= driverFinishEdgeCap) {
               labels = driverFinish(labels, edgesCur.unionAll(chainPairs))
               changed = 0L

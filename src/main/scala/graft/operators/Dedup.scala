@@ -12,10 +12,16 @@ object Dedup {
     * with the minimum `idCol` (q35Hash's digest-first shape: the dedup
     * shuffle carries a 32-byte SHA-256 key, never the documents —
     * at 100 TB the shuffle payload IS the cost of exact dedup).
-    * Collision risk is 2^-128 — below hardware error rates. */
+    * Collision risk is 2^-128 — below hardware error rates. NULL
+    * `textCol` rows form one dedup group (GROUP BY semantics) — their
+    * digest is an empty-string sentinel, distinct from every real
+    * 64-hex-char digest, so the equi-join keeps the min-id null row
+    * instead of silently dropping all of them (NULL = NULL never
+    * matches in a plain join). */
   def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     require(!df.columns.contains("__digest"), "column name __digest is reserved")
-    val withDigest = df.withColumn("__digest", sha2(col(textCol), 256))
+    val withDigest = df.withColumn("__digest",
+      coalesce(sha2(col(textCol), 256), lit("")))
     val keep = withDigest.groupBy(col("__digest"))
       .agg(min(col(idCol)).as(idCol))
     withDigest.join(keep, Seq("__digest", idCol)).drop("__digest")

@@ -95,15 +95,22 @@ object IntervalJoin {
     val maxLen = math.max(1L, row.getLong(0))
     val median = math.max(1L, row.getLong(1))
     def levelsFor(base: Long): Int = {
+      // doubling widths with an overflow guard: once the width shifts
+      // past 2^63 it exceeds any Long interval length, so that level
+      // covers everything — the naive `base << (l-1) < maxLen` test
+      // wraps (shift is mod 64) and spins forever when maxLen is near
+      // Long.MaxValue (an open-ended valid_to=∞ sentinel interval)
       var l = 1
-      while ((base << (l - 1)) < maxLen) l += 1
+      var w = base
+      while (w < maxLen && w > 0) { l += 1; w <<= 1 }
       l
     }
     val naive = levelsFor(median)
     if (naive <= maxLevels) Hierarchy(median, naive)
     else {
-      // cap: smallest base whose maxLevels-th width covers maxLen
-      val base = (maxLen + (1L << (maxLevels - 1)) - 1) >> (maxLevels - 1)
+      // cap: smallest base whose maxLevels-th width covers maxLen —
+      // overflow-safe ceil-divide (maxLen + 2^(maxLevels-1) - 1 can wrap)
+      val base = ((maxLen - 1) >> (maxLevels - 1)) + 1
       Hierarchy(math.max(1L, base), levelsFor(math.max(1L, base)))
     }
   }

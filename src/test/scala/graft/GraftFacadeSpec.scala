@@ -82,6 +82,14 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val deduped = Graft.dedupExact(docs, "text", "doc_id")
     assert(deduped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 3L, 4L))
+    // NULL texts form ONE dedup group (GROUP BY semantics): the min-id
+    // null row survives — a plain digest equi-join dropped ALL of them
+    // (NULL = NULL never matches)
+    val withNulls = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    assert(Graft.dedupExact(withNulls, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
     val withToks = docs.withColumn("toks",
       org.apache.spark.sql.functions.array_distinct(
         org.apache.spark.sql.functions.split($"text", " ")))

@@ -99,6 +99,31 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("NULL keys: equality contract — null-key rows never match each " +
+      "other (both plans, both directions)") {
+    import spark.implicits._
+    // Window.partitionBy groups NULL keys into one partition, so
+    // without the right-side key filter a null-key left row would get
+    // a null-key right payload attached — SQL equality never matches
+    // NULL (the same theta contract as NULL timestamps)
+    val l = Seq((1L, Option(1L), 5L), (2L, Option.empty[Long], 5L))
+      .toDF("l_id", "k", "lts")
+    val r = Seq((7L, Option.empty[Long], 3L, "bad"),
+        (9L, Option(1L), 3L, "good"))
+      .toDF("r_id", "k", "rts", "payload")
+    for (dir <- Seq("backward", "forward");
+         sw <- Seq(None, Some(2L))) {
+      val got = AsofJoin.asofJoin(l, r, Seq("k"), "lts", "rts", "r_id",
+          dir, sw)
+        .collect().map(x => x.getLong(0) ->
+          Option(x.getAs[String]("payload"))).toMap
+      assert(got.size == 2, s"$dir $sw: left rows always kept")
+      assert(got(2L).isEmpty, s"$dir $sw: null-key left matched a right row")
+      val want1 = if (dir == "backward") Some("good") else None
+      assert(got(1L) == want1, s"$dir $sw: non-null key pairing broke")
+    }
+  }
+
   test("time-sliced carry == default plan on randomized instances " +
       "(every width, both directions, slice-boundary ties included)") {
     import spark.implicits._

@@ -89,4 +89,22 @@ class CdcProps extends AnyFunSuite with BeforeAndAfterAll {
     val inserted = got.find(r => !r.isNullAt(0) && r.getAs[Long]("k") == 5L).get
     assert(inserted.getAs[String]("a") == "new" && inserted.getAs[Double]("b") == 9.0)
   }
+
+  test("NULL op means upsert on existing keys too (contract: anything " +
+      "but 'D' is an upsert)") {
+    import spark.implicits._
+    // change-side presence was inferred from __op.isNotNull, so a
+    // null-op change UPSERTED new keys but silently NO-OPED existing
+    // ones; the change-side sentinel (__cp) fixes the asymmetry
+    val base = Seq((1L, "old", 1.0)).toDF("k", "a", "b")
+    val changes = Seq(
+      (1L, Option.empty[String], Option("upd"), Option(5.0), 1L),
+      (2L, Option.empty[String], Option("ins"), Option(9.0), 1L))
+      .toDF("k", "op", "a", "b", "seq")
+    val got = Cdc.applyChanges(base, changes, "k").collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("a"), r.getAs[Double]("b")))).toMap
+    assert(got == Map(1L -> (("upd", 5.0)), 2L -> (("ins", 9.0))),
+      s"null-op change must upsert both keys: $got")
+  }
 }

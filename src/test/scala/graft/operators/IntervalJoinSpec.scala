@@ -80,6 +80,24 @@ class IntervalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.count() == 0)
   }
 
+  test("open-ended sentinel interval (end = Long.MaxValue) derives a " +
+      "finite hierarchy and joins correctly") {
+    import spark.implicits._
+    // the naive `base << (l-1) < maxLen` level derivation wraps (Long
+    // shift is mod 64) once maxLen is near 2^63 and spins the driver
+    // forever — the valid_to=∞ sentinel row is the common trigger
+    val intervals = Seq((1L, 0L, Long.MaxValue), (2L, 10L, 20L))
+      .toDF("w_id", "w_start", "w_end")
+    val points = Seq((1L, 5L), (2L, 15L), (3L, 25L)).toDF("p_id", "p_ts")
+    val h = IntervalJoin.deriveHierarchy(intervals, "w_start", "w_end")
+    assert(h.levels >= 1) // reaching here at all is the regression guard
+    val got = IntervalJoin
+      .pointInInterval(intervals, points, "w_start", "w_end", "p_ts")
+      .select($"w_id", $"p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L)))
+  }
+
   test("randomized instances == brute force (varied length regimes)") {
     import spark.implicits._
     for (seed <- 0 until 12) {
