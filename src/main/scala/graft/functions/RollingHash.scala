@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Portable polynomial rolling hash as a codegen Catalyst expression:
@@ -16,11 +16,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocations.
   */
 case class RollingHash(child: Expression, maxLen: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_hash"
+  // analysis-time rejection of non-string children (a LONG child would
+  // otherwise pass analysis and fail mid-job with ClassCastException /
+  // Janino errors) — the same input-type contract the sibling
+  // expressions declare
+  override def inputTypes = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
@@ -18,8 +18,14 @@ import org.apache.spark.sql.expressions.Aggregator
 object SumOfProducts extends Aggregator[(Double, Double), JBigDecimal, JBigDecimal] {
   private val ONE = JBigDecimal.ONE
 
+  // valueOf (= Double.toString semantics) mirrors the engine's
+  // double→DECIMAL cast exactly; `new BigDecimal(d)` expands the binary
+  // double instead, and the two round differently at scale 4 whenever
+  // the shortest decimal form has ≥5 fractional digits (1.00005 → cast
+  // 1.0001 vs binary-expansion 1.0000) — breaking the q13 hash match
+  // the scaladoc promises
   private def dec4(d: Double): JBigDecimal =
-    new JBigDecimal(d, MathContext.UNLIMITED).setScale(4, RoundingMode.HALF_UP)
+    JBigDecimal.valueOf(d).setScale(4, RoundingMode.HALF_UP)
 
   override def zero: JBigDecimal = JBigDecimal.ZERO
 

@@ -133,7 +133,14 @@ object EventStreams {
               val t = us(e.ts)
               cur match {
                 case Some((start, end, n)) if t - end < gapUs =>
-                  cur = Some((start, t, n + 1))
+                  // cross-batch OUT-OF-ORDER events (admitted while the
+                  // watermark lags the session) EXTEND the bounds, never
+                  // rewind them — `(start, t, ...)` would set end < start
+                  // and mis-split the session at the next in-order event.
+                  // Single-open-session approximation: a late event older
+                  // than start merges into this session (start moves back)
+                  // rather than reconstructing a separate earlier one.
+                  cur = Some((math.min(start, t), math.max(end, t), n + 1))
                 case Some((start, end, n)) =>
                   sessions ::= SessionSummary(uid, start, end, n)
                   cur = Some((t, t, 1L))
@@ -234,7 +241,11 @@ object EventStreams {
     */
   def latestKeyStateTtl(changes: Dataset[TimedChange], ttlMinutes: Int = 30,
       watermarkDelay: String = "10 minutes",
-      tiebreak: TimedChange => String = c => s"${c.op}|${c.price}|${c.status}")
+      // ts is part of the default tiebreak: TimedChange rows identical in
+      // (op, price, status) but differing in ts would otherwise resolve
+      // by arrival order — nondeterministic state ts AND eviction time
+      tiebreak: TimedChange => String =
+        c => s"${c.op}|${c.price}|${c.status}|${c.ts}")
       : Dataset[TimedChange] = {
     import changes.sparkSession.implicits._
     val ttlMs = ttlMinutes * 60L * 1000L

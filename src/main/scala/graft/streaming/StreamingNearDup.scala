@@ -60,6 +60,25 @@ case class CappedNearDupEvent(kind: String, doc_a: Long, doc_b: Long,
   */
 object StreamingNearDup {
 
+  /** Exact AND+popcount verify of an arriving `(docId, mask)` against a
+    * bucket's `(doc_id, mask)` members — the one copy of the jaccard
+    * convention (union-0 ⇒ 1.0; round to 1e-6) every variant shares. */
+  private def verifyAgainst(members: List[(Long, Long)], docId: Long,
+      mask: Long, threshold: Double): List[NearDupMatch] =
+    members.flatMap { case (id0, m0) =>
+      if (id0 == docId) None
+      else {
+        val inter = java.lang.Long.bitCount(m0 & mask).toDouble
+        val union = java.lang.Long.bitCount(m0) +
+          java.lang.Long.bitCount(mask) - inter
+        val jac = if (union == 0) 1.0 else inter / union
+        if (jac >= threshold)
+          Some(NearDupMatch(math.min(id0, docId), math.max(id0, docId),
+            math.round(jac * 1e6) / 1e6))
+        else None
+      }
+    }
+
   def matches(sigs: Dataset[DocSig],
       threshold: Double = 0.7): Dataset[NearDupMatch] = {
     import sigs.sparkSession.implicits._
@@ -70,20 +89,12 @@ object StreamingNearDup {
           var members = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[NearDupMatch]
           rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            members.foreach { case (id0, m0) =>
-              if (id0 != d.doc_id) {
-                val inter = java.lang.Long.bitCount(m0 & d.mask).toDouble
-                val union = java.lang.Long.bitCount(m0) +
-                  java.lang.Long.bitCount(d.mask) - inter
-                val jac = if (union == 0) 1.0 else inter / union
-                if (jac >= threshold) {
-                  out += NearDupMatch(math.min(id0, d.doc_id),
-                    math.max(id0, d.doc_id),
-                    math.round(jac * 1e6) / 1e6)
-                }
-              }
-            }
-            members ::= (d.doc_id, d.mask)
+            out ++= verifyAgainst(members, d.doc_id, d.mask, threshold)
+            // a RE-INGESTED doc (at-least-once upstream) verifies again
+            // but never joins the bucket twice — membership is keyed by
+            // doc_id, so state stays bounded by the distinct corpus
+            if (!members.exists(_._1 == d.doc_id))
+              members ::= (d.doc_id, d.mask)
           }
           state.update(members)
           out.iterator
@@ -119,20 +130,15 @@ object StreamingNearDup {
           var size = members.size
           val out = scala.collection.mutable.ListBuffer.empty[CappedNearDupEvent]
           rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            members.foreach { case (id0, m0) =>
-              if (id0 != d.doc_id) {
-                val inter = java.lang.Long.bitCount(m0 & d.mask).toDouble
-                val union = java.lang.Long.bitCount(m0) +
-                  java.lang.Long.bitCount(d.mask) - inter
-                val jac = if (union == 0) 1.0 else inter / union
-                if (jac >= threshold) {
-                  out += CappedNearDupEvent("match",
-                    math.min(id0, d.doc_id), math.max(id0, d.doc_id),
-                    math.round(jac * 1e6) / 1e6, key._1, key._2)
-                }
-              }
-            }
-            if (size < maxBucketMembers) {
+            out ++= verifyAgainst(members, d.doc_id, d.mask, threshold)
+              .map(m => CappedNearDupEvent("match", m.doc_a, m.doc_b,
+                m.jaccard, key._1, key._2))
+            // a re-ingested member neither consumes a cap slot nor
+            // overflows — without the membership check one hot doc
+            // re-delivered cap times fills the bucket with copies of
+            // itself and forces every genuinely new doc to overflow
+            if (members.exists(_._1 == d.doc_id)) ()
+            else if (size < maxBucketMembers) {
               members ::= (d.doc_id, d.mask)
               size += 1
             } else {
@@ -256,20 +262,16 @@ object StreamingNearDup {
           } else {
             val out = scala.collection.mutable.ListBuffer.empty[NearDupMatch]
             rows.toSeq.sortBy(_.doc_id).foreach { d =>
-              members.foreach { case (id0, m0, _) =>
-                if (id0 != d.doc_id) {
-                  val inter = java.lang.Long.bitCount(m0 & d.mask).toDouble
-                  val union = java.lang.Long.bitCount(m0) +
-                    java.lang.Long.bitCount(d.mask) - inter
-                  val jac = if (union == 0) 1.0 else inter / union
-                  if (jac >= threshold) {
-                    out += NearDupMatch(math.min(id0, d.doc_id),
-                      math.max(id0, d.doc_id),
-                      math.round(jac * 1e6) / 1e6)
-                  }
-                }
-              }
-              members ::= ((d.doc_id, d.mask, d.ts.getTime))
+              out ++= verifyAgainst(members.map(m => (m._1, m._2)),
+                d.doc_id, d.mask, threshold)
+              // re-ingest refreshes the member's recency (its TTL clock
+              // restarts from the latest sighting) instead of appending
+              // a duplicate entry; the original mask is kept
+              if (members.exists(_._1 == d.doc_id))
+                members = members.map(m =>
+                  if (m._1 == d.doc_id) (m._1, m._2, math.max(m._3, d.ts.getTime))
+                  else m)
+              else members ::= ((d.doc_id, d.mask, d.ts.getTime))
             }
             state.update(members)
             state.setTimeoutTimestamp(

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Input-type and engine-parity contracts of the custom expression /
+  * aggregator surface that the per-operator specs don't pin. */
+class ExpressionContractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("RollingHash rejects a non-string child at ANALYSIS time") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("n")
+    // without inputTypes a LONG child passed analysis and failed
+    // mid-job (interpreted: ClassCastException; codegen: Janino) —
+    // ImplicitCastInputTypes(StringType) gives the sibling contract.
+    // A numeric child implicitly casts to string (Spark's usual
+    // coercion) — so the value must equal hashing the STRING form
+    val viaCast = df.select(
+      RollingHash.rollingHash($"n".cast("string"), 64).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val implicitly_ = df.select(
+      RollingHash.rollingHash($"n", 64).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(implicitly_ == viaCast)
+    // a type with no implicit cast to string still fails at analysis
+    val arr = Seq(Seq(1, 2)).toDF("a")
+    intercept[AnalysisException] {
+      arr.select(RollingHash.rollingHash($"a", 64)).collect()
+    }
+  }
+
+  test("SumOfProducts matches the engine's double->DECIMAL(18,4) cast " +
+      "on values where binary expansion and Double.toString diverge") {
+    import spark.implicits._
+    // 1.00005 stores as 1.0000499999...: BigDecimal.valueOf (toString
+    // semantics, what Spark's cast uses) rounds to 1.0001 at scale 4,
+    // while new BigDecimal(d) (exact binary) rounds to 1.0000 — the
+    // aggregator must take the cast's side or the q13 hash match breaks
+    val rows = Seq((1.00005, 0.0), (2.5, 0.1), (0.99995, 0.5))
+      .toDF("price", "discount")
+    val viaBuiltin = rows.select(
+      sum(col("price").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") -
+          col("discount").cast("decimal(18,4)"))).as("s"))
+      .collect().head.getDecimal(0)
+    val sumProducts = udaf(SumOfProducts)
+    val viaAggregator = rows
+      .select(sumProducts(col("price"), col("discount")).as("s"))
+      .collect().head.getDecimal(0)
+    assert(viaAggregator.compareTo(viaBuiltin) == 0,
+      s"aggregator $viaAggregator != builtin $viaBuiltin")
+  }
+}

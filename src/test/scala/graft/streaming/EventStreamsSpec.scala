@@ -428,4 +428,32 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows == 2, "reinstated key missing from state")
     q.stop()
   }
+
+  test("E08 TTL: duplicate-seq changes differing only in ts resolve " +
+      "deterministically (ts is part of the default tiebreak)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // identical (op, price, status) at the same seq but different ts:
+    // without ts in the tiebreak the retained state (and so the TTL
+    // eviction clock) depended on arrival order across micro-batches
+    def tcAt(t: String): TimedChange =
+      TimedChange(1L, "U", Some(1.0), None, 5L, Timestamp.valueOf(t))
+    val early = tcAt("2024-01-01 12:00:00")
+    val late = tcAt("2024-01-01 12:05:00")
+    def lastTs(order: Seq[TimedChange], name: String): Timestamp = {
+      val mem = MemoryStream[TimedChange]
+      val q = EventStreams
+        .latestKeyStateTtl(mem.toDS(), ttlMinutes = 300,
+          watermarkDelay = "10 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      order.foreach { c => mem.addData(c); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[TimedChange].collect().last.ts
+    }
+    val a = lastTs(Seq(early, late), "e08tie_a")
+    val b = lastTs(Seq(late, early), "e08tie_b")
+    assert(a == b, s"arrival order changed the resolved state: $a vs $b")
+    assert(a == late.ts, "the (seq, tiebreak) max should retain the later ts")
+  }
 }

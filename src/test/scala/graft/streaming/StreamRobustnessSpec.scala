@@ -186,6 +186,40 @@ class StreamRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"timeout-closed session missing: $got")
   }
 
+  test("sessionizer: cross-batch out-of-order event extends the session " +
+      "bounds instead of rewinding the end") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // watermark delay (1 h) > gap (30 min), so a late event from an
+    // earlier batch is admitted mid-session: end must become
+    // max(end, t) — the rewind bug set end=9:45 < start and split the
+    // session at the next in-order event
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("e05ooo")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Seq(ev(1, 1, 1.0, "2024-01-01 10:00:00"),
+      ev(2, 1, 1.0, "2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(3, 1, 1.0, "2024-01-01 09:45:00"))) // late, admitted
+    q.processAllAvailable()
+    mem.addData(Seq(ev(4, 1, 1.0, "2024-01-01 10:20:00"))) // in-order
+    q.processAllAvailable()
+    // close the session via the watermark (another user far ahead)
+    mem.addData(Seq(ev(9, 7, 1.0, "2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(10, 7, 1.0, "2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    def tUs(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    val user1 = spark.table("e05ooo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 1L).toSet
+    assert(user1 == Set((1L, tUs("2024-01-01 09:45:00"),
+        tUs("2024-01-01 10:20:00"), 4L)),
+      s"out-of-order event split/corrupted the session: $user1")
+  }
+
   test("sessionizer preserves sub-millisecond timestamp precision") {
     import spark.implicits._
     // batch mode: each group runs once; closed (non-final) sessions emit

@@ -109,6 +109,44 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("re-ingested docs never join a bucket twice: no duplicate match " +
+      "emissions toward later docs, no cap slots burned") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def sig(id: Long) = DocSig(id, 0, 42L, 7L)
+    // uncapped: deliver doc 2 three times, then doc 4 — doc 4 must
+    // match (2,4) exactly ONCE (duplicate membership entries would
+    // emit it once per copy)
+    val mem = MemoryStream[DocSig]
+    val q = StreamingNearDup.matches(mem.toDS())
+      .writeStream.format("memory").queryName("e09reing")
+      .outputMode(OutputMode.Append()).start()
+    Seq(Seq(1L, 2L, 3L), Seq(2L), Seq(2L), Seq(4L)).foreach { b =>
+      mem.addData(b.map(sig)); q.processAllAvailable()
+    }
+    q.stop()
+    val toward4 = spark.table("e09reing").as[NearDupMatch].collect()
+      .count(m => m.doc_a == 2L && m.doc_b == 4L)
+    assert(toward4 == 1, s"(2,4) emitted $toward4 times — duplicate " +
+      "membership entries in the bucket")
+
+    // capped at 3: bucket full with {1,2,3}; a re-delivered member must
+    // NOT overflow (it is already retained), while a genuinely new doc
+    // must
+    val mem2 = MemoryStream[DocSig]
+    val q2 = StreamingNearDup.matchesCapped(mem2.toDS(), maxBucketMembers = 3)
+      .writeStream.format("memory").queryName("e09reing2")
+      .outputMode(OutputMode.Append()).start()
+    Seq(Seq(1L, 2L, 3L), Seq(2L), Seq(4L)).foreach { b =>
+      mem2.addData(b.map(sig)); q2.processAllAvailable()
+    }
+    q2.stop()
+    val overflowed = spark.table("e09reing2").as[CappedNearDupEvent]
+      .collect().filter(_.kind == "overflow").map(_.doc_a).toSet
+    assert(overflowed == Set(4L),
+      s"re-delivered member overflowed (or new doc did not): $overflowed")
+  }
+
   test("capped buckets: state stops at the cap, retained recall holds, " +
       "overflow routed to batch (VERDICT r4 #3)") {
     import spark.implicits._
