@@ -94,6 +94,23 @@ private[filemover] object MoverCore extends Logging {
       if (p.getName != "_SUCCESS") files += p
     }
 
+    // Dynamic-partition-overwrite guard for the LEGACY committer hook:
+    // the Hadoop-level commitJob runs BEFORE the protocol's staging
+    // moves, so under dynamic mode the listing contains
+    // `.spark-staging-<jobId>/…` files — renaming them out of staging
+    // would strand the protocol's delete-and-rename step (lost data).
+    // The modern protocol hook declines via its constructor flag; this
+    // detects the same condition from the only evidence the legacy
+    // shim has. Static-mode writes never stage, so this never trips.
+    if (files.exists(p => Iterator.iterate(p)(_.getParent)
+        .takeWhile(_ != null)
+        .exists(_.getName.startsWith(".spark-staging")))) {
+      logWarning(s"movefiles: dynamic partition overwrite staging " +
+        s"detected under $outputPath — the file mover is bypassed " +
+        "(use static overwrite mode for template renames)")
+      return
+    }
+
     // FM4–FM7: pure plan + all-or-nothing collision gate.
     val planned = RenamePlanner.plan(files.toSeq, parsed, root, outputPath)
     if (planned.isEmpty && files.nonEmpty) {
@@ -123,6 +140,15 @@ private[filemover] object MoverCore extends Logging {
       renames.foreach { case (from, to) =>
         pool.execute { () =>
           try {
+            // deviation from the reference (documented): create the
+            // target's parent first — the grammar supports multi-segment
+            // templates that introduce NEW directory levels, but rename
+            // into a missing parent returns false on local FS and HDFS
+            // alike; the reference silently left such files unmoved
+            // (M:52 ignores results). mkdirs is idempotent and races
+            // benignly across the pool.
+            val parent = to.getParent
+            if (parent != null) fs.mkdirs(parent)
             if (!fs.rename(from, to)) {
               failures.add(from)
               logWarning(s"movefiles: rename failed: $from -> $to")

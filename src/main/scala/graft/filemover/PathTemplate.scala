@@ -47,7 +47,11 @@ object PathTemplate {
   private val VarRef = "\\$([a-zA-Z0-9]+)".r
 
   def parse(template: String): PathTemplate = {
-    val segments = template.split("/", -1).toVector.map { seg =>
+    // default split (limit 0) drops TRAILING empty segments, exactly like
+    // the reference's `moveFiles.split("/")` (M:25) — a "$outputDirectory/"
+    // template is therefore "$outputDirectory", not a render ending in an
+    // empty segment (which new Path(parent, "") would reject mid-commit)
+    val segments = template.split("/").toVector.map { seg =>
       val parts = Vector.newBuilder[Part]
       var last = 0
       for (m <- VarRef.findAllMatchIn(seg)) {

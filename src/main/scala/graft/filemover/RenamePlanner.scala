@@ -7,12 +7,16 @@ import org.apache.hadoop.fs.Path
   *
   * Semantics re-derived from the reference (`MoveFilesOutputCommitter
   * .scala:29-51`):
-  *  - partition values are recovered by walking a file's ancestor
-  *    directories root→leaf and matching the *whole* directory name
-  *    against `(\w+)=([a-zA-Z0-9 -_]*)` — note the value class contains
+  *  - partition values are recovered by walking a file's path elements
+  *    root→leaf — INCLUDING the file's own name, exactly like the
+  *    reference (`Seq.iterate(f, f.depth())` starts at the file, M:32) —
+  *    and matching the *whole* element name against
+  *    `(\w+)=([a-zA-Z0-9 -_]*)` — note the value class contains
   *    the range 0x20–0x5F, so spaces/dashes/underscores and Hive's
   *    `__HIVE_DEFAULT_PARTITION__` placeholder are all legal values;
-  *    deeper directories win on key collision;
+  *    deeper elements win on key collision (a `k=v`-shaped file NAME
+  *    therefore overrides a same-key ancestor directory, on both
+  *    implementations);
   *  - the synthetic variable `outputDirectory` is always bound to the
   *    job output path (overriding any same-named partition column);
   *  - collision gate: if any two source files render to the same target,

@@ -67,11 +67,16 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Batched per-partition feature extraction. `batchSize` bounds peak
-    * decoded-payload memory per task — the knob that matters when
-    * payloads are MBs, not the row count. */
+  /** Batched per-partition feature extraction. The `grouped(batchSize)`
+    * shape is the integration point for a VECTORIZED decoder (real
+    * codecs amortize per-call setup across a batch); it also means the
+    * task holds up to `batchSize` raw payloads at once — size it DOWN
+    * when payloads are MBs (a per-record codec could use batchSize=1
+    * for strictly minimal memory; the stub decodes per record either
+    * way, so results never depend on the batch split). */
   def extractImageFeatures(media: Dataset[MediaRecord],
       batchSize: Int = 64): Dataset[ImageFeatures] = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -86,6 +91,9 @@ object Multimodal {
 
   /** Frame sampling: one media row → many frame rows (generator shape). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): Dataset[FrameSample] = {
+    // driver-side argument error, not an executor-side ArithmeticException
+    // (i % 0) mid-job; a negative stride would silently sample at |stride|
+    require(stride > 0, s"stride must be positive: $stride")
     import media.sparkSession.implicits._
     media.flatMap { rec =>
       Codecs.sampleFramesStub(rec.payload, stride).zipWithIndex.map {

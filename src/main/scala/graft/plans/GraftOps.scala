@@ -32,13 +32,16 @@ object GraftOps {
       s"partialFlushRows must be positive, got $partialFlushRows")
     val spark = df.sparkSession
     // idempotently register the planner strategy on this session —
-    // planner.strategies covers both experimental.extraStrategies and
-    // extension-injected strategies (GraftExtensions), so a session
-    // built with spark.sql.extensions never gets a second copy
-    if (!spark.sessionState.planner.strategies.contains(TopKStrategy) &&
-        !spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // planner.strategies already includes BOTH experimental
+    // .extraStrategies and extension-injected strategies
+    // (GraftExtensions), so one membership check covers every
+    // registration route; synchronized so concurrent first calls cannot
+    // append two copies
+    GraftOps.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     val child = GraftSqlBridge.analyzed(df)
     def attr(name: String) = child.output.find(_.name == name).getOrElse(

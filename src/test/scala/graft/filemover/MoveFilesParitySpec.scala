@@ -155,6 +155,73 @@ class MoveFilesParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // The LEGACY committer hook must also decline under dynamic mode: its
+  // Hadoop-level commitJob runs BEFORE the protocol's staging moves, so
+  // the listing contains .spark-staging files — renaming them out of
+  // staging would strand the protocol's own rename step (lost data).
+  // The shim detects staging in the listing (it has no protocol flag).
+  test("legacy committer shim under dynamic overwrite: no move, write " +
+      "succeeds, layout intact") {
+    val out = tmpDir()
+    import spark.implicits._
+    // deregister the modern protocol; register the legacy shim instead
+    spark.conf.unset(MoveFilesCommitProtocol.COMMIT_PROTOCOL_CLASS)
+    spark.conf.set("spark.sql.sources.outputCommitterClass",
+      classOf[MoveFilesOutputCommitterCompat].getName)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      baseData.toDF().repartition(1)
+        .write.mode(SaveMode.Overwrite)
+        .option(MoveFilesCommitProtocol.MOVE_FILES_OPTION,
+          "$outputDirectory/cat_$category.csv")
+        .partitionBy("category")
+        .csv(s"$out/o")
+      assert(!Files.exists(Paths.get(s"$out/o/cat_data.csv")),
+        "shim moved files out of dynamic staging")
+      assert(listAll(s"$out/o").exists(p =>
+        p.toString.contains("category=data") &&
+          p.getFileName.toString.startsWith("part-")),
+        "dynamic layout corrupted")
+      // back in static mode the shim still moves (its normal contract)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      baseData.toDF().repartition(1)
+        .write.mode(SaveMode.Overwrite)
+        .option(MoveFilesCommitProtocol.MOVE_FILES_OPTION,
+          "$outputDirectory/cat_$category.csv")
+        .partitionBy("category")
+        .csv(s"$out/o2")
+      assert(Files.isRegularFile(Paths.get(s"$out/o2/cat_data.csv")))
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.conf.unset("spark.sql.sources.outputCommitterClass")
+      MoveFilesCommitProtocol.register(spark)
+    }
+  }
+
+  // Deviation (documented at the mkdirs call): a multi-segment template
+  // that introduces a NEW directory level works — the reference's
+  // unchecked renames silently left such files unmoved (missing parent
+  // ⇒ rename false ⇒ ignored, M:52); we create the parent instead.
+  test("template introducing a new directory level creates it and moves") {
+    val out = tmpDir()
+    write(s"$out/o", Some("$outputDirectory/$category/data.csv"),
+      partitionBy = Seq("category"))
+    assert(Files.isRegularFile(Paths.get(s"$out/o/data/data.csv")))
+    assert(Files.isRegularFile(Paths.get(s"$out/o/info/data.csv")))
+  }
+
+  // Reference split parity (M:25 uses default split, which drops
+  // TRAILING empty segments): a trailing-slash template behaves exactly
+  // like the same template without the slash, rather than rendering an
+  // empty segment that Path construction rejects post-commit.
+  test("trailing-slash template == template without the slash (M:25 " +
+      "split parity)") {
+    val out = tmpDir()
+    write(s"$out/o", Some("$outputDirectory/"), repartition = 3)
+    assert(Files.isDirectory(Paths.get(s"$out/o")))
+    assert(listAll(s"$out/o").exists(_.getFileName.toString.startsWith("part-")))
+  }
+
   // fix for a checked-rename regression: with template
   // "$outputDirectory" and ONE output file the target renders to the
   // output directory itself; the reference's unchecked fs.rename
