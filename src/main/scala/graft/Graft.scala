@@ -174,9 +174,14 @@ object Graft {
     val exact = dedupExact(docs, textCol, idCol)
     val withToks = exact.select(col(idCol).as("doc_id"),
       array_distinct(split(col(textCol), " ")).as("toks"))
+    // unsorted pair generation: connected components reshuffles the
+    // edge relation immediately, so the pair operators' driver-facing
+    // global sort would be pure wasted wall-clock inside the pipeline
     val pairs =
-      if (useLsh) minHashNearDupPairs(withToks, threshold)
-      else nearDupPairs(withToks, threshold)
+      if (useLsh) queries.ApproxOps
+        .minhashNearDupPairs(withToks, threshold, sorted = false)
+      else queries.LlmOps
+        .neardupPairs(withToks, threshold, sorted = false)
     val labels = connectedComponents(
       withToks.select(col("doc_id").as("id")),
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))

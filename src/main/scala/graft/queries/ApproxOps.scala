@@ -137,7 +137,7 @@ object ApproxOps {
     * the candidate-recall design point (≥ 0.98 theoretical) moves with
     * the request instead of silently degrading below the 0.7 tuning. */
   private[graft] def minhashNearDupPairs(docsWithToks: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, sorted: Boolean = true): DataFrame = {
     val s = docsWithToks.sparkSession
     import s.implicits._
     val bandRows = bandRowsFor(threshold)
@@ -150,9 +150,18 @@ object ApproxOps {
     // equal; see the bands note below).
     val masksOpt = LlmOps.tokenBitmasks(d.select($"doc_id", $"toks"))
       .map(_.persist())
-    val masks = masksOpt.getOrElse(
+    // empty-set docs pair with NOTHING (the exact twin's contract —
+    // jaccard(∅,·) is 0 or 0/0-undefined and q36 never emits such
+    // pairs), so they are excluded from grouping entirely: without the
+    // filter the intra-group stage below would declare all empty docs
+    // mutual jaccard-1 duplicates, a pair set the exact path provably
+    // never produces
+    val masks = masksOpt match {
+      case Some(m) => m.filter($"mask" =!= 0L)
       // generic fallback: the sorted token array is the set identity
-      d.select($"doc_id", sort_array($"toks").cast("string").as("mask")))
+      case None => d.filter(size($"toks") > 0)
+        .select($"doc_id", sort_array($"toks").cast("string").as("mask"))
+    }
     val groups = masks.groupBy($"mask")
       .agg(min($"doc_id").as("rep"), sort_array(collect_list($"doc_id")).as("ids"))
       .persist()
@@ -242,8 +251,13 @@ object ApproxOps {
 
     // eager-cut: materialize the pair set, then free every within-call
     // cache (the checkpointed result carries no lineage back to them);
-    // the finally keeps a failed checkpoint job from leaking the caches
-    try crossGroup.unionAll(intraGroup).orderBy($"doc_a", $"doc_b")
+    // the finally keeps a failed checkpoint job from leaking the caches.
+    // `sorted=false` (pipeline composition — e.g. feeding connected
+    // components, which reshuffles immediately) skips the global sort
+    // of the multi-million-row pair set; the driver-verified q47
+    // binding keeps the sorted contract
+    val all = crossGroup.unionAll(intraGroup)
+    try (if (sorted) all.orderBy($"doc_a", $"doc_b") else all)
       .localCheckpoint(true)
     finally {
       bands.unpersist()

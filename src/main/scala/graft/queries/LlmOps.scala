@@ -215,7 +215,14 @@ object LlmOps {
       }
     masks match {
       case Some(masks) =>
-        val groups = masks.groupBy($"mask")
+        // empty-set docs (mask 0) pair with NOTHING in the exact pair
+        // semantics (jaccard(∅,∅) is 0/0-undefined, and q36 emits no
+        // such pair), so each must stay its OWN singleton component —
+        // the per-doc discriminator keeps them out of a shared
+        // identical-set group (which would mislabel them as one cluster
+        // and let canonical-keep silently drop all but one)
+        val groups = masks.groupBy($"mask",
+            when($"mask" === 0L, $"doc_id").otherwise(lit(0L)).as("__e"))
           .agg(min($"doc_id").as("rep"),
             collect_list($"doc_id").as("ids"),
             bit_count($"mask").cast("double").as("sz"))
@@ -223,20 +230,30 @@ object LlmOps {
         val g1 = groups.as("g1")
         val g2 = groups.as("g2")
         // strict < : a group joined to itself is membership, not an edge
+        // (two mask-0 groups tie on mask, so empties never edge either)
         val repEdges = g1.join(g2, $"g1.mask" < $"g2.mask")
           .withColumn("inter",
             bit_count($"g1.mask".bitwiseAND($"g2.mask")).cast("double"))
-          .withColumn("jac", $"inter" / ($"g1.sz" + $"g2.sz" - $"inter"))
+          // zero-denominator guard (two mask-0 groups): the jac filter
+          // gets MERGED into the nested-loop join condition, where
+          // conjunct order is unspecified — without the when(), the
+          // division can evaluate before the mask< conjunct rejects the
+          // (0, 0) candidate row and throw DIVIDE_BY_ZERO under ANSI
+          .withColumn("den", $"g1.sz" + $"g2.sz" - $"inter")
+          .withColumn("jac", when($"den" > 0, $"inter" / $"den"))
           .filter($"jac" >= threshold)
           .select($"g1.rep".as("src"), $"g2.rep".as("dst"))
         (membership, repEdges)
       case None =>
         // generic path: no mask groups — contract the doc-pair relation
-        // through identical-sorted-set membership instead
+        // through identical-sorted-set membership instead; empty sets
+        // get the same per-doc discriminator (singletons, as above)
         val membership = d
-          .select($"doc_id", sort_array($"toks").cast("string").as("setkey"))
+          .select($"doc_id", $"sz",
+            sort_array($"toks").cast("string").as("setkey"))
           .withColumn("rep", min($"doc_id").over(
-            Window.partitionBy($"setkey")))
+            Window.partitionBy($"setkey",
+              when($"sz" === 0, $"doc_id").otherwise(lit(-1L)))))
           .select($"doc_id", $"rep")
         val pairs = neardupPairs(docsWithToks, threshold,
           forceInverted = true, sorted = false)

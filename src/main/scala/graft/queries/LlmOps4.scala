@@ -217,20 +217,26 @@ object LlmOps4 {
   def q68Bloom(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // persisted: materialized once for the bloom build, reused by the
-    // verify join (freed by the caller's per-query cache hygiene)
+    // verify join; eager-cut like every sibling (the result is
+    // checkpointed and the cache released in a finally before
+    // returning) — previously the release was left to the harness's
+    // per-query cache hygiene, which library callers don't run
     val evalG = decontGrams(s, dir).filter($"h" >= 98)
       .select($"doc_id".as("eval_id"), $"ng")
       .persist()
-    val bloom = evalG.stat.bloomFilter("ng", 100000L, 0.01)
-    val bc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((ng: String) => bc.value.mightContainString(ng))
-    decontGrams(s, dir).filter($"h" < 98)
-      .filter(mightContain($"ng")) // map-side prune before any join
-      .join(broadcast(evalG), "ng") // exact verify: false positives die
-      .groupBy($"doc_id")
-      .agg(countDistinct($"eval_id").as("n_eval_docs"),
-        countDistinct($"ng").as("n_shared"))
-      .orderBy($"doc_id")
+    try {
+      val bloom = evalG.stat.bloomFilter("ng", 100000L, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((ng: String) => bc.value.mightContainString(ng))
+      decontGrams(s, dir).filter($"h" < 98)
+        .filter(mightContain($"ng")) // map-side prune before any join
+        .join(broadcast(evalG), "ng") // exact verify: false positives die
+        .groupBy($"doc_id")
+        .agg(countDistinct($"eval_id").as("n_eval_docs"),
+          countDistinct($"ng").as("n_shared"))
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally evalG.unpersist(blocking = false)
   }
 
   val q68Sql: String =

@@ -64,7 +64,17 @@ object LlmOps6 {
     * corpus, no shuffle of the data itself. */
   private[graft] def weightedSample(df: DataFrame, textCol: String,
       weightCol: String, fNum: Int = 1, fDen: Int = 5): DataFrame = {
-    require(fNum >= 1 && fDen >= 1)
+    // the decision arithmetic casts fNum/fDen to DECIMAL(2,0) and the
+    // weight to DECIMAL(10,0): out-of-range literals would cast to NULL
+    // (silently empty output) or throw under ANSI, so the bounds the
+    // widths encode are enforced here. Weights must be integral
+    // (fractional weights round at the cast — express 1% as
+    // fNum=1/fDen=100… which is why fDen stops at 99: use fNum=1,
+    // fDen=50 + halved weights, or scale weights up instead).
+    require(fNum >= 1 && fDen >= 1, s"fNum/fDen must be >= 1: $fNum/$fDen")
+    require(fNum <= 99 && fDen <= 99,
+      s"fNum/fDen must fit DECIMAL(2,0), i.e. <= 99: $fNum/$fDen " +
+        "(scale the weights instead for finer fractions)")
     val tot = df.agg(sum(col(weightCol)).as("__sumw"),
       count(lit(1)).as("__n"))
     df.withColumn("__rh", expr(rhSql(textCol)))

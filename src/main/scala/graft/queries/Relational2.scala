@@ -143,12 +143,15 @@ object Relational2 {
       |ORDER BY gid, status, priority""".stripMargin
 
   // ---- Q18: filtered/conditional aggregation + deterministic argmax ---
-  // min_by/max_by tie-break: composite integer key round(price*100)*1e7 +
-  // orderkey (prices have 2 decimals; the key is exact in int64 at any
-  // tested scale), identical arithmetic on both engines.
+  // min_by/max_by tie-break: composite integer key round(price*100)*1e10 +
+  // orderkey, pure int64 arithmetic on both engines. The 1e10 stride
+  // keeps the orderkey term from carrying into the price field up to
+  // orderkey < 1e10 (TPC-H sf ~1600; the old 1e7 stride corrupted the
+  // argmax once orderkeys passed 10M, i.e. sf ~1.7), while the product
+  // stays exact: price*100 < 1e8 => key < 1e18 < 2^63.
   def q18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = (round($"o_totalprice" * 100).cast("long") * 10000000L
+    val key = (round($"o_totalprice" * 100).cast("long") * 10000000000L
       + $"o_orderkey").as("k")
     Tables(s, dir, "orders")
       .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
@@ -167,8 +170,8 @@ object Relational2 {
       |  CAST(ROUND(SUM(CASE WHEN o_orderpriority='1-URGENT'
       |    THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE) AS urgent_price,
       |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
-      |  arg_max(o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT)*10000000 + o_orderkey) AS top_order,
-      |  arg_min(o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT)*10000000 + o_orderkey) AS bottom_order
+      |  arg_max(o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT)*10000000000 + o_orderkey) AS top_order,
+      |  arg_min(o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT)*10000000000 + o_orderkey) AS bottom_order
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---- Q53: exact percentiles (linear interpolation) ------------------

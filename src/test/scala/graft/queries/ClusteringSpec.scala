@@ -45,6 +45,52 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size < docs.length, "expected at least one non-trivial cluster")
   }
 
+  test("empty-token-set docs are singleton components on every path " +
+      "(never mutually clustered, never dropped by canonical-keep)") {
+    import spark.implicits._
+    // exact pairs never exist between empty sets (jaccard is
+    // 0/0-undefined; q36's contract), so clustering must keep each
+    // empty doc its OWN component and canonical-keep must keep ALL of
+    // them — both the mask path and the generic setkey path previously
+    // contracted identical-empty docs into one group
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")), // jac-1 pair
+      (10L, Seq.empty[String]), (11L, Seq.empty[String]),
+      (12L, Seq.empty[String]),
+      (20L, Seq("x", "y"))).toDF("doc_id", "toks")
+    for (inverted <- Seq(false, true)) {
+      // exact pair operators: no pair touches an empty doc
+      val pairs = LlmOps.neardupPairs(docs, 0.7, forceInverted = inverted)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), s"inverted=$inverted: $pairs")
+      // graph path: every doc present, empties are their own rep/label
+      val (membership, repEdges) = LlmOps.neardupGraph(docs, 0.7,
+        forceInverted = inverted)
+      val mem = membership.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mem.keySet == Set(1L, 2L, 10L, 11L, 12L, 20L),
+        s"inverted=$inverted: docs dropped from membership: $mem")
+      assert(Seq(10L, 11L, 12L).forall(d => mem(d) == d),
+        s"inverted=$inverted: empty docs share a rep: $mem")
+      val edges = repEdges.collect().map(r => (r.get(0), r.get(1))).toSet
+      assert(!edges.exists(e =>
+          Set[Any](10L, 11L, 12L).contains(e._1) ||
+          Set[Any](10L, 11L, 12L).contains(e._2)),
+        s"inverted=$inverted: empty docs acquired edges: $edges")
+    }
+    // LSH path: same pair set as exact — no empty-doc pairs
+    val lsh = ApproxOps.minhashNearDupPairs(docs, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((1L, 2L)), s"LSH emitted empty-doc pairs: $lsh")
+    // facade composition: dedup pipeline keeps every (distinct-text)
+    // empty doc — canonical-keep must not collapse them
+    val asDocs = Seq((1L, "a b c"), (2L, "a b c"), (10L, ""),
+      (20L, "x y")).toDF("doc_id", "text")
+    val kept = graft.Graft.dedupPipeline(asDocs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L), s"pipeline kept $kept")
+  }
+
   test("Q80 keeps exactly the union-find canonical (min) doc per component") {
     val dir = "/root/testdata/sf0.001"
     val pairs = LlmOps.q36(spark, dir).collect()
