@@ -14,12 +14,23 @@ import org.apache.spark.sql.SparkSession
   * one execution, not amortize across reruns).
   */
 object Bench {
+
+  /** The box's 1-minute load average, rounded to 2 decimals (−1 when
+    * the platform won't say) — recorded at start and end of the run so
+    * the artifact carries its own ambient-contention evidence. */
+  private def loadAvg(): Double = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (l < 0) -1.0 else math.round(l * 100) / 100.0
+  }
+
   def main(args: Array[String]): Unit = {
     // silence log4j2 BEFORE the session builds: SparkContext startup
     // logs at INFO ahead of any setLogLevel call, and those lines land
     // in the driver's 2000-char capture window ahead of the JSON line
     org.apache.logging.log4j.core.config.Configurator
       .setRootLevel(org.apache.logging.log4j.Level.OFF)
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -61,33 +72,73 @@ object Bench {
       // any failed run poisons the whole query's number — a 1-in-3 flake
       // must surface as a failure, not bias the median toward the
       // surviving (faster) runs
-      val t = if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(1)
-      name -> t
+      val bad = runs.contains(-1.0)
+      val med = if (bad) -1.0 else runs.sorted.apply(1)
+      val min = if (bad) -1.0 else runs.min
+      (name, med, min, runs)
     }
-    // Full-precision, full-name per-query map goes to a file; the stdout
-    // line must stay under ~1900 chars because the round driver keeps
-    // only the final 2000 chars of output and JSON-parses the last line
-    // (rounds 1-2 exceeded that -> BENCH_r{1,2}.json "parsed": null).
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = math.round(results.map(_._2).filter(_ > 0).sum * 1000) / 1000.0
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    // Self-defending artifact (VERDICT r7 task 3): three rounds of
+    // ambient-inflated BENCH_r*.json each cost a re-adjudication
+    // session, so the stdout line now carries (a) the box's 1-min load
+    // average at start and end — the contention confession — and
+    // (b) "mins_ms": the per-query MIN of the 3 runs (milliseconds)
+    // for every CONTENTION-SUSPECT query — one whose median exceeds
+    // its min by >0.15 s and >25% — because the min is far more
+    // contention-robust than the median: an inflated median over a
+    // quiet min IS the ambient signature, readable from the artifact
+    // alone. (A dense per-query min map was measured at ~1970 chars —
+    // over the driver's 2000-char capture window — while the suspect
+    // set is empty on a quiet box and exactly the inflated queries on
+    // a noisy one; it is capped at the 40 largest med−min deltas.)
+    // Medians in "queries" drop to 1 decimal to make room; full
+    // per-query [median, min, run1..run3] precision lands in
+    // BENCH_LOCAL.json alongside.
+    val loadEnd = loadAvg()
+    // Full-precision, full-name per-query [median, min, run1..run3]
+    // map goes to a file; the stdout line must stay under ~1900 chars
+    // because the round driver keeps only the final 2000 chars of
+    // output and JSON-parses the last line (rounds 1-2 exceeded that
+    // -> BENCH_r{1,2}.json "parsed": null).
+    val fullQs = results.map { case (k, med, min, runs) =>
+      "\"" + k + "\":[" + (med +: min +: runs).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total =
+      math.round(results.map(_._2).filter(_ > 0).sum * 1000) / 1000.0
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""queries_med_min_runs":$fullQs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
     // Compact keys: leading token (q23_sort_limit -> q23); names whose
     // leading token collides (x13_*, x37_*) keep their full name.
-    val lead = results.groupBy(_._1.takeWhile(_ != '_')).filter(_._2.size == 1)
-      .keySet
-    val qs = results.map { case (k, v) =>
-      val key = if (lead.contains(k.takeWhile(_ != '_'))) k.takeWhile(_ != '_') else k
-      "\"" + key + "\":" + (math.round(v * 1000) / 1000.0)
+    val lead = results.groupBy(_._1.takeWhile(_ != '_'))
+      .filter(_._2.size == 1).keySet
+    def key(k: String): String =
+      if (lead.contains(k.takeWhile(_ != '_'))) k.takeWhile(_ != '_') else k
+    val qs = results.map { case (k, med, _, _) =>
+      "\"" + key(k) + "\":" + (math.round(med * 10) / 10.0)
     }.mkString("{", ",", "}")
+    val mins = results
+      .filter { case (_, med, min, _) =>
+        med > 0 && (med - min) > math.max(0.15, 0.25 * min) }
+      .sortBy { case (_, med, min, _) => min - med } // largest delta first
+      .take(40)
+      .map { case (k, _, min, _) => "\"" + key(k) + "\":" + math.round(min * 1000) }
+      .mkString("{", ",", "}")
     // stop BEFORE printing: Spark's shutdown logging (if any escapes the
     // OFF level) must land ahead of the JSON line the driver parses
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""queries":$qs,"mins_ms":$mins,"sf":"$sfDir"}"""
+    // belt-and-braces on the capture window: if a future query set
+    // outgrows the budget, shed mins_ms (BENCH_LOCAL.json keeps it)
+    // rather than lose the whole line to the 2000-char truncation
+    println(if (line.length <= 1900) line
+    else s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -69,7 +69,29 @@ object Tables {
             raw.withColumn("ts", expr(
               "timestamp_micros(timestampdiff(MICROSECOND, " +
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
-          case _ => raw // already TimestampType
+          case org.apache.spark.sql.types.TimestampType
+              if spark.conf.getOption(
+                "spark.sql.parquet.inferTimestampNTZ.enabled")
+                .forall(_.toBoolean) =>
+            // genuinely UTC-adjusted file (isAdjustedToUTC=true): the
+            // instants are already correct in any session timezone
+            raw
+          case other =>
+            // ADVICE r7 #3: with inferTimestampNTZ disabled a micros
+            // NTZ column ALSO surfaces as TimestampType — the wall
+            // clock silently reinterpreted in the session timezone
+            // (shifted instants anywhere but UTC) and indistinguishable
+            // here from a UTC-adjusted file. Fail loudly instead of
+            // passing through.
+            throw new IllegalStateException(
+              s"events.ts read as unexpected type $other" +
+                (if (other == org.apache.spark.sql.types.TimestampType)
+                  " with spark.sql.parquet.inferTimestampNTZ.enabled=false:" +
+                    " the loader cannot tell a UTC-adjusted file from a" +
+                    " session-reinterpreted NTZ one; leave the conf at its" +
+                    " default (true)"
+                else " — expected nanos LongType, TIMESTAMP_NTZ, or" +
+                  " (with inferTimestampNTZ on) UTC-adjusted TimestampType"))
         }
       case other =>
         spark.read.parquet(path(dir, other))

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The store's banding shape and frozen vocabulary (one parquet row at
+  * `dir/meta`). Top-level — not nested in the object — so the dataset
+  * encoder's generated code can reach the accessors; a private nested
+  * class forces the encoder onto the interpreted fallback path. */
+private[operators] case class StoreMeta(threshold: Double, band_rows: Int,
+    cells: Int, mask_complete: Boolean, vocab: Seq[String])
+
+/** Persisted MinHash band-signature store — the build-once / probe-many
+  * serving shape of the incremental LSH near-dup operator
+  * (`graft.queries.ApproxOps.minhashNearDupPairsDelta` / x105), built
+  * on the same plain-parquet pattern as [[IvfIndex]]. The store is
+  * three tables under `dir`:
+  *
+  *  - `sigs` (doc_id, band, sig, mask?), HIVE-PARTITIONED BY
+  *    `cell = pmod(hash(band, sig), cells)`: every corpus doc's banded
+  *    MinHash signatures, placed by their join key. A probe collects
+  *    the increment's touched cells (≤ `cells` values — driver
+  *    metadata) and pushes them as a STATIC partition filter, so the
+  *    scan reads only the cells the increment can collide in —
+  *    `PartitionFilters` in the plan, asserted in the spec.
+  *  - `toksets` (doc_id, toks): the raw token sets, read ONLY by the
+  *    generic-vocabulary verify (pruned to candidate ids via a
+  *    broadcast join — scanned, never shuffled). In the ≤62-token
+  *    bitmask regime the 8-byte masks ride inside `sigs` and this
+  *    table is never touched by a probe.
+  *  - `meta` (threshold, band_rows, cells, mask_complete, vocab): the
+  *    banding shape and the frozen bit-index vocabulary, so every
+  *    probe/append hashes exactly as the build did.
+  *
+  * Daily-increment loop: `build(corpus)` once; per increment
+  * `probe(delta)` (all new exact-verified near-dup pairs with ≥1 end
+  * in the delta) then `append(delta)` (the increment's signatures join
+  * the store). No step after `build` ever recomputes or re-shuffles
+  * corpus signatures — the cost the inline x105 formulation pays per
+  * call and this store exists to avoid (VERDICT r7 task 1). Probe
+  * output, orientation, jaccard convention, and banding recall are
+  * exactly the inline operator's (spec: probe == inline pair set).
+  *
+  * Vocabulary demotion: the bitmask regime is frozen at build time. An
+  * appended increment carrying out-of-vocabulary tokens writes NULL
+  * masks and flips `mask_complete` off — later probes fall back to the
+  * generic `toksets` verify (correctness unchanged; the map-side mask
+  * verify is an optimization, never a semantic). */
+object NearDupSignatureStore {
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True iff a store was built at `dir`. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      m: StoreMeta): Unit = {
+    import spark.implicits._
+    Seq(m).toDF().repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/meta")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): StoreMeta = {
+    require(exists(spark, dir), s"no signature store at $dir (run build)")
+    val r = spark.read.parquet(s"$dir/meta").collect().head
+    StoreMeta(r.getAs[Double]("threshold"), r.getAs[Int]("band_rows"),
+      r.getAs[Int]("cells"), r.getAs[Boolean]("mask_complete"),
+      r.getAs[scala.collection.Seq[String]]("vocab").toSeq)
+  }
+
+  /** Bitmasks of `d` (doc_id, toks) under a FIXED bit-index vocabulary
+    * (bit i = vocab(i)) — unlike the corpus-derived
+    * `LlmOps.tokenBitmasks`, tokens outside `vocab` cannot be
+    * represented: such docs get a NULL mask (the demotion signal).
+    * NULL tokens are ignored; an all-null/empty set folds to mask 0
+    * (pairs with nothing — jaccard 0/0 never passes a threshold). */
+  private def masksWithVocab(d: DataFrame, vocab: Seq[String]): DataFrame = {
+    import d.sparkSession.implicits._
+    val idx = vocab.zipWithIndex.toMap
+    d.select($"doc_id", typedLit(idx).as("__vm"), $"toks")
+      .selectExpr("doc_id",
+        "transform(filter(toks, t -> t IS NOT NULL), " +
+          "t -> try_element_at(__vm, t)) AS __idxs")
+      .selectExpr("doc_id",
+        "CASE WHEN exists(__idxs, i -> i IS NULL) THEN CAST(NULL AS BIGINT) " +
+          "ELSE aggregate(__idxs, 0L, (acc, i) -> acc | shiftleft(1L, i)) " +
+          "END AS mask")
+  }
+
+  /** Band signatures of `dt` (doc_id, toks) in the store's shape:
+    * (doc_id, band, sig, mask, cell) — mask per `vocab` (NULL outside
+    * it), cell = the partition key. */
+  private def sigsFor(dt: DataFrame, m: StoreMeta): DataFrame = {
+    import dt.sparkSession.implicits._
+    graft.queries.ApproxOps
+      .bandSignatures(dt.join(masksWithVocab(dt, m.vocab), "doc_id"),
+        carryCols = Seq("mask"), bandRows = m.band_rows)
+      .withColumn("cell", pmod(hash($"band", $"sig"), lit(m.cells)))
+  }
+
+  /** Build the store at `dir` from `corpus` (doc_id, toks). The
+    * banding shape derives from `threshold` exactly as the inline
+    * operator's does; `cells` is the partition grain of the signature
+    * table (raise it with corpus size — a probe's scan cost is the
+    * touched-cell fraction of the store). */
+  def build(corpus: DataFrame, dir: String, threshold: Double = 0.7,
+      cells: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(cells >= 1, s"cells must be positive: $cells")
+    val dt = corpus.select($"doc_id", $"toks")
+    // an empty build would leave `sigs` with no partition directories
+    // (unreadable schema); defer building to the first real increment
+    require(!dt.isEmpty,
+      "build needs a non-empty corpus (defer build to the first increment)")
+    // frozen bit-index vocabulary, iff it fits an int64 (the
+    // tokenBitmasks regime rule); limit(63) keeps the driver fetch
+    // bounded when the vocabulary is huge
+    val distinctToks = dt.select(explode($"toks").as("tok"))
+      .filter($"tok".isNotNull).distinct().limit(63).collect()
+      .map(_.getString(0))
+    val vocab =
+      if (distinctToks.length > 62) Seq.empty[String]
+      else distinctToks.sorted.toSeq
+    val meta = StoreMeta(threshold,
+      graft.queries.ApproxOps.bandRowsFor(threshold), cells,
+      mask_complete = vocab.nonEmpty || distinctToks.isEmpty, vocab)
+    writeMeta(spark, dir, meta)
+    dt.write.mode("overwrite").parquet(s"$dir/toksets")
+    sigsFor(dt, meta).write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/sigs")
+  }
+
+  /** Append an increment's signatures (and token sets) to the store —
+    * run AFTER [[probe]] for the same increment (probe treats the
+    * store as strictly pre-increment corpus). Out-of-vocabulary tokens
+    * demote the store to the generic verify (see class doc). */
+  def append(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+    import spark.implicits._
+    val m = readMeta(spark, dir)
+    val dt = delta.select($"doc_id", $"toks")
+    val sigs = sigsFor(dt, m).persist()
+    try {
+      // demote BEFORE the rows land: a crash between the two writes
+      // then leaves the store conservatively generic (slower, correct)
+      // instead of mask-complete with NULL masks (missed pairs)
+      if (m.mask_complete &&
+          sigs.filter($"mask".isNull).limit(1).count() > 0)
+        writeMeta(spark, dir, m.copy(mask_complete = false))
+      sigs.write.mode("append").partitionBy("cell").parquet(s"$dir/sigs")
+      dt.write.mode("append").parquet(s"$dir/toksets")
+    } finally sigs.unpersist()
+  }
+
+  /** All near-dup pairs INTRODUCED by `delta` (doc_id, toks) against
+    * the store — (doc_a, doc_b, jaccard), exact-verified, id-ordered,
+    * distinct, sorted; the same contract as the inline
+    * `minhashNearDupPairsDelta(corpus, delta)` with the store standing
+    * in for the corpus. Corpus-side work is ONE partition-pruned scan
+    * of precomputed signatures (plus, in the generic-vocabulary
+    * regime, one pruned scan of `toksets`); signatures are computed
+    * over the delta only. */
+  def probe(spark: SparkSession, dir: String, delta: DataFrame): DataFrame = {
+    val (frame, release) = probeParts(spark, dir, delta, persistDelta = true)
+    try frame.localCheckpoint(true)
+    finally release()
+  }
+
+  /** [[probe]] without the eager cut — the raw plan, for the spec's
+    * partition-prune assertions (a checkpoint would hide the scan). */
+  private[graft] def probeFrame(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame =
+    probeParts(spark, dir, delta, persistDelta = false)._1
+
+  private def probeParts(spark: SparkSession, dir: String,
+      delta: DataFrame, persistDelta: Boolean): (DataFrame, () => Unit) = {
+    import spark.implicits._
+    val m = readMeta(spark, dir)
+    val dt = delta.select($"doc_id", $"toks")
+    val deltaSigs0 = sigsFor(dt, m)
+    val deltaSigs = if (persistDelta) deltaSigs0.persist() else deltaSigs0
+    // the probe's touched cells — driver METADATA (≤ m.cells values),
+    // pushed as a static partition filter on the store scan
+    val cellVals = deltaSigs.select($"cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val store = spark.read.parquet(s"$dir/sigs")
+      .filter($"cell".isin(cellVals: _*))
+    // map-side mask verify only when the store's masks are complete AND
+    // the delta stayed inside the frozen vocabulary
+    val maskOk = m.mask_complete &&
+      deltaSigs.filter($"mask".isNull).limit(1).isEmpty
+    // old–new: pruned store scan ⋈ broadcast delta signatures (the
+    // store side never shuffles); new–new: delta self-join, id-ordered
+    // (the inline operator's orientation rule — old side matches every
+    // delta doc once, delta-internal pairs keep one orientation)
+    val oldNew = store.as("x").join(broadcast(deltaSigs).as("y"),
+      $"x.band" === $"y.band" && $"x.sig" === $"y.sig" &&
+        $"x.doc_id" =!= $"y.doc_id")
+    val newNew = deltaSigs.as("x").join(deltaSigs.as("y"),
+      $"x.band" === $"y.band" && $"x.sig" === $"y.sig" &&
+        $"x.doc_id" < $"y.doc_id")
+    val withJac =
+      if (maskOk) {
+        Seq(oldNew, newNew).map(_
+            .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"),
+              $"x.mask".as("ma"), $"y.mask".as("mb")))
+          .reduce(_ unionByName _)
+          .withColumn("inter",
+            bit_count($"ma".bitwiseAND($"mb")).cast("double"))
+          .withColumn("jac",
+            $"inter" / (bit_count($"ma") + bit_count($"mb") - $"inter"))
+      } else {
+        // generic verify: store-end token sets from `toksets`, pruned
+        // to the candidate ids via broadcast (scan-only, no shuffle);
+        // delta-end sets from the delta frame itself
+        val ta = $"toks".as("ta")
+        val tb = $"toks".as("tb")
+        val oldNewV = spark.read.parquet(s"$dir/toksets")
+          .select($"doc_id".as("ra"), ta)
+          .join(broadcast(oldNew
+            .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"))), "ra")
+          .join(broadcast(dt.select($"doc_id".as("rb"), tb)), "rb")
+        val newNewV = newNew
+          .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"))
+          .join(dt.select($"doc_id".as("ra"), ta), "ra")
+          .join(dt.select($"doc_id".as("rb"), tb), "rb")
+        oldNewV.select($"ra", $"rb", $"ta", $"tb")
+          .unionByName(newNewV.select($"ra", $"rb", $"ta", $"tb"))
+          .withColumn("inter",
+            size(array_intersect($"ta", $"tb")).cast("double"))
+          .withColumn("jac",
+            $"inter" / (size($"ta") + size($"tb") - $"inter"))
+      }
+    val result = withJac.filter($"jac" >= m.threshold)
+      .select(least($"ra", $"rb").as("doc_a"),
+        greatest($"ra", $"rb").as("doc_b"),
+        round($"jac", 6).as("jaccard"))
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+    (result,
+      () => if (persistDelta) { deltaSigs.unpersist(); () } else ())
+  }
+}

@@ -271,16 +271,26 @@ object ApproxOps {
     * candidate pair with at least one end in `delta`, verified EXACTLY,
     * i.e. q47's banding probed by the increment only. This is the
     * 100 TB shape of per-increment dedup: corpus band signatures are a
-    * pure function of each doc (compute once, store alongside the
-    * corpus — here they are recomputed because the fixture corpus is
-    * not persisted between calls), the delta's signatures probe them,
-    * and candidate volume per (band, sig) bucket is
-    * |bucket| · |bucket ∩ delta| — proportional to the increment, never
-    * the corpus×corpus |bucket|² the full sweep pays. No rep
-    * contraction here ([[minhashNearDupPairs]]'s dedupe-first step
-    * spans corpus∪delta and would force re-grouping the corpus every
-    * increment — the opposite of incremental); identical sets simply
-    * collide in every band and verify at jaccard 1.
+    * pure function of each doc — compute once, store alongside the
+    * corpus — the delta's signatures probe them, and candidate volume
+    * per (band, sig) bucket is |bucket| · |bucket ∩ delta| —
+    * proportional to the increment, never the corpus×corpus |bucket|²
+    * the full sweep pays. No rep contraction here
+    * ([[minhashNearDupPairs]]'s dedupe-first step spans corpus∪delta
+    * and would force re-grouping the corpus every increment — the
+    * opposite of incremental); identical sets simply collide in every
+    * band and verify at jaccard 1.
+    *
+    * THIS inline variant recomputes the corpus signatures because both
+    * frames are in hand for a single call (the hash-gated fixture
+    * shape). The production daily-increment surface is
+    * [[graft.operators.NearDupSignatureStore]]: `build` writes the band
+    * signatures cell-partitioned to parquet once, `probe` joins an
+    * increment against the STORE (partition-pruned scan, zero
+    * corpus-side signature jobs), `append` adds the increment's
+    * signatures back — so successive increments never rescan or
+    * re-shuffle the corpus. Its spec proves probe == this operator's
+    * pair set.
     *
     * Orientation mirrors the exact operator: old–new candidates match
     * once (old on the index side), new–new candidates keep only the
@@ -310,10 +320,7 @@ object ApproxOps {
         carryCols = Seq("is_new"), bandRows = bandRows)
     }).repartition($"band", $"sig").persist()
     val probe = bands.filter($"is_new")
-    val candidates = bands.as("x").join(probe.as("y"),
-      $"x.band" === $"y.band" && $"x.sig" === $"y.sig" &&
-        $"x.doc_id" =!= $"y.doc_id" &&
-        (!$"x.is_new" || $"x.doc_id" < $"y.doc_id"))
+    val candidates = deltaBandJoin(bands, probe)
     val verified = (masksOpt match {
       case Some(_) =>
         candidates
@@ -341,6 +348,42 @@ object ApproxOps {
       bands.unpersist()
       masksOpt.foreach(_.unpersist())
     }
+  }
+
+  /** THE delta-probed candidate join of the incremental LSH path —
+    * the one copy of the orientation rule shared by
+    * [[minhashNearDupPairsDelta]] and the scale-pin spec, so the pinned
+    * candidate volume is asserted on the production join shape, not a
+    * reconstruction. `bands` is the full (corpus ∪ delta) band relation
+    * with an `is_new` flag; `probe` is its delta-side filter. Per
+    * (band, sig) bucket the join emits |bucket| · |bucket ∩ delta| rows
+    * minus self-pairs and the id-disordered new–new half — proportional
+    * to the increment, never |bucket|². */
+  private[graft] def deltaBandJoin(bands: DataFrame,
+      probe: DataFrame): DataFrame = {
+    import bands.sparkSession.implicits._
+    bands.as("x").join(probe.as("y"),
+      $"x.band" === $"y.band" && $"x.sig" === $"y.sig" &&
+        $"x.doc_id" =!= $"y.doc_id" &&
+        (!$"x.is_new" || $"x.doc_id" < $"y.doc_id"))
+  }
+
+  /** The pre-verify candidate pairs of [[minhashNearDupPairsDelta]],
+    * exposed for the scale-pin spec (the x105 analogue of
+    * `IncrementalNearDup.candidateIncidences`): same signatures, same
+    * [[deltaBandJoin]], no verify — so a spec can pin the join's row
+    * count to the per-bucket |bucket| · |bucket ∩ delta| bound on a
+    * hot-bucket fixture. */
+  private[graft] def deltaCandidates(corpus: DataFrame, delta: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val all = corpus.select($"doc_id", $"toks", lit(false).as("is_new"))
+      .unionByName(delta.select($"doc_id", $"toks", lit(true).as("is_new")))
+    val bands = bandSignatures(all, carryCols = Seq("is_new"),
+      bandRows = bandRowsFor(threshold))
+    deltaBandJoin(bands, bands.filter($"is_new"))
+      .select($"x.doc_id".as("ra"), $"y.doc_id".as("rb"))
   }
 
   /** x105's driver binding: same corpus/delta split as q105 (trigram

@@ -126,26 +126,33 @@ object EventStreams {
             state.remove()
             Iterator(SessionSummary(uid, start, end, n))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            // standard INTERVAL sessionization over the admitted events
+            // plus the open session (as one interval), in start-time
+            // order: a cross-batch out-of-order event within `gap` of
+            // the open session's start merges backward (bounds extend,
+            // never rewind); one beyond the gap forms its own EARLIER
+            // session, closed and emitted immediately — it can never
+            // inflate the open session's bounds (ADVICE r7 #1; the
+            // pre-r8 code merged ANY admitted late event into the open
+            // session, however old). Late events near EACH OTHER in the
+            // same batch still merge with each other. Remaining
+            // approximation: an already-emitted session cannot be
+            // reopened by an even later event (no closed-session
+            // buffer) — such an event starts a fresh session.
+            val evIv = evs.toSeq.map(e => (us(e.ts), e.event_id)).sorted
+              .map { case (t, _) => (t, t, 1L) }
+            val items = (state.getOption.toList ++ evIv).sortBy(_._1)
             var sessions = List.empty[SessionSummary]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = us(e.ts)
+            var cur = Option.empty[(Long, Long, Long)]
+            items.foreach { case (s0, e0, n0) =>
               cur match {
-                case Some((start, end, n)) if t - end < gapUs =>
-                  // cross-batch OUT-OF-ORDER events (admitted while the
-                  // watermark lags the session) EXTEND the bounds, never
-                  // rewind them — `(start, t, ...)` would set end < start
-                  // and mis-split the session at the next in-order event.
-                  // Single-open-session approximation: a late event older
-                  // than start merges into this session (start moves back)
-                  // rather than reconstructing a separate earlier one.
-                  cur = Some((math.min(start, t), math.max(end, t), n + 1))
+                case Some((start, end, n)) if s0 - end < gapUs =>
+                  cur = Some((start, math.max(end, e0), n + n0))
                 case Some((start, end, n)) =>
                   sessions ::= SessionSummary(uid, start, end, n)
-                  cur = Some((t, t, 1L))
+                  cur = Some((s0, e0, n0))
                 case None =>
-                  cur = Some((t, t, 1L))
+                  cur = Some((s0, e0, n0))
               }
             }
             cur.foreach { c =>

@@ -89,12 +89,18 @@ object StreamingNearDup {
           var members = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[NearDupMatch]
           rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            out ++= verifyAgainst(members, d.doc_id, d.mask, threshold)
-            // a RE-INGESTED doc (at-least-once upstream) verifies again
-            // but never joins the bucket twice — membership is keyed by
-            // doc_id, so state stays bounded by the distinct corpus
-            if (!members.exists(_._1 == d.doc_id))
+            // a RE-INGESTED doc (at-least-once upstream) is SKIPPED
+            // entirely: its pairs against earlier members were emitted
+            // at its first arrival, and every later member verified
+            // against it at theirs — re-verifying would re-emit every
+            // one of those pairs toward direct consumers (ADVICE r7
+            // #2). Membership keyed by doc_id also keeps state bounded
+            // by the distinct corpus.
+            if (members.exists(_._1 == d.doc_id)) ()
+            else {
+              out ++= verifyAgainst(members, d.doc_id, d.mask, threshold)
               members ::= (d.doc_id, d.mask)
+            }
           }
           state.update(members)
           out.iterator
@@ -130,20 +136,28 @@ object StreamingNearDup {
           var size = members.size
           val out = scala.collection.mutable.ListBuffer.empty[CappedNearDupEvent]
           rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            out ++= verifyAgainst(members, d.doc_id, d.mask, threshold)
-              .map(m => CappedNearDupEvent("match", m.doc_a, m.doc_b,
-                m.jaccard, key._1, key._2))
-            // a re-ingested member neither consumes a cap slot nor
-            // overflows — without the membership check one hot doc
-            // re-delivered cap times fills the bucket with copies of
-            // itself and forces every genuinely new doc to overflow
+            // a re-ingested MEMBER is skipped entirely: it neither
+            // re-emits its already-emitted pairs (ADVICE r7 #2) nor
+            // consumes a cap slot — without the membership check one
+            // hot doc re-delivered cap times fills the bucket with
+            // copies of itself and forces every genuinely new doc to
+            // overflow. A re-delivered doc that previously OVERFLOWED
+            // is indistinguishable from a new doc (tracking overflowed
+            // ids would be unbounded state — the cap's whole point),
+            // so it re-verifies and re-emits; overflow consumers
+            // already dedupe ids, and pair consumers dedupe pairs.
             if (members.exists(_._1 == d.doc_id)) ()
-            else if (size < maxBucketMembers) {
-              members ::= (d.doc_id, d.mask)
-              size += 1
-            } else {
-              out += CappedNearDupEvent("overflow", d.doc_id, -1L, 0.0,
-                key._1, key._2)
+            else {
+              out ++= verifyAgainst(members, d.doc_id, d.mask, threshold)
+                .map(m => CappedNearDupEvent("match", m.doc_a, m.doc_b,
+                  m.jaccard, key._1, key._2))
+              if (size < maxBucketMembers) {
+                members ::= (d.doc_id, d.mask)
+                size += 1
+              } else {
+                out += CappedNearDupEvent("overflow", d.doc_id, -1L, 0.0,
+                  key._1, key._2)
+              }
             }
           }
           state.update(members)
@@ -158,32 +172,43 @@ object StreamingNearDup {
     *  1. appends its `kind="match"` pairs to `workDir/stream_matches`
     *     and its overflowed doc ids to `workDir/overflow_ids`;
     *  2. on a RECONCILING batch (every `reconcileEvery`-th, counting
-    *     from the first — default every batch), and only if any doc has
-    *     ever overflowed, sweeps the cumulative overflow set with the
-    *     batch LSH pipeline (`ApproxOps.minhashNearDupPairs` over
-    *     `docsWithToks` restricted to the overflow ids);
-    *  3. overwrites `workDir/pairs` with the DISTINCT union — after
-    *     any RECONCILING batch, `pairs` is the complete near-dup pair
-    *     set (doc_a, doc_b, jaccard) of everything ingested so far.
+    *     from the first — default every batch), probes ONLY the
+    *     overflow docs that arrived since the last reconcile against
+    *     the persisted band-signature store of the previously
+    *     reconciled ones ([[graft.operators.NearDupSignatureStore]]
+    *     under `workDir/sigstore`; built from the first reconcile's
+    *     docs, appended-to ever after), and appends the resulting
+    *     pairs to `workDir/reconcile_matches`;
+    *  3. overwrites `workDir/pairs` with the DISTINCT union of the two
+    *     append-only pair logs — after any RECONCILING batch, `pairs`
+    *     is the complete near-dup pair set (doc_a, doc_b, jaccard) of
+    *     everything ingested so far.
     *
     * Completeness: a bucket that overflows is FULL, so every later
     * arrival to it also overflows — any pair the capped stream misses
-    * therefore has BOTH ends in the overflow set, which is exactly the
-    * sweep's input (StreamingNearDupSpec proves pairs == the batch
+    * therefore has BOTH ends in the overflow set. By induction every
+    * such pair is found at the reconcile where its LATER end first
+    * appears: pairs among earlier overflow docs are already in
+    * `reconcile_matches`, and the store probe finds every banded
+    * candidate between the new docs and all stored ones plus the
+    * new–new pairs (StreamingNearDupSpec proves pairs == the batch
     * sweep of the whole corpus on an overflowing fixture).
     *
-    * Scale posture: stream state stays bounded (the cap); the sweep's
-    * cost is the batch pipeline over |overflow| docs only, and all
-    * accumulation is in parquet, never driver memory. The sweep reads
-    * the CUMULATIVE overflow history, so at the default
-    * `reconcileEvery = 1` the per-batch cost grows with total overflow
-    * volume — production deployments with hot boilerplate should raise
-    * the cadence (e.g. `reconcileEvery = 100`): non-reconciling batches
-    * then do appends only (no history re-read at all), trading
-    * freshness of `pairs` (stale by < `reconcileEvery` batches) for
-    * bounded per-batch latency. `docsWithToks` is the corpus relation
-    * (doc_id, toks) the sweep reads — typically the same table the
-    * signatures were built from. */
+    * Scale posture (VERDICT r7 task 2): stream state stays bounded
+    * (the cap); a reconcile's signature work is the SINCE-LAST-
+    * RECONCILE docs only — the store is probed via a partition-pruned
+    * scan of precomputed signatures and never recomputes or
+    * re-shuffles the reconciled corpus (the r7 formulation re-ran the
+    * full LSH sweep over the cumulative overflow set every reconcile).
+    * All accumulation is in parquet, never driver memory; the
+    * remaining per-reconcile history cost is re-reading the two pair
+    * logs for the `pairs` union — the size of the OUTPUT, not of the
+    * corpus. Raise `reconcileEvery` to amortize further:
+    * non-reconciling batches do appends only, trading freshness of
+    * `pairs` (stale by < `reconcileEvery` batches) for bounded
+    * per-batch latency. `docsWithToks` is the corpus relation
+    * (doc_id, toks) reconciles read token sets from — typically the
+    * same table the signatures were built from. */
   def matchesWithReconcile(sigs: Dataset[DocSig],
       docsWithToks: org.apache.spark.sql.DataFrame, workDir: String,
       threshold: Double = 0.7, maxBucketMembers: Int = 4096,
@@ -212,14 +237,47 @@ object StreamingNearDup {
             .write.mode("append").parquet(s"$workDir/overflow_ids")
         } finally batch.unpersist()
         if (batchId % reconcileEvery == 0) {
+          import graft.operators.NearDupSignatureStore
+          val storeDir = s"$workDir/sigstore"
+          val overflow = s.read.parquet(s"$workDir/overflow_ids").distinct()
+          // delta = overflow docs the store hasn't reconciled yet (the
+          // store's toksets table is the reconciled-id ledger, so
+          // re-delivered overflow ids are naturally skipped)
+          val deltaDocs = (if (NearDupSignatureStore.exists(s, storeDir))
+            docsWithToks.join(overflow.join(
+              s.read.parquet(s"$storeDir/toksets").select(col("doc_id")),
+              Seq("doc_id"), "left_anti"), "doc_id")
+          else docsWithToks.join(overflow, "doc_id")).persist()
+          try {
+            if (!deltaDocs.isEmpty) {
+              val fresh =
+                if (NearDupSignatureStore.exists(s, storeDir)) {
+                  // probe BEFORE append: the store is strictly the
+                  // pre-increment corpus
+                  val p = NearDupSignatureStore.probe(s, storeDir, deltaDocs)
+                  NearDupSignatureStore.append(s, storeDir, deltaDocs)
+                  p
+                } else {
+                  // first reconcile: every overflow doc is new — the
+                  // delta-internal sweep IS the complete residue; the
+                  // store is then built from these docs once
+                  val p = graft.queries.ApproxOps.minhashNearDupPairs(
+                    deltaDocs, threshold, sorted = false)
+                  NearDupSignatureStore.build(deltaDocs, storeDir, threshold)
+                  p
+                }
+              fresh.select(col("doc_a"), col("doc_b"), col("jaccard"))
+                .write.mode("append").parquet(s"$workDir/reconcile_matches")
+            }
+          } finally deltaDocs.unpersist()
           val streamPairs =
             s.read.parquet(s"$workDir/stream_matches").distinct()
-          val overflow = s.read.parquet(s"$workDir/overflow_ids").distinct()
-          val residue =
-            if (overflow.isEmpty) streamPairs.limit(0)
-            else graft.queries.ApproxOps.minhashNearDupPairs(
-              docsWithToks.join(overflow, "doc_id"), threshold)
-              .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          val fs = new org.apache.hadoop.fs.Path(workDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val residue = if (fs.exists(
+              new org.apache.hadoop.fs.Path(s"$workDir/reconcile_matches")))
+            s.read.parquet(s"$workDir/reconcile_matches")
+          else streamPairs.limit(0)
           // distinct AFTER the union: a pair can be seen by both halves
           // (stream match in one band, both ends overflowed in another)
           streamPairs.unionByName(residue).distinct()
@@ -262,16 +320,20 @@ object StreamingNearDup {
           } else {
             val out = scala.collection.mutable.ListBuffer.empty[NearDupMatch]
             rows.toSeq.sortBy(_.doc_id).foreach { d =>
-              out ++= verifyAgainst(members.map(m => (m._1, m._2)),
-                d.doc_id, d.mask, threshold)
-              // re-ingest refreshes the member's recency (its TTL clock
-              // restarts from the latest sighting) instead of appending
-              // a duplicate entry; the original mask is kept
+              // re-ingest of a LIVE member refreshes its recency (the
+              // TTL clock restarts from the latest sighting, original
+              // mask kept) and emits nothing — its pairs were emitted
+              // at first arrival and by each later member's (ADVICE r7
+              // #2). A doc whose entry EXPIRED re-verifies as new.
               if (members.exists(_._1 == d.doc_id))
                 members = members.map(m =>
                   if (m._1 == d.doc_id) (m._1, m._2, math.max(m._3, d.ts.getTime))
                   else m)
-              else members ::= ((d.doc_id, d.mask, d.ts.getTime))
+              else {
+                out ++= verifyAgainst(members.map(m => (m._1, m._2)),
+                  d.doc_id, d.mask, threshold)
+                members ::= ((d.doc_id, d.mask, d.ts.getTime))
+              }
             }
             state.update(members)
             state.setTimeoutTimestamp(

@@ -41,6 +41,25 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(utc.nonEmpty)
   }
 
+  test("loader fails loudly when inferTimestampNTZ is disabled instead " +
+      "of silently passing a session-reinterpreted TimestampType through") {
+    // ADVICE r7 #3: with spark.sql.parquet.inferTimestampNTZ.enabled=
+    // false a micros NTZ column surfaces as TimestampType — wall clock
+    // reinterpreted in the session timezone, indistinguishable from a
+    // genuinely UTC-adjusted file. The loader must refuse, not guess.
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      val e = intercept[IllegalStateException](
+        Tables(spark, dir, "events").count())
+      assert(e.getMessage.contains("inferTimestampNTZ"), e.getMessage)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("micros-era read does not flip the session-wide nanos conf") {
     // this suite's session does NOT preset the legacy key, so a clean
     // micros-era load must leave it unset (ADVICE: flipping it changes

@@ -71,6 +71,24 @@ class ApproxOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       d, d.filter(col("doc_id") < -1), 0.7).isEmpty)
   }
 
+  test("x105 scale pin: delta-probed candidate volume is " +
+      "|bucket|·|bucket∩delta| per band, never |bucket|²") {
+    import spark.implicits._
+    // hot-bucket fixture (the q105 pin's LSH analogue, VERDICT r7 #6):
+    // 200 corpus docs + 2 delta docs with IDENTICAL token sets land in
+    // ONE bucket per band. Per band the production deltaBandJoin emits
+    // |bucket|·|bucket∩delta| − |delta| self-pairs − C(|delta|,2)
+    // id-disordered new–new rows = 202·2 − 2 − 1 = 403 − 2 = 401; the
+    // full sweep's self-join would emit C(202,2) = 20301 per band.
+    val toks = Seq("a", "b", "c")
+    val old = (0L until 200L).map(i => (i, toks)).toDF("doc_id", "toks")
+    val delta = Seq((1000L, toks), (1001L, toks)).toDF("doc_id", "toks")
+    val got = ApproxOps.deltaCandidates(old, delta).count()
+    assert(got == 16L * 401L,
+      s"candidate volume $got != delta-bounded ${16 * 401} " +
+        s"(full sweep: ${16 * 20301})")
+  }
+
   test("sparse corpus (<0.01% true-pair density): LSH candidates ≪ all-pairs, " +
       "recall holds, clusters coherent") {
     import spark.implicits._

@@ -220,6 +220,45 @@ class StreamRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"out-of-order event split/corrupted the session: $user1")
   }
 
+  test("sessionizer: an admitted late event BEYOND the gap forms its own " +
+      "earlier session instead of inflating the open session's bounds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // ADVICE r7 #1: the pre-r8 merge guard (`t - end < gap`) was
+    // trivially true for any t <= end, so an admitted event arbitrarily
+    // older than `start` stretched the open session backward. Fixture:
+    // open session (10:00, 10:10); late events 9:15 and 9:20 are inside
+    // the 1 h watermark (9:10) but gap-separated (>30 min) from 10:00 —
+    // they must merge with EACH OTHER into one immediately-closed
+    // earlier session, leaving the open session untouched.
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("e05late")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Seq(ev(1, 1, 1.0, "2024-01-01 10:00:00"),
+      ev(2, 1, 1.0, "2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(3, 1, 1.0, "2024-01-01 09:15:00"),
+      ev(4, 1, 1.0, "2024-01-01 09:20:00"))) // admitted, beyond the gap
+    q.processAllAvailable()
+    mem.addData(Seq(ev(5, 1, 1.0, "2024-01-01 10:20:00"))) // in-order
+    q.processAllAvailable()
+    // close the open session via the watermark (another user far ahead)
+    mem.addData(Seq(ev(9, 7, 1.0, "2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(10, 7, 1.0, "2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    def tUs(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    val user1 = spark.table("e05late").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 1L).toSet
+    assert(user1 == Set(
+      (1L, tUs("2024-01-01 09:15:00"), tUs("2024-01-01 09:20:00"), 2L),
+      (1L, tUs("2024-01-01 10:00:00"), tUs("2024-01-01 10:20:00"), 3L)),
+      s"late events mishandled: $user1")
+  }
+
   test("sessionizer preserves sub-millisecond timestamp precision") {
     import spark.implicits._
     // batch mode: each group runs once; closed (non-final) sessions emit

@@ -129,6 +129,13 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(m => m.doc_a == 2L && m.doc_b == 4L)
     assert(toward4 == 1, s"(2,4) emitted $toward4 times — duplicate " +
       "membership entries in the bucket")
+    // ADVICE r7 #2: a re-ingested MEMBER must emit nothing at all — its
+    // pairs were emitted at first arrival; re-verifying would hand
+    // duplicate (1,2)/(2,3) rows to direct consumers of `matches`
+    val pair12 = spark.table("e09reing").as[NearDupMatch].collect()
+      .count(m => m.doc_a == 1L && m.doc_b == 2L)
+    assert(pair12 == 1,
+      s"(1,2) emitted $pair12 times — re-ingest re-verified a member")
 
     // capped at 3: bucket full with {1,2,3}; a re-delivered member must
     // NOT overflow (it is already retained), while a genuinely new doc
@@ -242,6 +249,59 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamOnly != want,
       "cap too generous: the stream alone already finds everything")
+    assert(got == want,
+      s"missed: ${(want -- got).take(5)} extra: ${(got -- want).take(5)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+  }
+
+  test("incremental reconcile (VERDICT r7 #2): the signature store grows " +
+      "append-only — each reconcile signs ONLY the since-last-reconcile " +
+      "overflow docs — while pairs stay == the full batch sweep") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    val docsWithToks = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val want = graft.queries.ApproxOps.minhashNearDupPairs(docsWithToks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigRows = graft.queries.ApproxOps.docSigs(spark, dir).as[DocSig]
+      .collect().toSeq
+    val byDoc = sigRows.groupBy(_.doc_id).toSeq.sortBy(_._1).map(_._2)
+    val batches = byDoc.grouped(math.max(1, byDoc.size / 3))
+      .map(_.flatten).toSeq
+    val work = java.nio.file.Files.createTempDirectory("e09inc").toString
+    val mem = MemoryStream[DocSig]
+    val q = StreamingNearDup
+      .matchesWithReconcile(mem.toDS(), docsWithToks, work,
+        maxBucketMembers = 2)
+      .option("checkpointLocation", s"$work/ckpt")
+      .start()
+    // after every reconcile, the store's ledger (toksets) must hold
+    // exactly the distinct overflow ids so far, and its signature table
+    // exactly 16 rows per doc — i.e. reconcile k signed ONLY the docs
+    // overflow added since reconcile k-1; a re-sweeping implementation
+    // would either rewrite the store or not have one at all
+    var prevStored = 0L
+    batches.foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+      if (graft.operators.NearDupSignatureStore.exists(spark,
+          s"$work/sigstore")) {
+        val stored = spark.read.parquet(s"$work/sigstore/toksets").count()
+        val overflowed = spark.read.parquet(s"$work/overflow_ids")
+          .distinct().count()
+        assert(stored == overflowed,
+          s"store ledger $stored != distinct overflow $overflowed")
+        val sigs = spark.read.parquet(s"$work/sigstore/sigs").count()
+        assert(sigs == 16L * stored,
+          s"$sigs stored signature rows for $stored docs — recomputed?")
+        assert(stored >= prevStored, "store shrank — rewrite, not append")
+        prevStored = stored
+      }
+    }
+    q.stop()
+    assert(prevStored > 0, "fixture never overflowed — nothing reconciled")
+    val got = spark.read.parquet(s"$work/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want,
       s"missed: ${(want -- got).take(5)} extra: ${(got -- want).take(5)}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
