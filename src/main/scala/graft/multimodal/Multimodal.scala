@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run as batched
   * per-partition transforms.
   *
-  * The actual codecs are STUBBED (this container has no image/audio
-  * libraries): [[Codecs.decodeImageStub]] etc. derive deterministic fake
-  * metadata from the bytes. Everything around the stub — schema,
+  * IMAGE decode is REAL ([[Codecs.decodeImage]] — the JDK's built-in
+  * `javax.imageio`, PNG/JPEG/BMP/GIF, no external libraries); the
+  * synthetic `image/fake` rows and the audio/video/resize/frame paths
+  * remain deterministic STUBS (this container has no audio/video
+  * libraries): [[Codecs.decodeImageStub]] etc. derive fake metadata
+  * from the bytes. Everything around the codec slot — schema,
   * encoders, partition-preserving batched execution, the binary
   * round-trip — is real and tested (MultimodalSpec, E03).
   *
@@ -39,6 +42,48 @@ object Multimodal {
       val mean = if (n == 0) 0.0
         else payload.iterator.map(b => (b & 0xff).toDouble).sum / n / 255.0
       (w, h, 3, math.rint(mean * 1e6) / 1e6)
+    }
+
+    /** REAL image decode via the JDK's built-in `javax.imageio`
+      * (PNG/JPEG/BMP/GIF — no external libraries, works offline):
+      * (width, height, bands, mean brightness). Brightness is the mean
+      * of every sample across all bands, each normalized by its band's
+      * full-scale value (component bit depth), rounded to 1e-6 —
+      * deterministic for a given payload. `None` when ImageIO cannot
+      * decode the bytes (corrupt/unsupported) — callers choose the
+      * sentinel. This is the "swap the stub for a real codec" slot the
+      * class doc promises, exercised end-to-end in MultimodalSpec;
+      * vectorized native codecs (libjpeg-turbo etc.) would slot in the
+      * same way with per-batch amortization. */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        val raster = im.getRaster
+        val c = raster.getNumBands
+        val cm = im.getColorModel
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < c) {
+              val full = (1L << cm.getComponentSize(
+                math.min(b, cm.getNumComponents - 1))) - 1L
+              sum += raster.getSampleDouble(x, y, b) / full
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val denom = w.toLong * h * c
+        val mean = if (denom == 0) 0.0 else sum / denom
+        (w, h, c, math.rint(mean * 1e6) / 1e6)
+      }
     }
 
     /** STUB resize — keeps bytes opaque; real codec would re-encode. */
@@ -81,7 +126,16 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { rec =>
-          val (w, h, c, bright) = Codecs.decodeImageStub(rec.payload)
+          // `image/fake` rows (the synthetic mediaTable) keep the
+          // deterministic stub; any other media type decodes FOR REAL
+          // via javax.imageio. Undecodable real-typed payloads emit the
+          // (-1, -1, 0, 0.0) sentinel instead of failing the job — at
+          // corpus scale corrupt images are data, not errors (filter
+          // `width >= 0` downstream).
+          val (w, h, c, bright) =
+            if (rec.media_type == "image/fake")
+              Codecs.decodeImageStub(rec.payload)
+            else Codecs.decodeImage(rec.payload).getOrElse((-1, -1, 0, 0.0))
           ImageFeatures(rec.doc_id, rec.payload.length,
             Codecs.sha256Hex(rec.payload), w, h, c, bright)
         }

@@ -21,24 +21,50 @@ import org.apache.spark.sql.functions._
   * `PartitionFilters` in the scan (asserted in IvfIndexSpec). */
 object IvfIndex {
 
-  /** Build the index over `emb` (vec_id, v: array&lt;double&gt;) into `dir`. */
-  def build(emb: DataFrame, dir: String, c: Int = 16): Unit = {
+  /** Nearest-centroid assignment: broadcast codebook + bounded-heap
+    * argmax (k=1) — the partial pass collapses the c candidate rows
+    * per vector before any exchange. */
+  private def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     import graft.plans.GraftOps
-    val cents = KMeans.fit(emb, c)
-    // nearest-centroid assignment: broadcast codebook + bounded-heap
-    // argmax (k=1) — the partial pass collapses the c candidate rows
-    // per vector before any exchange
-    val assigned = GraftOps.topKPerGroup(
+    GraftOps.topKPerGroup(
         emb.join(broadcast(cents))
           .select($"vec_id", $"v", $"cent_id",
             graft.functions.CosineSimilarity.cosineSim($"v", $"cv").as("sim")),
         1, Seq("vec_id"),
         Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
       .select($"vec_id", $"v", $"cent_id")
+  }
+
+  /** Build the index over `emb` (vec_id, v: array&lt;double&gt;) into `dir`. */
+  def build(emb: DataFrame, dir: String, c: Int = 16): Unit = {
+    val cents = KMeans.fit(emb, c)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    assigned.write.mode("overwrite").partitionBy("cent_id")
+    assign(emb, cents).write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** Incrementally add vectors to an existing index WITHOUT refitting
+    * the quantizer (VERDICT r7 task 4): the stored codebook is read
+    * back, the new vectors take one broadcast nearest-centroid
+    * assignment, and the rows append into their cell partitions — no
+    * k-means job, no rewrite of existing cells.
+    *
+    * Drift bound: the codebook stays FROZEN, so query geometry is
+    * unchanged — a probe still scans exactly the `nprobe` cells
+    * nearest the query under the same centroids every vector
+    * (original or appended) was assigned with, which is the invariant
+    * the recall bound rests on. What a refit would additionally buy is
+    * re-BALANCED cells: as the appended fraction grows and the data
+    * distribution shifts, cells fatten unevenly and probe cost drifts
+    * toward (fattest-cells/corpus) instead of nprobe/c — a cost drift,
+    * not a correctness drift. Rebuild via [[build]] when the appended
+    * fraction is no longer small (the usual IVF practice: increments
+    * append, compactions refit). */
+  def append(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assign(emb, cents).write.mode("append").partitionBy("cent_id")
       .parquet(s"$dir/assignments")
   }
 

@@ -35,6 +35,11 @@ import org.apache.spark.sql.types._
   */
 object KMeans {
 
+  /** Number of [[fit]] invocations in this JVM — test instrumentation
+    * for "this path runs no k-means" assertions (IvfIndexSpec pins the
+    * incremental append to zero refits). */
+  private[graft] val fitCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Fit on a `(idCol: Long, vecCol: Array[Double])` frame; returns a
     * local `(cent_id: Long, cv: Array[Double])` frame with `cent_id` in
     * `0..c-1` (dense ids, unlike the raw seed vectors). Returns fewer
@@ -44,6 +49,7 @@ object KMeans {
     require(c > 0, s"c must be positive, got $c")
     require(iters >= 0, s"iters must be non-negative, got $iters")
     require(sampleCap >= c, s"sampleCap $sampleCap must be >= c ($c)")
+    fitCount.incrementAndGet()
     val spark = emb.sparkSession
 
     // deterministic pseudo-shuffled sample, id-sorted for stable sums

@@ -79,6 +79,44 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1.forall(f => f.brightness > 0 && f.brightness < 1))
   }
 
+  test("REAL codec: generated PNG/JPEG decode through extractImageFeatures " +
+      "with exact dimensions, exact PNG brightness, and a corrupt-payload " +
+      "sentinel (VERDICT r7 #7)") {
+    import spark.implicits._
+    def encode(fmt: String): Array[Byte] = {
+      // 2×2 RGB: red, green, blue, white — total sample sum 6·255 over
+      // 12 samples → mean brightness exactly 0.5
+      val im = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      im.setRGB(0, 0, 0xFF0000); im.setRGB(1, 0, 0x00FF00)
+      im.setRGB(0, 1, 0x0000FF); im.setRGB(1, 1, 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", encode("png")),
+      Multimodal.MediaRecord(2L, "image/jpeg", encode("jpg")),
+      Multimodal.MediaRecord(3L, "image/png", Array[Byte](9, 9, 9))) // corrupt
+      .toDS()
+    def run() = Multimodal.extractImageFeatures(media, batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    val got = run()
+    assert(got == run()) // deterministic
+    val png = got(1L)
+    assert((png.width, png.height, png.channels) == ((2, 2, 3)))
+    assert(png.brightness == 0.5, s"png brightness ${png.brightness}")
+    assert(png.byte_len == encode("png").length)
+    val jpg = got(2L)
+    // JPEG is lossy: dimensions and band count are exact, brightness is
+    // only near the source's 0.5
+    assert((jpg.width, jpg.height, jpg.channels) == ((2, 2, 3)))
+    assert(math.abs(jpg.brightness - 0.5) < 0.2, s"jpg ${jpg.brightness}")
+    val bad = got(3L)
+    assert((bad.width, bad.height, bad.channels, bad.brightness) ==
+      ((-1, -1, 0, 0.0)), s"corrupt payload: $bad")
+  }
+
   test("frame sampling is a one-to-many generator keyed by doc") {
     val media = Multimodal.mediaTable(spark, dir)
     val frames = Multimodal.sampleFrames(media, stride = 4)

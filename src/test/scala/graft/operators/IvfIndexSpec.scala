@@ -47,4 +47,51 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = fromIndex.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cent_id"), plan)
   }
+
+  test("incremental append: new vectors join existing cells with ZERO " +
+      "k-means refits and a frozen codebook; recall holds vs a rebuild") {
+    import spark.implicits._
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val base = emb.filter($"vec_id" % 5 =!= 0 || $"vec_id".isin(0))
+    val delta = emb.filter($"vec_id" % 5 === 0 && !$"vec_id".isin(0))
+    val idxA = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val idxB = java.nio.file.Files.createTempDirectory("ivf_reb").toString
+    IvfIndex.build(base, idxA, c = 16)
+    val centsBefore = spark.read.parquet(s"$idxA/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+    // the append itself: no KMeans.fit call, no codebook change, and
+    // every delta row lands in some existing cell partition
+    val fitsBefore = KMeans.fitCount.get()
+    IvfIndex.append(spark, idxA, delta)
+    assert(KMeans.fitCount.get() == fitsBefore,
+      "append refit the quantizer — the rebuild path's job")
+    val centsAfter = spark.read.parquet(s"$idxA/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(centsAfter == centsBefore, "append mutated the codebook")
+    assert(spark.read.parquet(s"$idxA/assignments").count() == emb.count())
+
+    // query quality: the appended index meets the same recall bound vs
+    // exact brute force (q37) as a full rebuild over base ∪ delta does
+    // (codebooks differ — base-fit vs full-fit — so results need not be
+    // identical; the bound is the contract, per the drift note)
+    IvfIndex.build(emb, idxB, c = 16)
+    val queries = emb.filter($"vec_id".isin(0, 1, 2))
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val exact = graft.queries.LlmOps.q37(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(idx: String): Double = {
+      val got = IvfIndex.query(spark, idx, queries, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got.size == 30)
+      (exact & got).size.toDouble / exact.size
+    }
+    val rAppended = recall(idxA)
+    val rRebuilt = recall(idxB)
+    assert(rAppended >= 0.6, s"appended-index recall $rAppended")
+    assert(rRebuilt >= 0.6, s"rebuilt-index recall $rRebuilt")
+    Seq(idxA, idxB).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
 }
