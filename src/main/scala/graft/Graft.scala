@@ -218,6 +218,36 @@ object Graft {
       k: Int = 10, nprobe: Int = 4): DataFrame =
     operators.IvfIndex.query(spark, dir, queries, k, nprobe)
 
+  /** Incrementally add `(vec_id, v)` vectors to a [[buildIvfIndex]]
+    * index without refitting the quantizer (frozen codebook, appends
+    * into existing cell partitions); rebuild when the appended fraction
+    * is no longer small. See [[operators.IvfIndex.append]]. */
+  def appendIvfIndex(spark: SparkSession, dir: String, emb: DataFrame): Unit =
+    operators.IvfIndex.append(spark, dir, emb)
+
+  /** Build the persisted MinHash band-signature store over a
+    * `(doc_id, toks)` corpus — the daily-increment serving shape of
+    * [[minHashNearDupPairsDelta]]: signatures computed once, stored
+    * cell-partitioned; each increment probes a partition-pruned scan
+    * and appends its own signatures, never rescanning the corpus. See
+    * [[operators.NearDupSignatureStore]]. */
+  def buildNearDupSignatureStore(corpus: DataFrame, dir: String,
+      threshold: Double = 0.7, cells: Int = 64): Unit =
+    operators.NearDupSignatureStore.build(corpus, dir, threshold, cells)
+
+  /** All near-dup pairs a `(doc_id, toks)` increment introduces against
+    * a [[buildNearDupSignatureStore]] store (exact-verified, banding
+    * recall). Call before [[appendNearDupSignatureStore]]. */
+  def probeNearDupSignatureStore(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame =
+    operators.NearDupSignatureStore.probe(spark, dir, delta)
+
+  /** Append an increment's signatures (and token sets) to a
+    * [[buildNearDupSignatureStore]] store, closing the daily loop. */
+  def appendNearDupSignatureStore(spark: SparkSession, dir: String,
+      delta: DataFrame): Unit =
+    operators.NearDupSignatureStore.append(spark, dir, delta)
+
   /** All fingerprint pairs within a Hamming-distance bound via
     * pigeonhole banding (SimHash near-dup shape, q52's plan
     * generalized to any distance/width). See

@@ -226,6 +226,40 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ham == Set((1L, 2L, 1)))
   }
 
+  test("signature store and IVF append via the facade: daily-increment " +
+      "loop composes (build → probe → append → probe)") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("facade_store").toString
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")),
+      (3L, Seq("x", "y", "z"))).toDF("doc_id", "toks")
+    Graft.buildNearDupSignatureStore(docs, store)
+    val d1 = Seq((10L, Seq("a", "b", "c"))).toDF("doc_id", "toks")
+    val p1 = Graft.probeNearDupSignatureStore(spark, store, d1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((1L, 10L), (2L, 10L)))
+    Graft.appendNearDupSignatureStore(spark, store, d1)
+    // the appended doc is now corpus: a second identical increment must
+    // pair against it too
+    val d2 = Seq((20L, Seq("a", "b", "c"))).toDF("doc_id", "toks")
+    val p2 = Graft.probeNearDupSignatureStore(spark, store, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((1L, 20L), (2L, 20L), (10L, 20L)))
+
+    val idx = java.nio.file.Files.createTempDirectory("facade_ivfapp").toString
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rng.nextGaussian()))).toDF("vec_id", "v")
+    Graft.buildIvfIndex(emb.filter($"vec_id" < 30L), idx, c = 4)
+    Graft.appendIvfIndex(spark, idx, emb.filter($"vec_id" >= 30L))
+    val queries = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val top = Graft.queryIvfIndex(spark, idx, queries, k = 5, nprobe = 4)
+    assert(top.count() == 5)
+    Seq(store, idx).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
   test("near-dup labels pipeline via the facade (materialize once)") {
     val dir = "/root/testdata/sf0.001"
     val labels = Graft.nearDupLabels(spark, dir)
