@@ -56,9 +56,13 @@ object Multimodal {
       * vectorized native codecs (libjpeg-turbo etc.) would slot in the
       * same way with per-batch amortization. */
     def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      // NonFatal, not just IOException: the JDK readers throw runtime
+      // exceptions (IndexOutOfBounds, NegativeArraySize, …) on some
+      // malformed/truncated payloads, and at corpus scale one fuzzed
+      // image must become a sentinel row, never a failed job
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         val (w, h) = (im.getWidth, im.getHeight)
         val raster = im.getRaster

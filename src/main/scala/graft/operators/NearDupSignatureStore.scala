@@ -137,7 +137,15 @@ object NearDupSignatureStore {
   /** Append an increment's signatures (and token sets) to the store —
     * run AFTER [[probe]] for the same increment (probe treats the
     * store as strictly pre-increment corpus). Out-of-vocabulary tokens
-    * demote the store to the generic verify (see class doc). */
+    * demote the store to the generic verify (see class doc).
+    *
+    * Crash-consistency ordering for pipeline callers: DURABLY WRITE the
+    * probe's pairs before calling append. Once an increment is in the
+    * store's ledger it is never probed again, so append-then-write
+    * loses the pairs forever if the write fails; write-then-append
+    * merely re-probes the increment on retry (duplicate pairs — dedupe
+    * downstream). [[graft.streaming.StreamingNearDup.reconcile]] is the
+    * reference implementation of that ordering. */
   def append(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
     import spark.implicits._
     val m = readMeta(spark, dir)

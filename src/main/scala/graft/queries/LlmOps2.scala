@@ -163,8 +163,10 @@ object LlmOps2 {
   val q44Sql: String =
     """WITH d AS (
       |  SELECT doc_id,
-      |    list_distinct(list_transform(generate_series(1, greatest(len(sp) - 2, 1)),
-      |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])) AS tris
+      |    CASE WHEN len(sp) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(sp) - 2),
+      |        i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]))
+      |    ELSE CAST([] AS VARCHAR[]) END AS tris
       |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  round(CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)

@@ -236,55 +236,75 @@ object StreamingNearDup {
             .select(col("doc_a").as("doc_id")).distinct()
             .write.mode("append").parquet(s"$workDir/overflow_ids")
         } finally batch.unpersist()
-        if (batchId % reconcileEvery == 0) {
-          import graft.operators.NearDupSignatureStore
-          val storeDir = s"$workDir/sigstore"
-          val overflow = s.read.parquet(s"$workDir/overflow_ids").distinct()
-          // delta = overflow docs the store hasn't reconciled yet (the
-          // store's toksets table is the reconciled-id ledger, so
-          // re-delivered overflow ids are naturally skipped)
-          val deltaDocs = (if (NearDupSignatureStore.exists(s, storeDir))
-            docsWithToks.join(overflow.join(
-              s.read.parquet(s"$storeDir/toksets").select(col("doc_id")),
-              Seq("doc_id"), "left_anti"), "doc_id")
-          else docsWithToks.join(overflow, "doc_id")).persist()
-          try {
-            if (!deltaDocs.isEmpty) {
-              val fresh =
-                if (NearDupSignatureStore.exists(s, storeDir)) {
-                  // probe BEFORE append: the store is strictly the
-                  // pre-increment corpus
-                  val p = NearDupSignatureStore.probe(s, storeDir, deltaDocs)
-                  NearDupSignatureStore.append(s, storeDir, deltaDocs)
-                  p
-                } else {
-                  // first reconcile: every overflow doc is new — the
-                  // delta-internal sweep IS the complete residue; the
-                  // store is then built from these docs once
-                  val p = graft.queries.ApproxOps.minhashNearDupPairs(
-                    deltaDocs, threshold, sorted = false)
-                  NearDupSignatureStore.build(deltaDocs, storeDir, threshold)
-                  p
-                }
-              fresh.select(col("doc_a"), col("doc_b"), col("jaccard"))
-                .write.mode("append").parquet(s"$workDir/reconcile_matches")
-            }
-          } finally deltaDocs.unpersist()
-          val streamPairs =
-            s.read.parquet(s"$workDir/stream_matches").distinct()
-          val fs = new org.apache.hadoop.fs.Path(workDir)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          val residue = if (fs.exists(
-              new org.apache.hadoop.fs.Path(s"$workDir/reconcile_matches")))
-            s.read.parquet(s"$workDir/reconcile_matches")
-          else streamPairs.limit(0)
-          // distinct AFTER the union: a pair can be seen by both halves
-          // (stream match in one band, both ends overflowed in another)
-          streamPairs.unionByName(residue).distinct()
-            .write.mode("overwrite").parquet(s"$workDir/pairs")
-        }
+        if (batchId % reconcileEvery == 0)
+          reconcile(s, workDir, docsWithToks, threshold)
         ()
       }
+  }
+
+  /** One reconcile step of [[matchesWithReconcile]] (extracted so the
+    * crash-recovery spec can re-run it directly): probe the
+    * since-last-reconcile overflow docs against the signature store,
+    * append the new pairs, append the delta to the store, refresh
+    * `pairs`. CRASH-SAFE ORDERING: the probed pairs are WRITTEN to the
+    * append-only `reconcile_matches` log BEFORE the delta enters the
+    * store's ledger. A failure between the two steps then leaves the
+    * delta un-ledgered, so the NEXT reconcile re-probes it — the same
+    * pairs land in the log twice and the `pairs` distinct-union drops
+    * them (harmless). The reverse order would lose the pairs forever:
+    * a ledgered delta is never probed again. The same property makes
+    * foreachBatch re-execution after a stream restart safe. */
+  private[streaming] def reconcile(s: org.apache.spark.sql.SparkSession,
+      workDir: String, docsWithToks: org.apache.spark.sql.DataFrame,
+      threshold: Double): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.NearDupSignatureStore
+    val storeDir = s"$workDir/sigstore"
+    val overflow = s.read.parquet(s"$workDir/overflow_ids").distinct()
+    // delta = overflow docs the store hasn't reconciled yet (the
+    // store's toksets table is the reconciled-id ledger, so
+    // re-delivered overflow ids are naturally skipped)
+    val deltaDocs = (if (NearDupSignatureStore.exists(s, storeDir))
+      docsWithToks.join(overflow.join(
+        s.read.parquet(s"$storeDir/toksets").select(col("doc_id")),
+        Seq("doc_id"), "left_anti"), "doc_id")
+    else docsWithToks.join(overflow, "doc_id")).persist()
+    try {
+      if (!deltaDocs.isEmpty) {
+        if (NearDupSignatureStore.exists(s, storeDir)) {
+          // probe is EAGER (localCheckpoint) and the store is strictly
+          // the pre-increment corpus; pairs land in the log before the
+          // append ledgers the delta (see ordering note above)
+          NearDupSignatureStore.probe(s, storeDir, deltaDocs)
+            .select(col("doc_a"), col("doc_b"), col("jaccard"))
+            .write.mode("append").parquet(s"$workDir/reconcile_matches")
+          NearDupSignatureStore.append(s, storeDir, deltaDocs)
+        } else {
+          // first reconcile: every overflow doc is new — the
+          // delta-internal sweep IS the complete residue; the store is
+          // built from these docs only after their pairs are logged (a
+          // crash before `build` re-runs this branch — duplicates, not
+          // losses)
+          graft.queries.ApproxOps
+            .minhashNearDupPairs(deltaDocs, threshold, sorted = false)
+            .select(col("doc_a"), col("doc_b"), col("jaccard"))
+            .write.mode("append").parquet(s"$workDir/reconcile_matches")
+          NearDupSignatureStore.build(deltaDocs, storeDir, threshold)
+        }
+      }
+    } finally deltaDocs.unpersist()
+    val streamPairs =
+      s.read.parquet(s"$workDir/stream_matches").distinct()
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val residue = if (fs.exists(
+        new org.apache.hadoop.fs.Path(s"$workDir/reconcile_matches")))
+      s.read.parquet(s"$workDir/reconcile_matches")
+    else streamPairs.limit(0)
+    // distinct AFTER the union: a pair can be seen by both halves
+    // (stream match in one band, both ends overflowed in another)
+    streamPairs.unionByName(residue).distinct()
+      .write.mode("overwrite").parquet(s"$workDir/pairs")
   }
 
   /** [[matches]] with event-time TTL on bucket ENTRIES: a document

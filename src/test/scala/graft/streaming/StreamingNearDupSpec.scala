@@ -351,4 +351,56 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p0 != want, "fixture too small: batch 0 already complete")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
   }
+
+  test("crash-safe reconcile ordering: a reconcile interrupted after the " +
+      "pair write but before the store append is safely re-run — " +
+      "duplicate log rows, never lost pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // docs 1,2,3 identical (every cross pair is a near-dup), doc 4 alone
+    val docsWithToks = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")),
+      (3L, Seq("a", "b", "c")), (4L, Seq("x", "y", "z")))
+      .toDF("doc_id", "toks")
+    val work = java.nio.file.Files.createTempDirectory("e09crash").toString
+    def writeIds(ids: Seq[Long], mode: String): Unit =
+      ids.toDF("doc_id").write.mode(mode).parquet(s"$work/overflow_ids")
+    // the stream half contributed nothing (empty log, schema present)
+    Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+      .write.parquet(s"$work/stream_matches")
+    // reconcile 1: overflow {1,2} — first-reconcile sweep + store build
+    writeIds(Seq(1L, 2L), "overwrite")
+    StreamingNearDup.reconcile(spark, work, docsWithToks, 0.7)
+    def pairsNow() = spark.read.parquet(s"$work/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsNow() == Set((1L, 2L)))
+    // reconcile 2 CRASHES between its two steps: the probed pairs of
+    // delta {3,4} are in the log, but the delta never reached the store
+    // (ledger still {1,2}) — exactly the state the crash-safe ordering
+    // in StreamingNearDup.reconcile leaves behind
+    writeIds(Seq(3L, 4L), "append")
+    val delta = docsWithToks.filter(col("doc_id") >= 3L)
+    graft.operators.NearDupSignatureStore
+      .probe(spark, s"$work/sigstore", delta)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .write.mode("append").parquet(s"$work/reconcile_matches")
+    assert(spark.read.parquet(s"$work/sigstore/toksets").count() == 2L,
+      "crash simulation must leave the delta un-ledgered")
+    // the RE-RUN re-probes the un-ledgered delta: same pairs land in the
+    // append-only log a second time (harmless — `pairs` distincts), the
+    // store catches up, and nothing is lost. The reverse write order
+    // would have ledgered the delta first, so a crash would silently
+    // drop {(1,3),(2,3)} from every future `pairs` refresh.
+    StreamingNearDup.reconcile(spark, work, docsWithToks, 0.7)
+    assert(pairsNow() == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val logRows = spark.read.parquet(s"$work/reconcile_matches")
+      .filter(col("doc_b") === 3L).count()
+    assert(logRows == 4L, // (1,3),(2,3) from the crashed half AND the re-run
+      s"expected the delta's 2 pairs logged twice, saw $logRows rows")
+    assert(spark.read.parquet(s"$work/sigstore/toksets").count() == 4L)
+    // a further reconcile with nothing new is a no-op on pairs
+    StreamingNearDup.reconcile(spark, work, docsWithToks, 0.7)
+    assert(pairsNow() == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+  }
 }
