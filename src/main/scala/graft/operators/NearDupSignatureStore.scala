@@ -187,13 +187,27 @@ object NearDupSignatureStore {
   }
 
   /** [[probe]] without the eager cut — the raw plan, for the spec's
-    * partition-prune assertions (a checkpoint would hide the scan). */
+    * partition-prune assertions (a checkpoint would hide the scan).
+    * `maxInFilterIds` is the generic-verify prune cap, exposed so the
+    * fallback path is testable at fixture size. */
   private[graft] def probeFrame(spark: SparkSession, dir: String,
-      delta: DataFrame): DataFrame =
-    probeParts(spark, dir, delta, persistDelta = false)._1
+      delta: DataFrame, maxInFilterIds: Int = DefaultMaxInFilterIds): DataFrame =
+    probeParts(spark, dir, delta, persistDelta = false, maxInFilterIds)._1
+
+  /** Generic-verify prune-strategy cap: up to this many DISTINCT
+    * store-side candidate ids are collected and pushed into the
+    * `toksets` scan as an IN filter (≈32 MB of longs at the default —
+    * the same driver footprint a broadcast would stage). Beyond it the
+    * prune degrades gracefully to a left-semi SHUFFLE join: `toksets`
+    * then shuffles (the documented no-shuffle posture yields), but
+    * memory stays bounded everywhere — at that candidate density the
+    * increment is degenerate-dense and a corpus shuffle beats a driver
+    * OOM. */
+  private val DefaultMaxInFilterIds: Int = 4000000
 
   private def probeParts(spark: SparkSession, dir: String,
-      delta: DataFrame, persistDelta: Boolean): (DataFrame, () => Unit) = {
+      delta: DataFrame, persistDelta: Boolean,
+      maxInFilterIds: Int = DefaultMaxInFilterIds): (DataFrame, () => Unit) = {
     import spark.implicits._
     val m = readMeta(spark, dir)
     val dt = delta.select($"doc_id", $"toks")
@@ -260,12 +274,22 @@ object NearDupSignatureStore {
         // verify; the raw-plan spec path stays persist-free
         val oldNewP = if (persistDelta) oldNewP0.persist() else oldNewP0
         releasables = oldNewP0 :: releasables
-        val idVals = oldNewP.select($"ra").distinct().collect()
-          .map(_.get(0)).toSeq
-        val storeToks = spark.read.parquet(s"$dir/toksets")
-          .filter(if (idVals.isEmpty) lit(false)
-            else $"doc_id".isInCollection(idVals))
-          .select($"doc_id".as("ra"), ta)
+        // bounded collect: limit(cap+1) can never OOM the driver; a
+        // result larger than the cap switches the prune strategy
+        val idVals = oldNewP.select($"ra").distinct()
+          .limit(maxInFilterIds + 1).collect().map(_.get(0)).toSeq
+        val storeToks =
+          if (idVals.length <= maxInFilterIds)
+            spark.read.parquet(s"$dir/toksets")
+              .filter(if (idVals.isEmpty) lit(false)
+                else $"doc_id".isInCollection(idVals))
+              .select($"doc_id".as("ra"), ta)
+          else
+            // degenerate-dense fallback (see DefaultMaxInFilterIds):
+            // left-semi shuffle prune — bounded memory over no-shuffle
+            spark.read.parquet(s"$dir/toksets")
+              .select($"doc_id".as("ra"), ta)
+              .join(oldNewP.select($"ra").distinct(), Seq("ra"), "left_semi")
         val oldNewV = oldNewP
           .join(storeToks, "ra")
           .join(dt.select($"doc_id".as("rb"), tb), "rb")

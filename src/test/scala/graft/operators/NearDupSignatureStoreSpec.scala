@@ -151,4 +151,41 @@ class NearDupSignatureStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("generic-verify prune cap: above maxInFilterIds the toksets prune " +
+      "degrades to the left-semi shuffle join with the identical pair set") {
+    // generic regime (vocab 200 > 62); cap=1 forces the fallback on any
+    // fixture with >1 candidate store doc
+    val all = corpus(23, 80, vocabSize = 200)
+    val (delta, old) = all.partition(_._1 % 4 == 0)
+    val dir = tmp("sigstore_cap")
+    NearDupSignatureStore.build(df(old), dir, threshold = 0.5)
+    val want = pairs(graft.queries.ApproxOps
+      .minhashNearDupPairsDelta(df(old), df(delta), 0.5))
+    assert(want.nonEmpty, "degenerate fixture")
+    val fb = NearDupSignatureStore
+      .probeFrame(spark, dir, df(delta), maxInFilterIds = 1)
+    // the fallback plan must contain the semi join and no IN filter
+    val plan = fb.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    assert(pairs(fb) == want)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("randomized equivalence: probe == inline across seeds and regimes") {
+    for (seed <- Seq(29, 31, 37); (vocabSize, name) <-
+        Seq(40 -> "bitmask", 120 -> "generic")) {
+      val all = corpus(seed, 50, vocabSize = vocabSize)
+      val (delta, old) = all.partition(_._1 % 3 == 0)
+      val dir = tmp(s"sigstore_rnd_${seed}_$name")
+      NearDupSignatureStore.build(df(old), dir, threshold = 0.5)
+      val got = pairs(NearDupSignatureStore.probe(spark, dir, df(delta)))
+      val want = pairs(graft.queries.ApproxOps
+        .minhashNearDupPairsDelta(df(old), df(delta), 0.5))
+      assert(got == want, s"seed=$seed $name diff: " +
+        s"${(got.keySet -- want.keySet).take(5)} / " +
+        s"${(want.keySet -- got.keySet).take(5)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
