@@ -5,6 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: print the join/exchange/scan profile of every query's
   * physical plan — the 100 TB smell test (SURVEY §7.4.6). Flags
   * cartesian products and large-side nested-loop joins.
+  *
+  * Known blind spot: queries that EAGERLY localCheckpoint their result
+  * (q44, q47, q105, x105, x68 — the cache-hygiene pattern) audit as an
+  * empty profile, because the returned frame's plan is just the
+  * post-checkpoint `Scan ExistingRDD`. Their pre-checkpoint plan
+  * quality is asserted where it matters — in their ScalaTest specs
+  * (zero-exchange band join, PartitionFilters, candidate pins) — so an
+  * empty line here means "eager", not "planless". A query moving from
+  * a full profile to empty across rounds is a query that GAINED the
+  * eager cut (x68 did between the r7 and r8 audits).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
