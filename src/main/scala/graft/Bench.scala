@@ -60,7 +60,31 @@ object Bench {
       catch { case _: Throwable => () }
     }
     Hygiene.clearAll(spark)
-    val results = names.map { name =>
+    // Interleaved KNOWN-COST canary (VERDICT r8 task 3): `mins_ms` only
+    // catches WITHIN-session variance, so three uniformly-slow runs of
+    // one query sail through (BENCH_r08's q100 12.6 vs real 5.15).
+    // Before every 10-query block (and once after the last), run a
+    // fixed pure-CPU workload and sample the 1-min load: a block whose
+    // canary runs ≥1.5× the session's fastest was measured under
+    // ambient contention, and the artifact says so itself — no
+    // standalone re-measure needed to adjudicate.
+    val canaryMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canary(): Unit = {
+      loads += loadAvg()
+      val t0 = System.nanoTime()
+      // pmod keeps the running sum < n·1e9 — no ANSI long overflow;
+      // 256M rows puts the quiet floor at ~0.4 s so scheduler noise
+      // (±0.1 s) cannot trip the 1.5× flag
+      spark.range(256L * 1000 * 1000)
+        .selectExpr("sum(pmod(id * 2654435761, 1000000007))").collect()
+      canaryMs += (System.nanoTime() - t0) / 1000000
+      ()
+    }
+    canary() // discarded warm canary: JIT + codegen for the probe itself
+    canaryMs.clear(); loads.clear()
+    val results = names.zipWithIndex.map { case (name, qi) =>
+      if (qi % 10 == 0) canary()
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         Hygiene.clearAll(spark)
@@ -84,6 +108,7 @@ object Bench {
       val min = if (bad) -1.0 else runs.min
       (name, med, min, runs)
     }
+    canary() // closing sample: contention that arrived mid-final-block
     // Self-defending artifact (VERDICT r7 task 3): three rounds of
     // ambient-inflated BENCH_r*.json each cost a re-adjudication
     // session, so the stdout line now carries (a) the box's 1-min load
@@ -111,8 +136,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total =
       math.round(results.map(_._2).filter(_ > 0).sum * 1000) / 1000.0
+    val canaryJson = canaryMs.mkString("[", ",", "]")
+    val loadsJson = loads.mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""canary_ms":$canaryJson,"loads":$loadsJson,""" +
       s""""queries_med_min_runs":$fullQs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
@@ -134,16 +162,40 @@ object Bench {
       .take(40)
       .map { case (k, _, min, _) => "\"" + key(k) + "\":" + math.round(min * 1000) }
       .mkString("{", ",", "}")
+    // Uniform-inflation markers from the canary samples: a block whose
+    // interleaved canary ran ≥1.5× the session's fastest (and ≥100 ms
+    // over it — sub-noise floors don't flag) was measured under ambient
+    // contention; its queries' MEDIANS are suspect even when all three
+    // runs agree. Span labels are "firstKey-lastKey" of the 10-query
+    // block ("end" = the closing sample after the last query).
+    val minCanary = if (canaryMs.isEmpty) 0L else canaryMs.min
+    val spans = canaryMs.zipWithIndex.collect {
+      case (c, b) if c >= minCanary + math.max(minCanary / 2, 100) =>
+        val lo = b * 10
+        val label =
+          if (lo >= names.length) "end"
+          else key(names(lo)) + "-" +
+            key(names(math.min(lo + 9, names.length - 1)))
+        "\"" + label + "\":" + (c.toDouble / math.max(minCanary, 1L) * 10)
+          .round / 10.0
+    }.mkString("{", ",", "}")
     // stop BEFORE printing: Spark's shutdown logging (if any escapes the
     // OFF level) must land ahead of the JSON line the driver parses
     spark.stop()
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""canary_ms":$canaryJson,"inflated_spans":$spans,""" +
       s""""queries":$qs,"mins_ms":$mins,"sf":"$sfDir"}"""
     // belt-and-braces on the capture window: if a future query set
-    // outgrows the budget, shed mins_ms (BENCH_LOCAL.json keeps it)
-    // rather than lose the whole line to the 2000-char truncation
+    // outgrows the budget, shed mins_ms first, then the canary fields
+    // (BENCH_LOCAL.json keeps everything) rather than lose the whole
+    // line to the 2000-char truncation
+    val lineNoMins = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""canary_ms":$canaryJson,"inflated_spans":$spans,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
     println(if (line.length <= 1900) line
+    else if (lineNoMins.length <= 1900) lineNoMins
     else s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""queries":$qs,"sf":"$sfDir"}""")

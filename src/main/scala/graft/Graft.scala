@@ -225,6 +225,13 @@ object Graft {
   def appendIvfIndex(spark: SparkSession, dir: String, emb: DataFrame): Unit =
     operators.IvfIndex.append(spark, dir, emb)
 
+  /** Cell-balance health of a [[buildIvfIndex]] index — skew and
+    * appended-fraction, the append-more vs refit decision inputs. See
+    * [[operators.IvfIndex.stats]]. */
+  def ivfIndexStats(spark: SparkSession, dir: String)
+      : operators.IvfIndex.IndexStats =
+    operators.IvfIndex.stats(spark, dir)
+
   /** Build the persisted MinHash band-signature store over a
     * `(doc_id, toks)` corpus — the daily-increment serving shape of
     * [[minHashNearDupPairsDelta]]: signatures computed once, stored
@@ -247,6 +254,24 @@ object Graft {
   def appendNearDupSignatureStore(spark: SparkSession, dir: String,
       delta: DataFrame): Unit =
     operators.NearDupSignatureStore.append(spark, dir, delta)
+
+  /** Compact a [[buildNearDupSignatureStore]] store's data files —
+    * the maintenance job for append's O(cells × increments) file
+    * growth: per-cell shuffle-free merge of `sigs`, flat merge of the
+    * `toksets` ledger, rename-swapped; probe output is byte-identical
+    * before and after. See [[operators.NearDupSignatureStore.compact]]. */
+  def compactNearDupSignatureStore(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : operators.NearDupSignatureStore.CompactStats =
+    operators.NearDupSignatureStore.compact(spark, dir, targetBytes)
+
+  /** Health of a [[buildNearDupSignatureStore]] store (files/rows per
+    * table, worst cell fan-out, vocabulary regime) — the signal for
+    * scheduling [[compactNearDupSignatureStore]]. See
+    * [[operators.NearDupSignatureStore.stats]]. */
+  def nearDupSignatureStoreStats(spark: SparkSession, dir: String)
+      : operators.NearDupSignatureStore.StoreStats =
+    operators.NearDupSignatureStore.stats(spark, dir)
 
   /** All fingerprint pairs within a Hamming-distance bound via
     * pigeonhole banding (SimHash near-dup shape, q52's plan

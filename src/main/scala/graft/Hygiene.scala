@@ -19,4 +19,24 @@ object Hygiene {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
   }
+
+  /** Conf flag: `true` makes [[eagerCut]] a no-op, so a RESULT frame
+    * keeps its full pre-checkpoint plan. For plan inspection only
+    * (PlanAudit sets it): the un-cut frame recomputes its lineage
+    * without the within-call caches if actually executed. */
+  val SkipEagerCutConf = "spark.graft.skipEagerCut"
+
+  /** The result-frame eager cut every heavy query ends with
+    * (`localCheckpoint(true)`: materialize now, truncate lineage, let
+    * within-call caches release before returning) — centralized so
+    * PlanAudit can disable it via [[SkipEagerCutConf]] and read the
+    * REAL plan instead of the post-checkpoint `Scan ExistingRDD` that
+    * blinded PLANS_r8.txt for q44/q47/q105/x105/x68 (VERDICT r8 task
+    * 4). Iterative mid-loop checkpoints (connected components) are NOT
+    * routed through here — truncating per-round lineage is a semantic
+    * need, not result hygiene, and must survive the audit flag. */
+  def eagerCut(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf.getOption(SkipEagerCutConf).contains("true")) df
+    else df.localCheckpoint(eager = true)
 }

@@ -6,15 +6,13 @@ import org.apache.spark.sql.SparkSession
   * physical plan — the 100 TB smell test (SURVEY §7.4.6). Flags
   * cartesian products and large-side nested-loop joins.
   *
-  * Known blind spot: queries that EAGERLY localCheckpoint their result
-  * (q44, q47, q105, x105, x68 — the cache-hygiene pattern) audit as an
-  * empty profile, because the returned frame's plan is just the
-  * post-checkpoint `Scan ExistingRDD`. Their pre-checkpoint plan
-  * quality is asserted where it matters — in their ScalaTest specs
-  * (zero-exchange band join, PartitionFilters, candidate pins) — so an
-  * empty line here means "eager", not "planless". A query moving from
-  * a full profile to empty across rounds is a query that GAINED the
-  * eager cut (x68 did between the r7 and r8 audits).
+  * Runs with [[Hygiene.SkipEagerCutConf]] set, so queries that eagerly
+  * `localCheckpoint` their result (q44, q47, q105, x105, x68, q52, q79
+  * — the cache-hygiene pattern) audit their REAL pre-checkpoint plan
+  * instead of the post-checkpoint `Scan ExistingRDD` that blinded
+  * PLANS_r8.txt (VERDICT r8 task 4). The audit FAILS (nonzero exit) if
+  * any query's profile comes back empty — a regression to the blind
+  * spot — or if any plan contains a CartesianProduct.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -24,8 +22,12 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Hygiene.SkipEagerCutConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    var empty = List.empty[String]
+    var cartesians = List.empty[String]
+    var errors = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
@@ -39,12 +41,25 @@ object PlanAudit {
           "Cartesian" -> count("CartesianProduct"),
           "Exchange" -> count("Exchange(?!Like)"),
           "Scan" -> count("Scan parquet|Scan csv|Scan orc|Scan json"),
-        ).filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(" ")
-        println(f"[audit] $name%-22s $profile")
+        ).filter(_._2 > 0)
+        if (profile.isEmpty) empty ::= name
+        if (count("CartesianProduct") > 0) cartesians ::= name
+        val line = profile.map { case (k, v) => s"$k=$v" }.mkString(" ")
+        println(f"[audit] $name%-22s $line")
       } catch {
-        case e: Throwable => println(s"[audit] $name ERROR ${e.getMessage}")
+        case e: Throwable =>
+          errors ::= name
+          println(s"[audit] $name ERROR ${e.getMessage}")
       }
     }
+    println(s"[audit] TOTAL queries=${SparkEntry.queries.size} " +
+      s"empty=${empty.size} cartesians=${cartesians.size} " +
+      s"errors=${errors.size}")
     spark.stop()
+    if (empty.nonEmpty || cartesians.nonEmpty || errors.nonEmpty) {
+      Console.err.println(s"[audit] FAIL empty=$empty " +
+        s"cartesians=$cartesians errors=$errors")
+      sys.exit(1)
+    }
   }
 }

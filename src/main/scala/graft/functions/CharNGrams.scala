@@ -29,6 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * fused loop inside whole-stage codegen. Equality proven by
   * CharNGramsSpec on the real corpus, random multibyte strings, and
   * the degenerate lengths, on both the codegen and interpreted paths.
+  *
+  * Deliberate SCHEMA tightening (ADVICE r8): `dataType` declares
+  * `containsNull = false` where the HOF chain declares `true` —
+  * `substringSQL` never returns null, so the VALUES are identical, but
+  * schema-equality against the old derivation (a `unionByName` with a
+  * relation cached under the HOF schema, say) would report a nullable
+  * mismatch. That is the correct direction (the tighter schema is the
+  * true one) — widen with `ArrayType(StringType, true)` at the caller
+  * if such a union ever needs it.
   */
 case class CharNGrams(child: Expression, n: Int)
   extends UnaryExpression with ImplicitCastInputTypes {

@@ -30,6 +30,8 @@ object Multimodal {
   case class ImageFeatures(doc_id: Long, byte_len: Int, sha256: String,
       width: Int, height: Int, channels: Int, brightness: Double)
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_sha: String)
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, channels: Int, brightness: Double)
 
   object Codecs {
     /** STUB image decode — a real implementation would parse the codec
@@ -63,32 +65,78 @@ object Multimodal {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case scala.util.control.NonFatal(_) => null }
-      Option(img).map { im =>
-        val (w, h) = (im.getWidth, im.getHeight)
-        val raster = im.getRaster
-        val c = raster.getNumBands
-        val cm = im.getColorModel
-        var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < c) {
-              val full = (1L << cm.getComponentSize(
-                math.min(b, cm.getNumComponents - 1))) - 1L
-              sum += raster.getSampleDouble(x, y, b) / full
-              b += 1
-            }
-            x += 1
-          }
-          y += 1
-        }
-        val denom = w.toLong * h * c
-        val mean = if (denom == 0) 0.0 else sum / denom
-        (w, h, c, math.rint(mean * 1e6) / 1e6)
-      }
+      Option(img).map(frameStats)
     }
+
+    /** (width, height, bands, mean brightness) of one decoded frame.
+      * PALETTE-INDEXED frames (GIF, indexed PNG) are resolved to RGB
+      * first: their raster samples are palette INDICES, and averaging
+      * indices would make "brightness" an artifact of palette order
+      * rather than of the pixels. */
+    private def frameStats(im0: java.awt.image.BufferedImage)
+        : (Int, Int, Int, Double) = {
+      val im =
+        if (!im0.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) im0
+        else {
+          val rgb = new java.awt.image.BufferedImage(im0.getWidth,
+            im0.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = rgb.createGraphics()
+          try g.drawImage(im0, 0, 0, null) finally g.dispose()
+          rgb
+        }
+      val (w, h) = (im.getWidth, im.getHeight)
+      val raster = im.getRaster
+      val c = raster.getNumBands
+      val cm = im.getColorModel
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < c) {
+            val full = (1L << cm.getComponentSize(
+              math.min(b, cm.getNumComponents - 1))) - 1L
+            sum += raster.getSampleDouble(x, y, b) / full
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val denom = w.toLong * h * c
+      val mean = if (denom == 0) 0.0 else sum / denom
+      (w, h, c, math.rint(mean * 1e6) / 1e6)
+    }
+
+    /** REAL multi-frame decode via `javax.imageio` readers (animated
+      * GIF is the JDK-native multi-frame format; a single-frame
+      * PNG/JPEG/BMP decodes as one frame): per-frame
+      * (width, height, bands, mean brightness), same conventions as
+      * [[decodeImage]]. `None` when no reader accepts the bytes or the
+      * payload is corrupt mid-stream — callers choose the sentinel
+      * (the [[decodeImage]] rule: corrupt media is data, not an
+      * error). */
+    def decodeFrames(payload: Array[Byte])
+        : Option[Vector[(Int, Int, Int, Double)]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              // seekForwardOnly=false: getNumImages(true) walks the
+              // whole stream before the frames are read back
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              Some((0 until n).map(i => frameStats(reader.read(i))).toVector)
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** STUB resize — keeps bytes opaque; real codec would re-encode. */
     def resizeStub(payload: Array[Byte], maxBytes: Int): Array[Byte] =
@@ -156,6 +204,38 @@ object Multimodal {
     media.flatMap { rec =>
       Codecs.sampleFramesStub(rec.payload, stride).zipWithIndex.map {
         case (frame, i) => FrameSample(rec.doc_id, i, Codecs.sha256Hex(frame))
+      }
+    }
+  }
+
+  /** REAL frame sampling with per-frame features (VERDICT r8 task 7 —
+    * the last stubbed codec with an offline-feasible implementation):
+    * every `stride`-th frame of each media row decodes to
+    * (width, height, channels, brightness) via
+    * [[Codecs.decodeFrames]]; `frame_idx` is the ORIGINAL frame index
+    * (0, stride, 2·stride, …), so consumers see which frames were
+    * kept. Dispatch mirrors [[extractImageFeatures]]: `image/fake`
+    * rows keep the deterministic byte-window stub (each stub "frame"
+    * through [[Codecs.decodeImageStub]]); any other media type decodes
+    * for real, and an undecodable payload emits ONE sentinel row
+    * (frame_idx −1, width/height −1) instead of failing the job. */
+  def extractFrameFeatures(media: Dataset[MediaRecord],
+      stride: Int = 1): Dataset[FrameFeatures] = {
+    require(stride > 0, s"stride must be positive: $stride")
+    import media.sparkSession.implicits._
+    media.flatMap { rec =>
+      if (rec.media_type == "image/fake")
+        Codecs.sampleFramesStub(rec.payload, stride).zipWithIndex.map {
+          case (frame, i) =>
+            val (w, h, c, bright) = Codecs.decodeImageStub(frame)
+            FrameFeatures(rec.doc_id, i * stride, w, h, c, bright)
+        }
+      else Codecs.decodeFrames(rec.payload) match {
+        case Some(frames) => frames.zipWithIndex.collect {
+          case ((w, h, c, bright), i) if i % stride == 0 =>
+            FrameFeatures(rec.doc_id, i, w, h, c, bright)
+        }
+        case None => Seq(FrameFeatures(rec.doc_id, -1, -1, -1, 0, 0.0))
       }
     }
   }

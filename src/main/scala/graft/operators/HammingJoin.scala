@@ -34,7 +34,7 @@ object HammingJoin {
   def selfJoin(fp: DataFrame, idCol: String, fpCol: String, maxDist: Int,
       bits: Int = 32, numBands: Int = 0): DataFrame = {
     val (bands, pairs) = bandedPairs(fp, idCol, fpCol, maxDist, bits, numBands)
-    try pairs.localCheckpoint(true)
+    try graft.Hygiene.eagerCut(pairs)
     finally bands.unpersist(blocking = false)
   }
 

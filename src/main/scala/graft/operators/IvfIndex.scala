@@ -37,12 +37,23 @@ object IvfIndex {
       .select($"vec_id", $"v", $"cent_id")
   }
 
-  /** Build the index over `emb` (vec_id, v: array&lt;double&gt;) into `dir`. */
+  /** Build the index over `emb` (vec_id, v: array&lt;double&gt;) into `dir`.
+    * Assignments are clustered onto their cell before the partitioned
+    * write (one shuffle; ≤1 file per cell, vs one sliver per input
+    * partition × cell — the signature-store file-count rule), and the
+    * built row count lands in `meta` so [[stats]] can report how much
+    * of the index arrived by [[append]]. */
   def build(emb: DataFrame, dir: String, c: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val cents = KMeans.fit(emb, c)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    assign(emb, cents).write.mode("overwrite").partitionBy("cent_id")
+    val assigned = assign(emb, cents).repartition($"cent_id")
+    assigned.write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dir/assignments")
+    Seq(spark.read.parquet(s"$dir/assignments").count())
+      .toDF("build_rows").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Incrementally add vectors to an existing index WITHOUT refitting
@@ -63,9 +74,56 @@ object IvfIndex {
     * fraction is no longer small (the usual IVF practice: increments
     * append, compactions refit). */
   def append(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
+    import spark.implicits._
     val cents = spark.read.parquet(s"$dir/centroids")
-    assign(emb, cents).write.mode("append").partitionBy("cent_id")
+    assign(emb, cents).repartition($"cent_id")
+      .write.mode("append").partitionBy("cent_id")
       .parquet(s"$dir/assignments")
+  }
+
+  /** Cell-balance health of the index at `dir` — the operational half
+    * of [[append]] (VERDICT r8 task 6): appends never move the
+    * centroids, so the cost model drifts only through cell BALANCE,
+    * and these are exactly the numbers a caller needs to decide
+    * append-more vs refit:
+    *
+    *  - `fattestCellFraction`: rows in the largest cell / total rows.
+    *    A probe reads `nprobe` cells, so its worst-case scan fraction
+    *    tends toward `nprobe × fattestCellFraction` instead of the
+    *    balanced `nprobe / cells`;
+    *  - `skew`: fattestCellFraction × cells — 1.0 is perfectly
+    *    balanced, `cells` is everything-in-one-cell. Refit when it is
+    *    a multiple of its post-build value;
+    *  - `appendedFraction`: rows added since [[build]] over total rows
+    *    (the build records its row count in `meta`) — the "appended
+    *    fraction is no longer small" signal the [[append]] scaladoc's
+    *    rebuild rule keys on. −1.0 for a pre-meta index (unknown).
+    *
+    * One aggregate job over the assignments table; run it on the
+    * maintenance cadence, not per query. */
+  final case class IndexStats(cells: Int, rows: Long,
+      fattestCellFraction: Double, skew: Double, appendedFraction: Double)
+
+  def stats(spark: SparkSession, dir: String): IndexStats = {
+    import spark.implicits._
+    val perCell = spark.read.parquet(s"$dir/assignments")
+      .groupBy($"cent_id").count().collect()
+      .map(r => r.getLong(1))
+    val rows = perCell.sum
+    val cells = spark.read.parquet(s"$dir/centroids").count().toInt
+    val fattest =
+      if (rows == 0L) 0.0 else perCell.max.toDouble / rows
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appended =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))) -1.0
+      else {
+        val built = spark.read.parquet(s"$dir/meta")
+          .collect().head.getLong(0)
+        if (rows == 0L) 0.0 else (rows - built).toDouble / rows
+      }
+    IndexStats(cells, rows, fattest,
+      if (cells == 0) 0.0 else fattest * cells, appended)
   }
 
   /** Top-k cosine neighbors for `queries` (query_id, qv) from the index

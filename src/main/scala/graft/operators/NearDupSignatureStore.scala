@@ -189,21 +189,51 @@ object NearDupSignatureStore {
   /** [[probe]] without the eager cut — the raw plan, for the spec's
     * partition-prune assertions (a checkpoint would hide the scan).
     * `maxInFilterIds` is the generic-verify prune cap, exposed so the
-    * fallback path is testable at fixture size. */
+    * fallback path is testable at fixture size.
+    *
+    * NOT a cheap accessor in the generic-vocabulary regime (ADVICE
+    * r8): choosing the prune strategy needs the candidate-id collect,
+    * which runs the candidate join (delta signature job + pruned store
+    * scan) EAGERLY at construction, and — since nothing is persisted
+    * on this path, deliberately, so the returned plan is the raw one —
+    * evaluating the returned frame re-runs that join. Test/audit
+    * surface only; production callers use [[probe]], which persists
+    * the shared stages and releases them after its eager cut. */
   private[graft] def probeFrame(spark: SparkSession, dir: String,
       delta: DataFrame, maxInFilterIds: Int = DefaultMaxInFilterIds): DataFrame =
     probeParts(spark, dir, delta, persistDelta = false, maxInFilterIds)._1
 
   /** Generic-verify prune-strategy cap: up to this many DISTINCT
     * store-side candidate ids are collected and pushed into the
-    * `toksets` scan as an IN filter (≈32 MB of longs at the default —
-    * the same driver footprint a broadcast would stage). Beyond it the
-    * prune degrades gracefully to a left-semi SHUFFLE join: `toksets`
-    * then shuffles (the documented no-shuffle posture yields), but
-    * memory stays bounded everywhere — at that candidate density the
-    * increment is degenerate-dense and a corpus shuffle beats a driver
-    * OOM. */
-  private val DefaultMaxInFilterIds: Int = 4000000
+    * `toksets` scan as an `InSet` filter. The binding constraint is no
+    * longer the driver (the id set is one `Set` inside a single
+    * expression node — no per-value `Literal` children, so planning
+    * cost is flat in the id count; ADVICE r8) but the EXECUTOR: every
+    * task deserializes the task binary, so each concurrently-running
+    * toksets-scan task holds its own copy of the set (~80 B/boxed
+    * long ⇒ ~8 MB at the default cap; × task slots). Beyond the cap
+    * the prune degrades gracefully to a left-semi SHUFFLE join:
+    * `toksets` then shuffles (the documented no-shuffle posture
+    * yields), but memory stays bounded everywhere — at that candidate
+    * density the increment is degenerate-dense and a corpus shuffle
+    * beats heap pressure. Measured at the cap (NOTES_r9): InSet
+    * construction+planning is milliseconds where the r8 per-literal
+    * `In` spent seconds of driver analysis. */
+  private val DefaultMaxInFilterIds: Int = 100000
+
+  /** `col ∈ ids` as a single Catalyst `InSet` node — one expression
+    * holding the whole set, vs `isInCollection`'s `In` with one
+    * `Literal` CHILD per value, whose analyzer/optimizer traversals
+    * walk every child before `OptimizeIn` collapses it (GBs of tree
+    * and minutes of planning at millions of ids — ADVICE r8). The
+    * optimized/translated form is identical (`DataSourceStrategy`
+    * translates both to a source-level `In`), only the planning cost
+    * differs. */
+  private def inSetFilter(c: org.apache.spark.sql.Column,
+      ids: Seq[Any]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.InSet(
+        org.apache.spark.sql.GraftSqlBridge.expression(c), ids.toSet))
 
   private def probeParts(spark: SparkSession, dir: String,
       delta: DataFrame, persistDelta: Boolean,
@@ -282,7 +312,7 @@ object NearDupSignatureStore {
           if (idVals.length <= maxInFilterIds)
             spark.read.parquet(s"$dir/toksets")
               .filter(if (idVals.isEmpty) lit(false)
-                else $"doc_id".isInCollection(idVals))
+                else inSetFilter($"doc_id", idVals))
               .select($"doc_id".as("ra"), ta)
           else
             // degenerate-dense fallback (see DefaultMaxInFilterIds):
@@ -316,5 +346,126 @@ object NearDupSignatureStore {
         deltaSigs.unpersist()
         toRelease.foreach(_.unpersist())
       } else ())
+  }
+
+  // ---- maintenance surface (VERDICT r8 task 1) ------------------------
+
+  /** Store health, for the caller deciding compact-vs-rebuild:
+    * `maxFilesPerCell` is the daily-append growth signal (each append
+    * adds ≤1 file per cell, so it ≈ increments since the last
+    * [[compact]]); `toksetFiles` grows the same way (the ledger is
+    * append-only). Row counts are one count job each; the file counts
+    * are driver-side listings. */
+  final case class StoreStats(cells: Int, maskComplete: Boolean,
+      vocabSize: Int, sigFiles: Int, maxFilesPerCell: Int, sigRows: Long,
+      toksetFiles: Int, toksetRows: Long)
+
+  private def partFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+
+  private def cellDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Array[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/sigs")
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(_.getPath)
+  }
+
+  def stats(spark: SparkSession, dir: String): StoreStats = {
+    val m = readMeta(spark, dir)
+    val fs = fsOf(spark, dir)
+    val perCell = cellDirs(fs, dir).map(p => partFiles(fs, p).length)
+    StoreStats(m.cells, m.mask_complete, m.vocab.size,
+      perCell.sum, if (perCell.isEmpty) 0 else perCell.max,
+      spark.read.parquet(s"$dir/sigs").count(),
+      partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length,
+      spark.read.parquet(s"$dir/toksets").count())
+  }
+
+  final case class CompactStats(sigFilesBefore: Int, sigFilesAfter: Int,
+      toksetFilesBefore: Int, toksetFilesAfter: Int)
+
+  /** Swap `tmp` over `live` through a rename pair. The crash window
+    * between the two renames leaves NO live dir — a LOUD failure on the
+    * next probe, never silent data loss — and both [[compact]] entry
+    * recovery and a manual `…__old` rename restore it. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+      live: String, tmp: String): Unit = {
+    val livP = new org.apache.hadoop.fs.Path(live)
+    val oldP = new org.apache.hadoop.fs.Path(s"${live}__old")
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    require(fs.rename(livP, oldP), s"swap: rename $live aside failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), livP),
+      s"swap: rename $tmp into place failed ($live is at $oldP)")
+    fs.delete(oldP, true)
+    ()
+  }
+
+  /** Un-crash a half-finished [[compact]] swap: if `live` is missing
+    * but its `…__old` sibling exists, the previous run died between
+    * the two renames — put the original back (the compacted tmp tree,
+    * if any, is rebuilt from it). */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      live: String): Unit = {
+    val livP = new org.apache.hadoop.fs.Path(live)
+    val oldP = new org.apache.hadoop.fs.Path(s"${live}__old")
+    if (!fs.exists(livP) && fs.exists(oldP))
+      require(fs.rename(oldP, livP), s"swap recovery: restore $live failed")
+    ()
+  }
+
+  /** Rewrite the store's data files near `targetBytes` without touching
+    * its contents — the remedy for append's O(cells × increments) file
+    * growth (a year of daily increments is ~365 files per cell and 365
+    * ledger files, and probes pay one file-open per sliver).
+    *
+    *  - `sigs` compacts PER CELL DIRECTORY ([[Compaction]]'s per-leaf
+    *    contract): each cell's files merge shuffle-free (`coalesce`)
+    *    into ~`targetBytes` files written to a parallel tree, preserving
+    *    the hive layout — and with it the probe's static partition
+    *    pruning;
+    *  - `toksets` (flat append ledger) compacts as one flat dir;
+    *  - each table then SWAPS via rename — the probe output is
+    *    byte-identical before and after (asserted in the spec), `meta`
+    *    is never touched, and a crash mid-swap is loud-and-recoverable
+    *    (the next compact restores the set-aside original).
+    *
+    * Run it off the probe path on whatever cadence keeps
+    * [[stats]]' `maxFilesPerCell` small (weekly against daily appends,
+    * say). Not concurrency-safe against a simultaneous append — the
+    * maintenance window is the caller's, as with any metastore-less
+    * table format. */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    readMeta(spark, dir) // store must exist; meta itself is 1 file, untouched
+    val fs = fsOf(spark, dir)
+    recoverSwap(fs, s"$dir/sigs")
+    recoverSwap(fs, s"$dir/toksets")
+    def freshTmp(live: String): String = {
+      val t = s"${live}__compacting"
+      val p = new org.apache.hadoop.fs.Path(t)
+      if (fs.exists(p)) fs.delete(p, true) // leftover from a dead run
+      t
+    }
+    val sigsBefore = cellDirs(fs, dir).map(p => partFiles(fs, p).length).sum
+    val sigsTmp = freshTmp(s"$dir/sigs")
+    cellDirs(fs, dir).foreach { cell =>
+      Compaction.compact(spark, cell.toString,
+        s"$sigsTmp/${cell.getName}", targetBytes)
+    }
+    swapDir(fs, s"$dir/sigs", sigsTmp)
+    val toksBefore =
+      partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length
+    val toksTmp = freshTmp(s"$dir/toksets")
+    Compaction.compact(spark, s"$dir/toksets", toksTmp, targetBytes)
+    swapDir(fs, s"$dir/toksets", toksTmp)
+    CompactStats(sigsBefore,
+      cellDirs(fs, dir).map(p => partFiles(fs, p).length).sum,
+      toksBefore,
+      partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length)
   }
 }

@@ -257,8 +257,8 @@ object ApproxOps {
     // of the multi-million-row pair set; the driver-verified q47
     // binding keeps the sorted contract
     val all = crossGroup.unionAll(intraGroup)
-    try (if (sorted) all.orderBy($"doc_a", $"doc_b") else all)
-      .localCheckpoint(true)
+    try graft.Hygiene.eagerCut(
+      if (sorted) all.orderBy($"doc_a", $"doc_b") else all)
     finally {
       bands.unpersist()
       groups.unpersist()
@@ -343,7 +343,7 @@ object ApproxOps {
         round($"jac", 6).as("jaccard"))
       .distinct()
       .orderBy($"doc_a", $"doc_b")
-    try verified.localCheckpoint(true)
+    try graft.Hygiene.eagerCut(verified)
     finally {
       bands.unpersist()
       masksOpt.foreach(_.unpersist())

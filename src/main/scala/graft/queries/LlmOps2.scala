@@ -157,7 +157,7 @@ object LlmOps2 {
     // Hygiene.clearAll invalidates this frame — consume it first, as
     // the harness mains do; see Hygiene's contract note.)
     // finally: a failed checkpoint job must not leak the persist
-    try pairs.localCheckpoint(eager = true)
+    try graft.Hygiene.eagerCut(pairs)
     finally d.unpersist(blocking = false)
   }
   val q44Sql: String =

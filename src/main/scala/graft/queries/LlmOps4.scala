@@ -239,7 +239,7 @@ object LlmOps4 {
         .agg(countDistinct($"eval_id").as("n_eval_docs"),
           countDistinct($"ng").as("n_shared"))
         .orderBy($"doc_id")
-        .localCheckpoint(true)
+        .transform(graft.Hygiene.eagerCut)
     } finally evalG.unpersist(blocking = false)
   }
 

@@ -224,8 +224,8 @@ object LlmOps5 {
       .filter($"rn" <= $"admit")
       .select($"doc_id", $"lang", $"quality_score")
     // finally: a failed checkpoint job must not leak the persist
-    try above.unionAll(admitted).orderBy($"doc_id")
-      .localCheckpoint(true)
+    try graft.Hygiene.eagerCut(
+      above.unionAll(admitted).orderBy($"doc_id"))
     finally scored.unpersist()
   }
   val q79Sql: String =

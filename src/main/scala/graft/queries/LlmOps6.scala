@@ -251,7 +251,7 @@ object LlmOps6 {
     try {
       val pairs = graft.operators.IncrementalNearDup.newPairs(
         d.filter($"doc_id" % 5 =!= 0), d.filter($"doc_id" % 5 === 0), 0.2)
-      pairs.localCheckpoint(true)
+      graft.Hygiene.eagerCut(pairs)
     } finally d.unpersist(blocking = false)
   }
   val q105Sql: String =

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One adversarial document row (top-level so the Dataset encoder can
+  * instantiate it without an outer-scope reference). */
+private[graft] case class AdvDoc(doc_id: Long, text: Option[String],
+    lang: String, source: String, n_chars: Option[Long])
+
+/** Adversarial-data differential harness (VERDICT r8 task 2): the
+  * dedup/text-family hash queries run engine-vs-DuckDB over corpora no
+  * fixture contains — empty strings, null text, 1–2-token documents,
+  * multibyte/CJK/emoji text, a multi-thousand-token document, plus a
+  * planted-near-dup bulk so the pair queries produce pairs — because
+  * the r8 oracle latent (sub-3-token trigram divergence, NOTES_r8) was
+  * found by READING, not by any test: no sf fixture reaches the
+  * degenerate-document semantics end-to-end.
+  *
+  * Mechanics: per seed, write an adversarial `documents.parquet` into a
+  * temp sf-dir (other tables symlinked from sf0.001 so every view
+  * resolves), dump each query's result exactly as `graft.Verify` does,
+  * and run the DRIVER-SHAPED comparator (`tools/check.py`, DuckDB) on
+  * it. Cancels (not fails) when the driver-side python/duckdb stack is
+  * absent — the harness borrows it for the oracle only; the library
+  * itself never depends on it. */
+class AdversarialDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** The dedup/text family — every documents-table hash-gated query
+    * whose semantics touch tokenization, n-grams, or text length. */
+  private val Queries = Seq(
+    "q35_dedup_exact", "q36_neardup_jaccard", "q38_token_stats",
+    "q39_tfidf", "q41_text_quality", "q42_token_count",
+    "q43_fingerprint", "q44_ngram_jaccard", "q56_normalize",
+    "q66_langid", "q67_repetition", "q68_decontaminate",
+    "q69_chunking", "q70_pii_redact", "q104_winnow_passages",
+    "q105_neardup_delta")
+
+  private def duckdbAvailable: Boolean =
+    try {
+      import scala.sys.process._
+      Seq("python3", "-c", "import duckdb, pyarrow, pandas").! == 0
+    } catch { case _: Throwable => false }
+
+  /** Seeded adversarial corpus: rows 0–13 are the degenerate block
+    * (identical across seeds — these ARE the test); the bulk is a
+    * seeded planted-near-dup corpus in the sf vocabulary so the pair
+    * and winnowing queries have real work. */
+  private def corpus(seed: Int): Seq[AdvDoc] = {
+    val rng = new scala.util.Random(seed)
+    val langs = Seq("en", "es", "zh", "de", "fr")
+    def doc(id: Long, text: String): AdvDoc =
+      AdvDoc(id, Some(text), langs((id % langs.size).toInt),
+        s"src${id % 4}", Some(text.length.toLong))
+    val huge = (0 until 3000).map(i => s"tok${i % 37}").mkString(" ")
+    val degenerate = Seq(
+      AdvDoc(0L, None, "en", "src0", None), // null text
+      doc(1L, ""), // empty
+      doc(2L, " "), // whitespace only
+      doc(3L, "a"), // 1 token
+      doc(4L, "a b"), // 2 tokens — the r8 trigram-latent shape
+      doc(5L, "东京 大阪"), // CJK, 2 tokens
+      doc(6L, "東京大阪名古屋"), // CJK, no spaces
+      doc(7L, "🚀 🙂 🚀"), // emoji (surrogates)
+      doc(8L, huge), // multi-thousand-token document
+      doc(9L, "naïve café naïve café"), // combining-free accents
+      doc(10L, huge), // exact dup of the huge doc
+      doc(11L, "naïve café naïve café"), // exact dup
+      doc(12L, "a b"), // exact dup of the 2-token doc
+      doc(13L, "东京 大阪 京都")) // near-dup of doc 5
+    val vocab = Seq("the", "fast", "key", "order", "sort", "table",
+      "scan", "merge", "part", "window", "small", "hash", "join",
+      "batch", "stream", "spark", "dup", "group", "query", "row",
+      "data", "slow", "filter", "customer", "line", "value", "agg",
+      "column", "big", "vector", "a")
+    val bases = (0 until 6).map(_ =>
+      rng.shuffle(vocab).take(8 + rng.nextInt(8)))
+    val bulk = (20L until 140L).map { id =>
+      val b = bases(rng.nextInt(bases.size))
+      val mutated = b.filter(_ => rng.nextInt(8) > 0) ++
+        rng.shuffle(vocab).take(rng.nextInt(3))
+      // repetition matters for q67/q104: sample WITH replacement so
+      // grams repeat within documents
+      val toks = (0 until 3 + rng.nextInt(40)).map(_ =>
+        mutated(rng.nextInt(mutated.size)))
+      doc(id, toks.mkString(" "))
+    }
+    degenerate ++ bulk
+  }
+
+  private[graft] def debugFixture(seed: Int): String = writeFixture(seed)
+
+  private def writeFixture(seed: Int): String = {
+    import spark.implicits._
+    val adv = java.nio.file.Files
+      .createTempDirectory(s"adv_sf_$seed").toString
+    // every non-documents table resolves to sf0.001 (check.py creates a
+    // view per table; the doc-family queries never read them, but the
+    // views must exist)
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    java.nio.file.Files.list(src).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet") && name != "documents.parquet")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(adv, name), p)
+      ()
+    }
+    // single parquet FILE named documents.parquet, as the driver writes
+    val tmp = s"$adv/__docs_tmp"
+    corpus(seed).toDF().coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(adv, "documents.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    adv
+  }
+
+  test("dedup/text-family queries match the DuckDB oracle on " +
+      "adversarial corpora (empty/null/1-token/multibyte/huge docs), " +
+      "3 seeds") {
+    assume(duckdbAvailable, "driver-side python/duckdb stack not present")
+    for (seed <- Seq(101, 202, 303)) {
+      val adv = writeFixture(seed)
+      val out = java.nio.file.Files
+        .createTempDirectory(s"adv_out_$seed").toString
+      try {
+        Queries.foreach { name =>
+          try SparkEntry.queries(name)(spark, adv).coalesce(1)
+            .write.mode("overwrite").parquet(s"$out/$name")
+          finally Hygiene.clearAll(spark)
+        }
+        val json = SparkEntry.oracleSql.filter(kv => Queries.contains(kv._1))
+          .map { case (k, v) =>
+            s"${Verify.jsonQuote(k)}: ${Verify.jsonQuote(v)}" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
+        import scala.sys.process._
+        val log = new StringBuilder
+        val code = Process(Seq("python3", "tools/check.py", adv, out),
+            new java.io.File("/root/repo"))
+          .!(ProcessLogger(l => { log.append(l).append('\n'); () },
+            l => { log.append(l).append('\n'); () }))
+        assert(code == 0,
+          s"seed $seed: engine-vs-oracle divergence on adversarial " +
+            s"data:\n$log")
+        assert(log.toString.contains(s"== ${Queries.size} pass"),
+          s"seed $seed: comparator did not cover all queries:\n$log")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(adv))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      }
+    }
+  }
+}

@@ -245,6 +245,18 @@ class GraftFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p2 = Graft.probeNearDupSignatureStore(spark, store, d2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p2 == Set((1L, 20L), (2L, 20L), (10L, 20L)))
+    // maintenance surface: stats see the append's ledger growth, compact
+    // reverses it, and the compacted store still probes identically
+    Graft.appendNearDupSignatureStore(spark, store, d2)
+    // ≥3: build + two appends each wrote ≥1 ledger file (more when the
+    // input had several partitions — the growth compact reverses)
+    assert(Graft.nearDupSignatureStoreStats(spark, store).toksetFiles >= 3)
+    val cs = Graft.compactNearDupSignatureStore(spark, store)
+    assert(cs.toksetFilesAfter == 1, cs.toString)
+    val d3 = Seq((30L, Seq("a", "b", "c"))).toDF("doc_id", "toks")
+    val p3 = Graft.probeNearDupSignatureStore(spark, store, d3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3 == Set((1L, 30L), (2L, 30L), (10L, 30L), (20L, 30L)))
 
     val idx = java.nio.file.Files.createTempDirectory("facade_ivfapp").toString
     val rng = new scala.util.Random(7)

@@ -40,6 +40,34 @@ class ExpressionContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("RollingHash == the portable ascii-fold SQL formulation on " +
+      "multibyte text (code points, not bytes — r9 adversarial finding)") {
+    import spark.implicits._
+    // CJK / emoji / accents / ASCII / truncation-past-maxLen — the byte
+    // fold agreed with the SQL formulation only on the ASCII rows
+    val texts = Seq("东京 大阪", "東京大阪名古屋", "🚀 🙂 🚀",
+      "naïve café", "plain ascii text", "", "a",
+      ("x" * 100) + "东", "东" * 100)
+    for (maxLen <- Seq(3, 64)) {
+      val df = texts.toDF("t")
+      val viaExpr = df.select(
+        RollingHash.rollingHash($"t", maxLen).as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      val viaSql = df.selectExpr(
+        s"""aggregate(transform(sequence(1, least(length(t), $maxLen)),
+           |  i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), 0L,
+           |  (acc, x) -> (acc * 31 + x) % 1000000007) AS h"""
+          .stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaExpr == viaSql, s"maxLen=$maxLen")
+      // interpreted path agrees with codegen
+      val interp = texts.map(t =>
+        RollingHash.hashCodePoints(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), maxLen))
+      assert(interp == viaExpr, s"interpreted maxLen=$maxLen")
+    }
+  }
+
   test("SumOfProducts matches the engine's double->DECIMAL(18,4) cast " +
       "on values where binary expansion and Double.toString diverge") {
     import spark.implicits._

@@ -126,6 +126,72 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byDoc.values.forall(_ >= 1))
   }
 
+  test("REAL multi-frame codec: a generated 2-frame animated GIF decodes " +
+      "to per-frame dims/brightness, stride is respected, corrupt emits " +
+      "the sentinel row (VERDICT r8 task 7)") {
+    import spark.implicits._
+    // 3-frame animated GIF: solid black, solid white, solid black 2×2.
+    // Black and white survive GIF palettization exactly, and frameStats
+    // resolves palette indices to RGB — so brightness is exactly 0/1/0.
+    def solid(rgb: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 to 1; y <- 0 to 1) im.setRGB(x, y, rgb)
+      im
+    }
+    val gif = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      assert(it.hasNext, "no JDK gif writer")
+      val w = it.next()
+      try {
+        w.setOutput(ios)
+        w.prepareWriteSequence(null)
+        for (im <- Seq(solid(0x000000), solid(0xFFFFFF), solid(0x000000)))
+          w.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+        w.endWriteSequence()
+      } finally { w.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    // the decoder alone: 3 frames, exact dims/brightness per frame
+    val frames = Multimodal.Codecs.decodeFrames(gif)
+    assert(frames.isDefined, "JDK reader rejected its own gif")
+    assert(frames.get.map { case (w, h, _, b) => (w, h, b) } ==
+      Vector((2, 2, 0.0), (2, 2, 1.0), (2, 2, 0.0)), frames.get.toString)
+
+    // through the operator: stride 2 keeps original frame indices 0, 2;
+    // a single-frame PNG is one frame; corrupt bytes → one sentinel row
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(solid(0xFFFFFF), "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/gif", gif),
+      Multimodal.MediaRecord(2L, "image/png", png),
+      Multimodal.MediaRecord(3L, "image/gif", Array[Byte](7, 7, 7)))
+      .toDS()
+    val got = Multimodal.extractFrameFeatures(media, stride = 2).collect()
+      .groupBy(_.doc_id)
+    assert(got(1L).map(f => (f.frame_idx, f.width, f.height, f.brightness))
+      .sortBy(_._1).toSeq == Seq((0, 2, 2, 0.0), (2, 2, 2, 0.0)),
+      got(1L).mkString(","))
+    assert(got(2L).map(f => (f.frame_idx, f.width, f.height, f.brightness))
+      .toSeq == Seq((0, 2, 2, 1.0)), got(2L).mkString(","))
+    assert(got(3L).map(f => (f.frame_idx, f.width, f.height, f.channels,
+      f.brightness)).toSeq == Seq((-1, -1, -1, 0, 0.0)),
+      got(3L).mkString(","))
+
+    // fake rows keep the deterministic stub (byte-window "frames")
+    val fake = Seq(Multimodal.MediaRecord(9L, "image/fake",
+      Array.tabulate[Byte](64)(_.toByte))).toDS()
+    val fakeGot = Multimodal.extractFrameFeatures(fake, stride = 2).collect()
+    assert(fakeGot.map(_.frame_idx).sorted.toSeq == Seq(0, 2),
+      fakeGot.mkString(","))
+    assert(fakeGot.forall(f => f.width >= 64 && f.channels == 3))
+  }
+
   test("sha2 on binary matches java MessageDigest (stub consistency)") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir).limit(10)

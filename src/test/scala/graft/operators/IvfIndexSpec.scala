@@ -94,4 +94,34 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(idxA, idxB).foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
+
+  test("stats: a skewed append drives skew and appendedFraction past " +
+      "the refit thresholds; a fresh build reads balanced") {
+    import spark.implicits._
+    // 4 well-separated clusters (one-hot corners + small noise): the
+    // farthest-first codebook lands one centroid per corner, so cell
+    // membership — and therefore the balance numbers — is predictable
+    val rng = new scala.util.Random(5)
+    def around(corner: Int, id: Long): (Long, Seq[Double]) =
+      (id, Seq.tabulate(4)(i =>
+        (if (i == corner) 1.0 else 0.0) + rng.nextGaussian() * 0.01))
+    val base = (0 until 40).map(i => around(i % 4, i.toLong))
+    val idx = java.nio.file.Files.createTempDirectory("ivf_stats").toString
+    IvfIndex.build(base.toDF("vec_id", "v"), idx, c = 4)
+    val s0 = IvfIndex.stats(spark, idx)
+    assert(s0.cells == 4 && s0.rows == 40L, s0.toString)
+    assert(s0.appendedFraction == 0.0, s0.toString)
+    assert(s0.skew <= 1.5, s"fresh build should be balanced: $s0")
+
+    // everything appended lands in corner 0's cell: 70/100 rows in one
+    // cell of 4 → fattest 0.7, skew 2.8 — the refit signal
+    val delta = (0 until 60).map(i => around(0, 1000L + i))
+    IvfIndex.append(spark, idx, delta.toDF("vec_id", "v"))
+    val s1 = IvfIndex.stats(spark, idx)
+    assert(s1.rows == 100L, s1.toString)
+    assert(math.abs(s1.appendedFraction - 0.6) < 1e-9, s1.toString)
+    assert(s1.fattestCellFraction >= 0.65, s1.toString)
+    assert(s1.skew >= 2.0, s"skewed append must trip the signal: $s1")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+  }
 }

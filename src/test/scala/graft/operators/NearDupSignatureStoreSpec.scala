@@ -172,6 +172,75 @@ class NearDupSignatureStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("compact: probe identical before/after, file count drops to " +
+      "~O(cells), ledger to ~1 file, meta untouched (both vocab regimes)") {
+    for ((vocabSize, name) <- Seq(40 -> "bitmask", 200 -> "generic")) {
+      val dir = tmp(s"sigstore_compact_$name")
+      NearDupSignatureStore.build(
+        df(corpus(41, 60, vocabSize = vocabSize)), dir,
+        threshold = 0.5, cells = 8)
+      for (i <- 1 to 3)
+        NearDupSignatureStore.append(spark, dir,
+          df(corpus(41 + i, 15, from = 1000L * i, vocabSize = vocabSize)))
+      val before = NearDupSignatureStore.stats(spark, dir)
+      // each append adds ≤1 file per touched cell + 1 ledger file — the
+      // growth compact exists to reverse
+      assert(before.maxFilesPerCell >= 2, before.toString)
+      // build + 3 appends, each ≥1 ledger file (≥1 per input partition)
+      assert(before.toksetFiles >= 4, before.toString)
+
+      val probeDelta = df(corpus(53, 20, from = 9000L,
+        vocabSize = vocabSize))
+      val want = pairs(NearDupSignatureStore.probe(spark, dir, probeDelta))
+      assert(want.nonEmpty, s"$name: degenerate fixture")
+
+      val cs = NearDupSignatureStore.compact(spark, dir)
+      assert(cs.sigFilesAfter < cs.sigFilesBefore, cs.toString)
+      val after = NearDupSignatureStore.stats(spark, dir)
+      assert(after.maxFilesPerCell == 1, after.toString)
+      assert(after.toksetFiles == 1, after.toString)
+      // contents untouched: same rows, same regime, same vocabulary
+      assert(after.sigRows == before.sigRows)
+      assert(after.toksetRows == before.toksetRows)
+      assert(after.maskComplete == before.maskComplete)
+      assert(after.vocabSize == before.vocabSize)
+      // the probe output is byte-identical over the compacted store
+      assert(pairs(NearDupSignatureStore.probe(spark, dir, probeDelta))
+        == want, s"$name: probe diverged after compact")
+      // and the static partition prune survives the rewrite
+      val plan = NearDupSignatureStore.probeFrame(spark, dir, probeDelta)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("compact: a crash between the swap renames is recovered on the " +
+      "next run (set-aside original restored, then compacted)") {
+    val dir = tmp("sigstore_crash")
+    NearDupSignatureStore.build(df(corpus(59, 50)), dir, threshold = 0.5,
+      cells = 8)
+    NearDupSignatureStore.append(spark, dir,
+      df(corpus(61, 15, from = 1000L)))
+    val probeDelta = df(corpus(67, 15, from = 9000L))
+    val want = pairs(NearDupSignatureStore.probe(spark, dir, probeDelta))
+    assert(want.nonEmpty, "degenerate fixture")
+    // simulate dying between rename(live→old) and rename(tmp→live):
+    // live gone, original set aside — the loud-not-silent crash window
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/sigs"),
+      new org.apache.hadoop.fs.Path(s"$dir/sigs__old")))
+    intercept[Exception] { // a probe against the crashed store fails loudly
+      NearDupSignatureStore.probe(spark, dir, probeDelta).count()
+    }
+    val cs = NearDupSignatureStore.compact(spark, dir)
+    assert(cs.sigFilesAfter >= 1)
+    assert(pairs(NearDupSignatureStore.probe(spark, dir, probeDelta))
+      == want, "probe diverged after crash recovery + compact")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("randomized equivalence: probe == inline across seeds and regimes") {
     for (seed <- Seq(29, 31, 37); (vocabSize, name) <-
         Seq(40 -> "bitmask", 120 -> "generic")) {

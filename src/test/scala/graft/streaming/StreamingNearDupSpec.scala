@@ -352,6 +352,76 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
   }
 
+  test("mid-stream vocabulary demotion (VERDICT r8 task 5): an OOV " +
+      "overflow batch driven THROUGH matchesWithReconcile flips the " +
+      "store generic exactly once; pairs still == the full batch sweep") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // 8 docs, three ingest batches. The identical trio 1–3 overflows a
+    // cap-1 bucket in batch 1, so the store is BUILT from in-vocabulary
+    // docs {2,3} (vocab {a..e}, mask_complete). Batch 2's overflow docs
+    // carry the OOV token "zz" — the demoting increment. Batch 3's are
+    // back in-vocab and probe the demoted (generic-verify) store.
+    val docs = Seq(
+      1L -> Seq("a", "b", "c", "d", "e"),
+      2L -> Seq("a", "b", "c", "d", "e"),
+      3L -> Seq("a", "b", "c", "d", "e"),
+      4L -> Seq("p", "q", "r", "s", "t"),
+      5L -> Seq("a", "b", "c", "d", "e", "zz"),
+      6L -> Seq("a", "b", "c", "d", "e", "zz"),
+      7L -> Seq("a", "b", "c", "d", "e"),
+      8L -> Seq("a", "b", "c", "d", "e"))
+    val docsWithToks = docs.toDF("doc_id", "toks")
+    val want = graft.queries.ApproxOps.minhashNearDupPairs(docsWithToks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stream rows: banded signatures + a sorted-vocab bitmask (the
+    // docSigs convention — any per-token bit works for the stream's
+    // exact AND/popcount verify)
+    val bit = docs.flatMap(_._2).distinct.sorted.zipWithIndex.toMap
+    val masksDf = docs.map { case (id, ts) =>
+      id -> ts.distinct.map(t => 1L << bit(t)).reduce(_ | _) }
+      .toDF("doc_id", "mask")
+    val sigRows = graft.queries.ApproxOps
+      .bandSignatures(docsWithToks.join(masksDf, "doc_id"),
+        carryCols = Seq("mask"))
+      .as[DocSig].collect().toSeq
+    def batchOf(ids: Long*): Seq[DocSig] =
+      sigRows.filter(r => ids.contains(r.doc_id)).sortBy(_.doc_id)
+    val work = java.nio.file.Files.createTempDirectory("e09demote").toString
+    val store = s"$work/sigstore"
+    def maskComplete(): Boolean = spark.read.parquet(s"$store/meta")
+      .collect().head.getAs[Boolean]("mask_complete")
+    val mem = MemoryStream[DocSig]
+    val q = StreamingNearDup
+      .matchesWithReconcile(mem.toDS(), docsWithToks, work,
+        maxBucketMembers = 1)
+      .option("checkpointLocation", s"$work/ckpt")
+      .start()
+    mem.addData(batchOf(1L, 2L, 3L, 4L)); q.processAllAvailable()
+    assert(graft.operators.NearDupSignatureStore.exists(spark, store),
+      "batch 1 must overflow and build the store")
+    assert(maskComplete(), "in-vocab build must start mask-complete")
+    mem.addData(batchOf(5L, 6L)); q.processAllAvailable()
+    val overflowAfter2 = spark.read.parquet(s"$work/overflow_ids")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(overflowAfter2.exists(id => id == 5L || id == 6L),
+      s"an OOV doc must overflow for the fixture to demote: $overflowAfter2")
+    assert(!maskComplete(),
+      "the OOV increment must demote the store to the generic verify")
+    mem.addData(batchOf(7L, 8L)); q.processAllAvailable()
+    assert(!maskComplete(), "demotion is one-way — no flip back")
+    // the in-vocab batch went through the DEMOTED store's reconcile path
+    assert(spark.read.parquet(s"$store/toksets").count() >
+      overflowAfter2.size, "batch 3's overflow docs must reach the store")
+    q.stop()
+    val got = spark.read.parquet(s"$work/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"missed: ${(want -- got).take(5)} extra: ${(got -- want).take(5)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+  }
+
   test("crash-safe reconcile ordering: a reconcile interrupted after the " +
       "pair write but before the store append is safely re-run — " +
       "duplicate log rows, never lost pairs") {
