@@ -72,13 +72,19 @@ object Bench {
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     def canary(): Unit = {
       loads += loadAvg()
-      val t0 = System.nanoTime()
-      // pmod keeps the running sum < n·1e9 — no ANSI long overflow;
-      // 256M rows puts the quiet floor at ~0.4 s so scheduler noise
-      // (±0.1 s) cannot trip the 1.5× flag
-      spark.range(256L * 1000 * 1000)
-        .selectExpr("sum(pmod(id * 2654435761, 1000000007))").collect()
-      canaryMs += (System.nanoTime() - t0) / 1000000
+      // MIN of 3 back-to-back runs: a single shot also measures the
+      // bench's own transient state (GC debt from the query that just
+      // finished — a quiet-box session showed 93→361 ms single-shot
+      // swings), and the point is AMBIENT contention, which persists
+      // across three consecutive sub-second runs where an in-JVM GC
+      // hiccup does not
+      canaryMs += Seq.fill(3) {
+        val t0 = System.nanoTime()
+        // pmod keeps the running sum < n·1e9 — no ANSI long overflow
+        spark.range(256L * 1000 * 1000)
+          .selectExpr("sum(pmod(id * 2654435761, 1000000007))").collect()
+        (System.nanoTime() - t0) / 1000000
+      }.min
       ()
     }
     canary() // discarded warm canary: JIT + codegen for the probe itself

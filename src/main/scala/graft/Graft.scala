@@ -232,6 +232,14 @@ object Graft {
       : operators.IvfIndex.IndexStats =
     operators.IvfIndex.stats(spark, dir)
 
+  /** Compact a [[buildIvfIndex]] index's assignment files (per-cell
+    * merge of append slivers; codebook untouched, queries identical).
+    * Returns (filesBefore, filesAfter). See
+    * [[operators.IvfIndex.compact]]. */
+  def compactIvfIndex(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    operators.IvfIndex.compact(spark, dir, targetBytes)
+
   /** Build the persisted MinHash band-signature store over a
     * `(doc_id, toks)` corpus — the daily-increment serving shape of
     * [[minHashNearDupPairsDelta]]: signatures computed once, stored

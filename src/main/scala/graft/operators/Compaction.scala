@@ -25,11 +25,69 @@ import org.apache.spark.sql.SparkSession
 object Compaction {
   final case class Stats(inFiles: Int, inBytes: Long, outFiles: Int)
 
+  /** Un-crash a half-finished [[swapDir]]: if `live` is missing but its
+    * `…__old` sibling exists, a previous swap died between its two
+    * renames — put the original back. Safe to call unconditionally
+    * before compacting. */
+  def recoverSwap(spark: SparkSession, live: String): Unit = {
+    val livP = new Path(live)
+    val fs = livP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new Path(s"${live}__old")
+    if (!fs.exists(livP) && fs.exists(oldP))
+      require(fs.rename(oldP, livP), s"swap recovery: restore $live failed")
+    ()
+  }
+
+  /** Swap `tmp` over `live` through a rename pair. The crash window
+    * between the two renames leaves NO live dir — a LOUD failure on the
+    * next read, never silent data loss — and [[recoverSwap]] (or a
+    * manual `…__old` rename) restores it. */
+  def swapDir(spark: SparkSession, live: String, tmp: String): Unit = {
+    val livP = new Path(live)
+    val fs = livP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new Path(s"${live}__old")
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    require(fs.rename(livP, oldP), s"swap: rename $live aside failed")
+    require(fs.rename(new Path(tmp), livP),
+      s"swap: rename $tmp into place failed ($live is at $oldP)")
+    fs.delete(oldP, true)
+    ()
+  }
+
+  /** Hive-partition-aware IN-PLACE compaction: each `<partPrefix>*`
+    * leaf directory of `dir` is compacted (shuffle-free, per
+    * [[compact]]) into a parallel tree that preserves the hive layout —
+    * and with it partition pruning — then the tree swaps over the
+    * original via [[swapDir]]. Crash-recoverable ([[recoverSwap]] runs
+    * first), contents untouched, file count drops to
+    * ~⌈bytes/targetBytes⌉ per leaf. Not concurrency-safe against a
+    * simultaneous writer — the maintenance window is the caller's.
+    * Returns (filesBefore, filesAfter). */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      partPrefix: String, targetBytes: Long): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    recoverSwap(spark, dir)
+    def leaves(): Array[Path] = fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partPrefix))
+      .map(_.getPath)
+    def countParts(): Int = leaves().map(p => fs.listStatus(p)
+      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))).sum
+    val before = countParts()
+    val tmp = s"${dir}__compacting"
+    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+    leaves().foreach { leaf =>
+      compact(spark, leaf.toString, s"$tmp/${leaf.getName}", targetBytes)
+    }
+    swapDir(spark, dir, tmp)
+    (before, countParts())
+  }
+
   /** Rewrite `in` (a flat parquet dir) into `out` with ~`targetBytes`
     * files. Returns before/after stats. `out` must differ from `in` —
-    * the swap (rename over the original) is the caller's commit step,
-    * where the file-mover protocol or a metastore swap provides
-    * atomicity.
+    * the swap (rename over the original) is the caller's commit step:
+    * [[swapDir]] for rename-capable filesystems, or the file-mover
+    * protocol / a metastore swap where stronger atomicity exists.
     */
   def compact(spark: SparkSession, in: String, out: String,
       targetBytes: Long): Stats = {

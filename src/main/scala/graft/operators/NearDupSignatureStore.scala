@@ -389,45 +389,16 @@ object NearDupSignatureStore {
   final case class CompactStats(sigFilesBefore: Int, sigFilesAfter: Int,
       toksetFilesBefore: Int, toksetFilesAfter: Int)
 
-  /** Swap `tmp` over `live` through a rename pair. The crash window
-    * between the two renames leaves NO live dir — a LOUD failure on the
-    * next probe, never silent data loss — and both [[compact]] entry
-    * recovery and a manual `…__old` rename restore it. */
-  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
-      live: String, tmp: String): Unit = {
-    val livP = new org.apache.hadoop.fs.Path(live)
-    val oldP = new org.apache.hadoop.fs.Path(s"${live}__old")
-    if (fs.exists(oldP)) fs.delete(oldP, true)
-    require(fs.rename(livP, oldP), s"swap: rename $live aside failed")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), livP),
-      s"swap: rename $tmp into place failed ($live is at $oldP)")
-    fs.delete(oldP, true)
-    ()
-  }
-
-  /** Un-crash a half-finished [[compact]] swap: if `live` is missing
-    * but its `…__old` sibling exists, the previous run died between
-    * the two renames — put the original back (the compacted tmp tree,
-    * if any, is rebuilt from it). */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-      live: String): Unit = {
-    val livP = new org.apache.hadoop.fs.Path(live)
-    val oldP = new org.apache.hadoop.fs.Path(s"${live}__old")
-    if (!fs.exists(livP) && fs.exists(oldP))
-      require(fs.rename(oldP, livP), s"swap recovery: restore $live failed")
-    ()
-  }
-
   /** Rewrite the store's data files near `targetBytes` without touching
     * its contents — the remedy for append's O(cells × increments) file
     * growth (a year of daily increments is ~365 files per cell and 365
     * ledger files, and probes pay one file-open per sliver).
     *
-    *  - `sigs` compacts PER CELL DIRECTORY ([[Compaction]]'s per-leaf
-    *    contract): each cell's files merge shuffle-free (`coalesce`)
-    *    into ~`targetBytes` files written to a parallel tree, preserving
-    *    the hive layout — and with it the probe's static partition
-    *    pruning;
+    *  - `sigs` compacts PER CELL DIRECTORY
+    *    ([[Compaction.compactPartitioned]]): each cell's files merge
+    *    shuffle-free into ~`targetBytes` files written to a parallel
+    *    tree, preserving the hive layout — and with it the probe's
+    *    static partition pruning;
     *  - `toksets` (flat append ledger) compacts as one flat dir;
     *  - each table then SWAPS via rename — the probe output is
     *    byte-identical before and after (asserted in the spec), `meta`
@@ -443,29 +414,20 @@ object NearDupSignatureStore {
       targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
     readMeta(spark, dir) // store must exist; meta itself is 1 file, untouched
     val fs = fsOf(spark, dir)
-    recoverSwap(fs, s"$dir/sigs")
-    recoverSwap(fs, s"$dir/toksets")
-    def freshTmp(live: String): String = {
-      val t = s"${live}__compacting"
+    val (sigsBefore, sigsAfter) =
+      Compaction.compactPartitioned(spark, s"$dir/sigs", "cell=", targetBytes)
+    Compaction.recoverSwap(spark, s"$dir/toksets")
+    val toksBefore =
+      partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length
+    val toksTmp = {
+      val t = s"$dir/toksets__compacting"
       val p = new org.apache.hadoop.fs.Path(t)
       if (fs.exists(p)) fs.delete(p, true) // leftover from a dead run
       t
     }
-    val sigsBefore = cellDirs(fs, dir).map(p => partFiles(fs, p).length).sum
-    val sigsTmp = freshTmp(s"$dir/sigs")
-    cellDirs(fs, dir).foreach { cell =>
-      Compaction.compact(spark, cell.toString,
-        s"$sigsTmp/${cell.getName}", targetBytes)
-    }
-    swapDir(fs, s"$dir/sigs", sigsTmp)
-    val toksBefore =
-      partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length
-    val toksTmp = freshTmp(s"$dir/toksets")
     Compaction.compact(spark, s"$dir/toksets", toksTmp, targetBytes)
-    swapDir(fs, s"$dir/toksets", toksTmp)
-    CompactStats(sigsBefore,
-      cellDirs(fs, dir).map(p => partFiles(fs, p).length).sum,
-      toksBefore,
+    Compaction.swapDir(spark, s"$dir/toksets", toksTmp)
+    CompactStats(sigsBefore, sigsAfter, toksBefore,
       partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length)
   }
 }

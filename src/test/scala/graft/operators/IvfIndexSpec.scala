@@ -122,6 +122,21 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(s1.appendedFraction - 0.6) < 1e-9, s1.toString)
     assert(s1.fattestCellFraction >= 0.65, s1.toString)
     assert(s1.skew >= 2.0, s"skewed append must trip the signal: $s1")
+
+    // compaction: append slivers merge per cell, queries identical
+    val queries = (delta.take(3) ++ base.take(3))
+      .toDF("query_id", "qv")
+      .selectExpr("query_id", "qv")
+    val wantQ = IvfIndex.query(spark, idx, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val (fb, fa) = IvfIndex.compact(spark, idx)
+    assert(fa < fb, s"compact must shrink files: $fb -> $fa")
+    val s2 = IvfIndex.stats(spark, idx)
+    assert(s2.rows == s1.rows && s2.skew == s1.skew,
+      s"compact must not touch contents: $s1 vs $s2")
+    val gotQ = IvfIndex.query(spark, idx, queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotQ == wantQ, "query diverged after compact")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
   }
 }
