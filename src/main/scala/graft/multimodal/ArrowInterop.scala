@@ -81,11 +81,16 @@ object ArrowInterop {
           rootOut.allocateNew()
           var i = 0
           while (i < n) {
-            if (ids.isNull(i) || payloads.isNull(i)) {
-              outIds.setNull(i); outLens.setNull(i); outDigests.setNull(i)
+            // a null PAYLOAD nulls only the derived columns — the row's
+            // identity survives (nulling doc_id too moved the row under
+            // the output's doc_id sort and shifted every later row
+            // against the oracle; adversarial-harness finding)
+            if (ids.isNull(i)) outIds.setNull(i)
+            else outIds.setSafe(i, ids.get(i))
+            if (payloads.isNull(i)) {
+              outLens.setNull(i); outDigests.setNull(i)
             } else {
               val payload = payloads.get(i)
-              outIds.setSafe(i, ids.get(i))
               outLens.setSafe(i, payload.length)
               outDigests.setSafe(i,
                 Multimodal.Codecs.sha256Hex(payload).getBytes("UTF-8"))

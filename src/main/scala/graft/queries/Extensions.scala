@@ -146,7 +146,12 @@ object Extensions {
       .select($"lang", $"text").as[(String, String)]
       // limit -1: keep trailing empty tokens, matching Spark's split()
       // and the DuckDB oracle (Scala's default drops them)
-      .flatMap { case (lang, text) => text.split(" ", -1).map(t => (lang, t)) }
+      // null text contributes no tokens — the explode(split(...))
+      // twin's semantics; without the guard the typed path NPEs on the
+      // first null document (adversarial-harness finding)
+      .flatMap { case (lang, text) =>
+        if (text == null) Iterator.empty
+        else text.split(" ", -1).iterator.map(t => (lang, t)) }
       .toDF("lang", "token")
     val counts = tok.groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
     val totals = counts.groupBy($"lang")

@@ -389,11 +389,14 @@ object LlmOps2 {
       .select($"doc_id",
         octet_length($"text").as("byte_len"),
         sha2($"bin", 256).as("digest"),
-        (decode($"bin", "UTF-8") === $"text").as("roundtrip_ok"))
+        // null-SAFE equality (<=>): a null payload round-trips
+        // faithfully (true), instead of a NULL boolean whose pandas
+        // dtype rendering differs between the two comparator sides
+        (decode($"bin", "UTF-8") <=> $"text").as("roundtrip_ok"))
       .orderBy($"doc_id")
   }
   val q49Sql: String =
     """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS digest,
-      |  decode(encode(text)) = text AS roundtrip_ok
+      |  decode(encode(text)) IS NOT DISTINCT FROM text AS roundtrip_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 }

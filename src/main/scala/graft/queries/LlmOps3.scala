@@ -62,7 +62,12 @@ object LlmOps3 {
       .withColumn("h", graft.functions.RollingHash.rollingHash($"text", 64))
       .withColumn("shuffle_key", expr("(h * 2654435761) % 2147483647"))
       .select($"doc_id", $"shuffle_key")
-      .orderBy($"shuffle_key", $"doc_id")
+      // NULLS LAST pinned on BOTH sides (adversarial-harness finding):
+      // a null-text doc has a null shuffle key, and Spark's ascending
+      // default (NULLS FIRST) vs DuckDB's (NULLS LAST) silently moved
+      // it in and out of the LIMIT window. Convention: degenerate docs
+      // sort last and never steal sample/order slots.
+      .orderBy($"shuffle_key".asc_nulls_last, $"doc_id")
       .limit(100)
   }
   val q63Sql: String =
@@ -74,7 +79,7 @@ object LlmOps3 {
       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
       |  FROM documents)
       |SELECT doc_id, (h * 2654435761) % 2147483647 AS shuffle_key
-      |FROM h ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin
+      |FROM h ORDER BY shuffle_key NULLS LAST, doc_id LIMIT 100""".stripMargin
 
   // ---- Q64: deterministic sequence packing ----------------------------
   // Training-data op: pack documents into fixed-token-budget bins
@@ -106,7 +111,9 @@ object LlmOps3 {
       .groupBy($"shard", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"),
         min($"doc_id").as("first_doc"))
-      .orderBy($"shard", $"bin")
+      // null-text docs form the (NULL, NULL) bin on both engines; its
+      // POSITION is pinned NULLS LAST (the q63 convention)
+      .orderBy($"shard".asc_nulls_last, $"bin".asc_nulls_last)
   }
   val q64Sql: String =
     """WITH t AS (
@@ -124,7 +131,8 @@ object LlmOps3 {
       |  FROM t)
       |SELECT shard, CAST((cum - 1) // 512 AS BIGINT) AS bin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens, MIN(doc_id) AS first_doc
-      |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+      |FROM c GROUP BY shard, bin
+      |ORDER BY shard NULLS LAST, bin NULLS LAST""".stripMargin
 
   // ---- Q65: deterministic stratified sample ---------------------------
   // Per-language quota sampling by content hash: the same document is

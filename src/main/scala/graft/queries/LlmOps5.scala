@@ -256,9 +256,14 @@ object LlmOps5 {
   // |sources| partitions first.
   def q84(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // null-text docs hash to NULL; coalesce past any real hash value
+    // (< 1e9+7) so they rank LAST in every group (q63's convention —
+    // TopKPerGroup's Order has no null-placement knob, and the output
+    // doesn't carry h, so the coalesce is invisible)
     val ranked = Tables(s, dir, "documents")
       .select($"doc_id", $"source", $"lang", $"n_chars",
-        graft.functions.RollingHash.rollingHash($"text", 64).as("h"))
+        coalesce(graft.functions.RollingHash.rollingHash($"text", 64),
+          lit(Long.MaxValue)).as("h"))
     graft.plans.GraftOps.topKPerGroup(ranked, 20, Seq("source"),
         Seq(graft.plans.GraftOps.Order("h"),
           graft.plans.GraftOps.Order("doc_id")), rankName = "rk")
@@ -274,7 +279,8 @@ object LlmOps5 {
       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
       |  FROM documents),
       |r AS (
-      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY coalesce(h, 9223372036854775807), doc_id) AS rk
       |  FROM h)
       |SELECT source, rk, doc_id, lang, n_chars FROM r
       |WHERE rk <= 20 ORDER BY source, rk""".stripMargin

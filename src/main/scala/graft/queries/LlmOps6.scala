@@ -212,7 +212,10 @@ object LlmOps6 {
       .filter(col("__quota") > 0)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col(sourceCol))
-          .orderBy(col("__rh"), col(tieCol))))
+          // NULLS LAST (q63's convention, pinned in the oracle too): a
+          // null-text doc has a null hash and must not outrank every
+          // real document in its source's quota window
+          .orderBy(col("__rh").asc_nulls_last, col(tieCol))))
       .filter(col("rnk") <= col("__quota"))
       .drop("__rh", "__quota")
   }
@@ -227,7 +230,8 @@ object LlmOps6 {
       |              WHEN 'src2' THEN 20 WHEN 'src3' THEN 5 ELSE 0 END AS quota
       |  FROM documents),
       |r AS (SELECT doc_id, source, quota,
-      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY rh, doc_id) AS rnk
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |                           ORDER BY rh NULLS LAST, doc_id) AS rnk
       |      FROM d WHERE quota > 0)
       |SELECT doc_id, source, rnk FROM r WHERE rnk <= quota
       |ORDER BY doc_id""".stripMargin
