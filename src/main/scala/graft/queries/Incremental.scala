@@ -185,7 +185,12 @@ object Incremental {
   // an unbounded partition.
   def q88(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    // us NULLS LAST (adversarial-events finding): a null event time
+    // has no position in a validity chain; the pinned convention makes
+    // it the FINAL version on both engines instead of Spark's
+    // primordial-first vs DuckDB's last
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us".asc_nulls_last, $"event_id")
     val changes = Tables(s, dir, "events")
       .select($"user_id", unix_micros($"ts").as("us"), $"event_type", $"event_id")
       .withColumn("prev", lag($"event_type", 1).over(w))
@@ -201,12 +206,15 @@ object Incremental {
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id
       |           FROM events),
       |c AS (SELECT *, LAG(event_type) OVER
-      |        (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+      |        (PARTITION BY user_id ORDER BY us NULLS LAST, event_id) AS prev
+      |      FROM e),
       |f AS (SELECT user_id, us, event_type, event_id FROM c
       |      WHERE prev IS NULL OR prev <> event_type)
       |SELECT user_id, event_type AS attr, us AS valid_from_us,
-      |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
-      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version
+      |  LEAD(us) OVER (PARTITION BY user_id
+      |                 ORDER BY us NULLS LAST, event_id) AS valid_to_us,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id
+      |                     ORDER BY us NULLS LAST, event_id) AS version
       |FROM f ORDER BY user_id, version""".stripMargin
 
   // ---- Q89: CDC changeset apply (keyed upsert/delete merge) ----------
@@ -362,7 +370,8 @@ object Incremental {
     graft.operators.Resample.resampleLocf(obs, "event_type", "ts", "v", "hour")
       .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("hour"),
         $"event_type", $"v")
-      .orderBy($"hour", $"event_type")
+      // NULLS LAST pinned (adversarial-events finding)
+      .orderBy($"hour", $"event_type".asc_nulls_last)
   }
   val q99Sql: String =
     """WITH obs AS (
@@ -383,7 +392,7 @@ object Incremental {
       |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
       |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
-      |FROM grid ORDER BY hour, event_type""".stripMargin
+      |FROM grid ORDER BY hour, event_type NULLS LAST""".stripMargin
 
   // ---- Q100: one-pass column profiling -------------------------------
   // The data-quality sweep through the general operator
@@ -624,7 +633,8 @@ object Incremental {
         $"event_type",
         coalesce($"n", lit(0L)).as("n"),
         last($"sum_value", ignoreNulls = true).over(w).as("filled_sum"))
-      .orderBy($"hour", $"event_type")
+      // NULLS LAST pinned (adversarial-events finding)
+      .orderBy($"hour", $"event_type".asc_nulls_last)
   }
   val q96Sql: String =
     """WITH ev AS (
@@ -645,5 +655,5 @@ object Incremental {
       |  last_value(sum_value IGNORE NULLS) OVER (
       |    PARTITION BY event_type ORDER BY h
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
-      |FROM cells ORDER BY hour, event_type""".stripMargin
+      |FROM cells ORDER BY hour, event_type NULLS LAST""".stripMargin
 }

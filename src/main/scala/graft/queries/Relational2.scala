@@ -49,8 +49,11 @@ object Relational2 {
       .filter($"event_type".isin("click", "purchase"))
       .select($"event_id", $"user_id", $"ts", $"event_type",
         when($"event_type" === "click", 1).otherwise(0).as("is_click"))
+    // ts NULLS LAST: a null-ts click must never be carried (the
+    // oracle's c.ts <= p.ts excludes it); nulls-first would hand it to
+    // any purchase that precedes the first real click
     val w = Window.partitionBy($"user_id")
-      .orderBy($"ts", $"is_click".desc, $"event_id")
+      .orderBy($"ts".asc_nulls_last, $"is_click".desc, $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("click_id",
         last(when($"is_click" === 1, $"event_id"), ignoreNulls = true).over(w))
@@ -361,7 +364,11 @@ object Relational2 {
   // ---- Q20: analytic window functions over events ---------------------
   def q20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // NULLS LAST pinned in the sequence order (adversarial-events
+    // finding): Spark sorts a null-ts event first in its user's
+    // timeline, DuckDB last — shifting every lag/lead/first/last
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc_nulls_last, $"event_id")
     val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables(s, dir, "events")
       .select($"event_id", $"user_id", $"value",
@@ -376,8 +383,8 @@ object Relational2 {
       |  LAG(value, 1) OVER w AS prev_v, LEAD(value, 1) OVER w AS next_v,
       |  FIRST_VALUE(value) OVER wf AS first_v, LAST_VALUE(value) OVER wf AS last_v
       |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-      |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id),
+      |  wf AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
@@ -589,22 +596,36 @@ object Relational2 {
       .groupBy($"k")
       .agg(count(lit(1)).as("n"), rd(sum(dec($"value"))).as("sum_value"))
       .select(lit("k").as("mode"), $"k".cast("string").as("key"), $"n", $"sum_value")
-    // exercise MapType: counts → map_from_entries → explode back to rows
-    val byType = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    // exercise MapType: counts → map_from_entries → explode back to
+    // rows. A NULL event_type group must ROUTE AROUND the map — map
+    // keys cannot be null (one degenerate row failed the whole job
+    // with NULL_MAP_KEY; adversarial-events finding) — and rejoin
+    // after the round-trip, so the group survives like any other.
+    val typeCounts = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val byType = typeCounts.filter($"event_type".isNotNull)
       .agg(map_from_entries(sort_array(collect_list(struct($"event_type", $"n"))))
         .as("m"))
       .select(explode($"m").as(Seq("key", "n")))
+      .unionByName(typeCounts.filter($"event_type".isNull)
+        .select(lit(null).cast("string").as("key"), $"n"))
       .select(lit("type").as("mode"), $"key", $"n",
         lit(null).cast("double").as("sum_value"))
-    byK.unionAll(byType).orderBy($"mode", $"key")
+    // key NULLS LAST pinned on both sides (the r9 convention)
+    byK.unionAll(byType).orderBy($"mode", $"key".asc_nulls_last)
   }
+  // json_valid guard: DuckDB's json_extract_string ERRORS on malformed
+  // JSON where Spark's get_json_object yields NULL — at corpus scale a
+  // malformed props cell is data, so the lenient semantic is pinned
   val q31Sql: String =
-    """SELECT 'k' AS mode, CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS VARCHAR) AS key,
+    """SELECT 'k' AS mode,
+      |  CAST(CAST(CASE WHEN json_valid(props)
+      |                 THEN json_extract_string(props, '$.k') END AS INTEGER)
+      |       AS VARCHAR) AS key,
       |  COUNT(*) AS n,
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 2
       |UNION ALL
       |SELECT 'type' AS mode, event_type AS key, COUNT(*) AS n, NULL AS sum_value
       |FROM events GROUP BY 2
-      |ORDER BY mode, key""".stripMargin
+      |ORDER BY mode, key NULLS LAST""".stripMargin
 }

@@ -21,12 +21,15 @@ object Sources {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         Relational.rd(sum(Relational.dec($"value"))).as("sum_value"))
-      .orderBy($"event_type")
+      // NULLS LAST pinned (adversarial-events finding): the null-type
+      // group sorted first in Spark, last in DuckDB
+      .orderBy($"event_type".asc_nulls_last)
   }
   val q50Sql: String =
     """SELECT event_type, COUNT(*) AS n,
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type NULLS LAST""".stripMargin
 
   // ---- Q60: parquet round-trip with zstd compression ------------------
   // Codec choice changes bytes on disk, never values; at 100 TB zstd is

@@ -21,13 +21,18 @@ object StreamingBatch {
       .agg(count(lit(1)).as("n"), rd(sum(dec($"value"))).as("sum_value"))
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n", $"sum_value")
-      .orderBy($"window_start", $"event_type")
+      // NULLS LAST pinned (adversarial-events finding): Spark sorts a
+      // null event_type group first, DuckDB last. A null EVENT TIME
+      // belongs to no window on either side — Spark's window() drops it
+      // structurally; the oracle filters it explicitly.
+      .orderBy($"window_start", $"event_type".asc_nulls_last)
   }
   val q32Sql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, COUNT(*) AS n,
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY window_start, event_type NULLS LAST""".stripMargin
 
   // ---- Q33 ST: sliding 1 hour / 15 min window -------------------------
   // Spark's window() with slide assigns each event to 4 windows aligned
@@ -42,7 +47,8 @@ object StreamingBatch {
       .orderBy($"window_start")
   }
   val q33Sql: String =
-    """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+    """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events
+      |           WHERE ts IS NOT NULL),
       |w AS (SELECT (us // 900000000) * 900000000 - i * 900000000 AS ws_us, value
       |      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i))
       |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -65,7 +71,8 @@ object StreamingBatch {
       .orderBy($"user_id", $"start_us")
   }
   val q34Sql: String =
-    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+      |           WHERE ts IS NOT NULL),
       |f AS (SELECT user_id, us,
       |        CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
       |             OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
@@ -103,7 +110,10 @@ object StreamingBatch {
         $"event_type",
         coalesce($"n", lit(0L)).as("n"),
         coalesce($"sum_value", lit(0.0)).as("sum_value"))
-      .orderBy($"hour", $"event_type")
+      // NULLS LAST pinned (adversarial-events finding; the null-type
+      // DIMENSION row is kept by both engines — its cells are all-zero
+      // because SQL equality never matches the null key on either side)
+      .orderBy($"hour", $"event_type".asc_nulls_last)
   }
   val q74Sql: String =
     """WITH ev AS (
@@ -121,5 +131,5 @@ object StreamingBatch {
       |  COALESCE(hh.n, 0) AS n, COALESCE(hh.sum_value, 0.0) AS sum_value
       |FROM spine s CROSS JOIN types t
       |LEFT JOIN hourly hh ON hh.h = s.h AND hh.event_type = t.event_type
-      |ORDER BY hour, t.event_type""".stripMargin
+      |ORDER BY hour, t.event_type NULLS LAST""".stripMargin
 }

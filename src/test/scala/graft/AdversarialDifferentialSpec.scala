@@ -100,6 +100,67 @@ class AdversarialDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private[graft] def debugFixture(seed: Int): String = writeFixture(seed)
 
+  /** Adversarial EVENTS fixture: degenerate timestamps/values/props
+    * WITHIN the declared schema domains — `event_id` is a key (dup-id
+    * handling is the dedup surface's job, and the oracle idioms assume
+    * keyness), `value` is money (DECIMAL(18,4)-castable: no NaN/±Inf,
+    * |v| < 1e14 — DuckDB ERRORS casting NaN to DECIMAL where Spark
+    * yields NULL, so NaN is out-of-domain by the oracle's own word),
+    * and ts spans stay small enough that per-minute/hour grid queries
+    * are feasible (a 1970→2100 outlier makes BOTH engines generate a
+    * ~69M-row spine — a cost wall, not a divergence). In-domain
+    * degenerates: null ts, same-ts ties, null event_type, null and
+    * MALFORMED props JSON, sub-second boundary timestamps, negative /
+    * zero / near-decimal-max values. */
+  private def writeEventsFixture(seed: Int): String = {
+    import spark.implicits._
+    val adv = java.nio.file.Files
+      .createTempDirectory(s"adv_ev_$seed").toString
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    java.nio.file.Files.list(src).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet") && name != "events.parquet")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(adv, name), p)
+      ()
+    }
+    val rng = new scala.util.Random(seed)
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val degenerate = Seq(
+      (0L, null.asInstanceOf[String], 1L, "click", 1.0, """{"k": 1}"""),
+      (1L, "2023-12-30 00:00:00", 1L, "click", 2.0, """{"k": 2}"""),
+      (2L, "2024-01-02 23:59:59.999999", 1L, "view", 3.0, """{"k": 3}"""),
+      (3L, "2024-01-01 00:00:00", 2L, null.asInstanceOf[String], 4.0, """{"k": 4}"""),
+      (4L, "2024-01-01 00:00:00", 2L, "click", 7.5, """{"k": 5}"""),
+      (5L, "2024-01-01 00:00:01", 2L, "view", -1.5, null.asInstanceOf[String]),
+      (6L, "2024-01-01 00:00:01", 2L, "view", 0.0, "not json"),
+      (7L, "2024-01-01 00:00:01", 3L, "purchase", 9.9e12, """{"k": -7}"""),
+      (9L, "2024-01-01 00:00:01", 3L, "purchase", 9.9e12, """{"k": -7}"""),
+      (8L, "2024-01-01 00:00:01.000001", 3L, "error", 0.001, """{"k": 0}"""))
+    val bulk = (100L until 300L).map { id =>
+      val m = rng.nextInt(300)
+      (id, f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:${rng.nextInt(60)}%02d",
+        (id % 7) + 1, types(rng.nextInt(types.size)),
+        math.rint(rng.nextDouble() * 1000) / 100.0,
+        s"""{"k": ${rng.nextInt(100)}}""")
+    }
+    val tmp = s"$adv/__ev_tmp"
+    (degenerate ++ bulk)
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      // TIMESTAMP_NTZ: the driver fixture's physical layout (micros,
+      // isAdjustedToUTC=false) — what graft.Tables and the DuckDB views
+      // both read as wall-clock instants
+      .selectExpr("event_id", "CAST(ts_s AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(adv, "events.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    adv
+  }
+
   private def writeFixture(seed: Int): String = {
     import spark.implicits._
     val adv = java.nio.file.Files
@@ -126,8 +187,9 @@ class AdversarialDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     adv
   }
 
-  private def runSeed(seed: Int, queryNames: Seq[String]): Unit = {
-    val adv = writeFixture(seed)
+  private def runSeed(seed: Int, queryNames: Seq[String],
+      fixture: Int => String = writeFixture): Unit = {
+    val adv = fixture(seed)
     val out = java.nio.file.Files
       .createTempDirectory(s"adv_out_$seed").toString
     try {
@@ -176,5 +238,14 @@ class AdversarialDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     // relational surface re-verifies on real data as a side effect;
     // the documents-reading queries are the adversarial subjects
     runSeed(404, SparkEntry.oracleSql.keys.toSeq.sorted)
+  }
+
+  test("EVERY hash-gated query matches the DuckDB oracle on an " +
+      "adversarial EVENTS corpus (null/tied timestamps, null types, " +
+      "malformed props) — the sweep that caught the null-event-time " +
+      "window family, the SCD2/window null-ordering family, and q31's " +
+      "NULL_MAP_KEY job failure") {
+    assume(duckdbAvailable, "driver-side python/duckdb stack not present")
+    runSeed(707, SparkEntry.oracleSql.keys.toSeq.sorted, writeEventsFixture)
   }
 }
