@@ -46,9 +46,14 @@ object IvfIndex {
   def build(emb: DataFrame, dir: String, c: Int = 16): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = KMeans.fit(emb, c)
+    // un-indexable vectors (null / NaN / zero-norm) are dropped — they
+    // can never produce a rankable score, and a null embedding NPEs
+    // the k-means sampler (r9 adversarial contract,
+    // LlmOps.wellFormedVec; same rule at append and query)
+    val clean = emb.filter(graft.queries.LlmOps.wellFormedVec($"v"))
+    val cents = KMeans.fit(clean, c)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    val assigned = assign(emb, cents).repartition($"cent_id")
+    val assigned = assign(clean, cents).repartition($"cent_id")
     assigned.write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dir/assignments")
     Seq(spark.read.parquet(s"$dir/assignments").count())
@@ -76,7 +81,8 @@ object IvfIndex {
   def append(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$dir/centroids")
-    assign(emb, cents).repartition($"cent_id")
+    assign(emb.filter(graft.queries.LlmOps.wellFormedVec($"v")), cents)
+      .repartition($"cent_id")
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$dir/assignments")
   }
@@ -149,7 +155,8 @@ object IvfIndex {
     val cents = spark.read.parquet(s"$dir/centroids")
     val assigned = spark.read.parquet(s"$dir/assignments")
     val probes = GraftOps.topKPerGroup(
-        queries.join(broadcast(cents))
+        queries.filter(graft.queries.LlmOps.wellFormedVec($"qv"))
+          .join(broadcast(cents))
           .select($"query_id", $"qv", $"cent_id",
             graft.functions.CosineSimilarity.cosineSim($"qv", $"cv").as("sim")),
         nprobe, Seq("query_id"),

@@ -412,6 +412,9 @@ object ApproxOps {
     import graft.plans.GraftOps
     val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      // un-indexable vectors (null / NaN / zero-norm) never rank — and
+      // a null embedding NPEs the k-means sampler (r9 contract)
+      .filter(LlmOps.wellFormedVec($"v"))
     val cents = graft.operators.KMeans.fit(emb, c)
     // assign every vector to its nearest centroid: broadcast join +
     // bounded-heap argmax (k=1). The partial pass collapses the C

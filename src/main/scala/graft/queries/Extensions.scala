@@ -23,7 +23,10 @@ object Extensions {
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val scored = emb.join(broadcast(q), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
-        round(CosineSimilarity.cosineSim($"qv", $"v"), 6).as("score"))
+        // Expression stays IEEE-pure; the query maps NaN to NULL so
+        // ill-formed vectors never rank (r9 contract, cosineGuard)
+        round(LlmOps.cosineGuard(
+          CosineSimilarity.cosineSim($"qv", $"v")), 6).as("score"))
     LlmOps.topKByScore(scored, 10)
   }
 
@@ -34,13 +37,21 @@ object Extensions {
     * loop is the same sequential reduction. */
   def q37Udf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    // boxed element type + null returns: the r9 ill-formed-vector
+    // contract (null/NaN/zero-norm → NULL score, never an NPE'd job —
+    // the primitive-Seq form NPE'd on the first null embedding)
+    val cosUdf = udf { (a: Seq[java.lang.Double], b: Seq[java.lang.Double]) =>
+      if (a == null || b == null || a.contains(null) || b.contains(null)) {
+        null.asInstanceOf[java.lang.Double]
+      } else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        val r = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (r.isNaN) null else java.lang.Double.valueOf(r)
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))

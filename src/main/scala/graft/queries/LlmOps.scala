@@ -344,8 +344,31 @@ object LlmOps {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
     val nb = aggregate(b, lit(0.0), (acc, x) => acc + x * x)
-    dot / (sqrt(na) * sqrt(nb))
+    // ill-formed-vector contract (r9 adversarial finding): a zero-norm
+    // vector DIVIDE_BY_ZERO-failed the whole job under ANSI, and a
+    // NaN component made the score NaN (whose ordering differs across
+    // engines). Scores are NULL — defined, portable, never ranked
+    // ([[topKByScore]] filters) and never paired (null >= t is false)
+    cosineGuard(dot / nullif(sqrt(na) * sqrt(nb), lit(0.0)))
   }
+
+  /** NaN → NULL for similarity scores: the one place the r9
+    * ill-formed-vector contract is encoded (null vectors and null
+    * components already propagate NULL through the arithmetic). */
+  def cosineGuard(score: Column): Column =
+    nanvl(score, lit(null).cast("double"))
+
+  /** Indexable-vector predicate (the r9 contract's other half): ANN
+    * index builders and their query sides drop vectors that can never
+    * produce a rankable score — null, containing null or NaN
+    * components, or zero-norm. Brute-force paths reach the same end
+    * through [[cosineGuard]] + [[topKByScore]]'s null filter; index
+    * paths must drop them EARLY because a null embedding NPEs the
+    * k-means sampler before any score exists. */
+  def wellFormedVec(v: Column): Column =
+    v.isNotNull &&
+      !exists(v, x => x.isNull || isnan(x)) &&
+      exists(v, x => x =!= 0.0)
 
   // ---- Q37: brute-force cosine top-k (k=10) for query vectors 0,1,2 ---
   // The 3 query vectors are broadcast; every data partition scores its
@@ -373,7 +396,9 @@ object LlmOps {
     * (query_id, vec_id, score). */
   private[graft] def topKByScore(scored: DataFrame, k: Int): DataFrame = {
     import scored.sparkSession.implicits._
-    graft.plans.GraftOps.topKPerGroup(scored, k,
+    // NULL scores (ill-formed vectors, per the cosineGuard contract)
+    // never rank — the oracles filter identically before ROW_NUMBER
+    graft.plans.GraftOps.topKPerGroup(scored.filter($"score".isNotNull), k,
       Seq("query_id"),
       Seq(graft.plans.GraftOps.Order("score", desc = true),
         graft.plans.GraftOps.Order("vec_id")), rankName = "rnk")
@@ -392,7 +417,7 @@ object LlmOps {
       |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
       |r AS (SELECT query_id, vec_id, score,
       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-      |      FROM s)
+      |      FROM s WHERE score IS NOT NULL AND NOT isnan(score))
       |SELECT query_id, rnk, vec_id, score FROM r WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin
 

@@ -219,7 +219,12 @@ object LlmOps2 {
     import s.implicits._
     val pairs = if (!forceIvf && emb.count() <= maxExactRows) {
       emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
-        .withColumn("cos", CosineSimilarity.cosineSim($"a.v", $"b.v"))
+        // cosineGuard: the codegen Expression stays IEEE-pure (NaN for
+        // zero-norm/NaN inputs, bit-equality spec'd); the QUERY maps
+        // NaN to NULL so ill-formed vectors never pair (r9 contract)
+        .withColumn("cos",
+          graft.queries.LlmOps.cosineGuard(
+            CosineSimilarity.cosineSim($"a.v", $"b.v")))
         .filter($"cos" >= threshold)
         .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
           round($"cos", 6).as("cosine"))
@@ -235,7 +240,9 @@ object LlmOps2 {
         .join(assigned.select($"vec_id".as("r_id"), $"v".as("rv"),
             $"cent_id".as("rcell")),
           $"cb" === $"rcell" && $"l_id" < $"r_id")
-        .withColumn("cos", CosineSimilarity.cosineSim($"lv", $"rv"))
+        .withColumn("cos",
+          graft.queries.LlmOps.cosineGuard(
+            CosineSimilarity.cosineSim($"lv", $"rv")))
         .filter($"cos" >= threshold)
         .select($"l_id".as("a_id"), $"r_id".as("b_id"),
           round($"cos", 6).as("cosine"))
@@ -289,7 +296,8 @@ object LlmOps2 {
       |        / (sqrt(list_reduce(list_transform(generate_series(1, 64), k -> a.v[k] * a.v[k]), (x,y) -> x + y))
       |         * sqrt(list_reduce(list_transform(generate_series(1, 64), k -> b.v[k] * b.v[k]), (x,y) -> x + y))) AS cos
       |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      |SELECT a_id, b_id, round(cos, 6) AS cosine FROM s WHERE cos >= 0.35
+      |SELECT a_id, b_id, round(cos, 6) AS cosine
+      |FROM s WHERE cos IS NOT NULL AND NOT isnan(cos) AND cos >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---- Q46: SimHash fingerprint (32-bit, portable token hashes) -------

@@ -331,12 +331,21 @@ object LlmOps4 {
     import s.implicits._
     Tables(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      // NaN-poisoned vectors quantize to NULL (scale, codes, max_err) on
+      // BOTH engines (r9 adversarial contract): a NaN component makes
+      // array_max NaN here while DuckDB ERRORS casting NaN to TINYINT —
+      // the explicit NULL is the only portable value
+      .withColumn("scale",
+        expr("CASE WHEN isnan(array_max(transform(v, x -> abs(x)))) " +
+          "THEN CAST(NULL AS DOUBLE) " +
+          "ELSE array_max(transform(v, x -> abs(x))) END"))
       .select($"vec_id", $"scale",
-        expr("transform(v, x -> IF(scale = 0D, CAST(0 AS TINYINT), " +
-          "CAST(floor(x * 127.0D / scale + 0.5D) AS TINYINT)))").as("codes"),
-        round(expr("IF(scale = 0D, 0D, array_max(transform(v, x -> " +
-          "abs(floor(x * 127.0D / scale + 0.5D) * scale / 127.0D - x))))"),
+        expr("CASE WHEN scale IS NULL AND v IS NOT NULL THEN NULL ELSE " +
+          "transform(v, x -> IF(scale = 0D, CAST(0 AS TINYINT), " +
+          "CAST(floor(x * 127.0D / scale + 0.5D) AS TINYINT))) END").as("codes"),
+        round(expr("CASE WHEN scale IS NULL THEN CAST(NULL AS DOUBLE) " +
+          "WHEN scale = 0D THEN 0D ELSE array_max(transform(v, x -> " +
+          "abs(floor(x * 127.0D / scale + 0.5D) * scale / 127.0D - x))) END"),
           6).as("max_err"))
   }
   def q75(s: SparkSession, dir: String): DataFrame = {
@@ -352,14 +361,19 @@ object LlmOps4 {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |s AS (
-      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+      |  SELECT vec_id, v,
+      |    CASE WHEN isnan(list_max(list_transform(v, x -> abs(x))))
+      |         THEN NULL
+      |         ELSE list_max(list_transform(v, x -> abs(x))) END AS scale
       |  FROM e)
       |SELECT vec_id, scale,
-      |  array_to_string(list_transform(v, x ->
-      |    CASE WHEN scale = 0 THEN CAST(0 AS TINYINT)
-      |    ELSE CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT) END),
-      |    ',') AS codes_str,
-      |  round(CASE WHEN scale = 0 THEN 0
+      |  CASE WHEN scale IS NULL AND v IS NOT NULL THEN NULL ELSE
+      |    array_to_string(list_transform(v, x ->
+      |      CASE WHEN scale = 0 THEN CAST(0 AS TINYINT)
+      |      ELSE CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT) END),
+      |      ',') END AS codes_str,
+      |  round(CASE WHEN scale IS NULL THEN NULL
+      |    WHEN scale = 0 THEN 0
       |    ELSE list_max(list_transform(v, x ->
       |      abs(floor(x * 127.0 / scale + 0.5) * scale / 127.0 - x))) END,
       |    6) AS max_err

@@ -582,9 +582,9 @@ object Relational2 {
       |  round(CAST(embedding[2] AS DOUBLE), 6) AS e2,
       |  round(CAST(embedding[3] AS DOUBLE), 6) AS e3,
       |  round(CAST(embedding[4] AS DOUBLE), 6) AS e4,
-      |  round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min1,
-      |  round(CAST(list_sort(embedding)[2] AS DOUBLE), 6) AS min2,
-      |  round(CAST(list_sort(embedding)[64] AS DOUBLE), 6) AS max1
+      |  round(CAST(list_sort(embedding, 'ASC', 'NULLS FIRST')[1] AS DOUBLE), 6) AS min1,
+      |  round(CAST(list_sort(embedding, 'ASC', 'NULLS FIRST')[2] AS DOUBLE), 6) AS min2,
+      |  round(CAST(list_sort(embedding, 'ASC', 'NULLS FIRST')[64] AS DOUBLE), 6) AS max1
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---- Q31: JSON extraction + map build/explode -----------------------

@@ -161,6 +161,51 @@ class AdversarialDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     adv
   }
 
+  /** Adversarial EMBEDDINGS fixture: zero vector (also as a QUERY
+    * vector — q37/q48 query ids 0–2), null embedding, null element,
+    * NaN component, huge-but-finite components — all at the declared
+    * 64 dims (shorter vectors are out-of-domain: the oracles index a
+    * fixed dimension, as any real embedding store does). */
+  private def writeEmbeddingsFixture(seed: Int): String = {
+    import spark.implicits._
+    val adv = java.nio.file.Files
+      .createTempDirectory(s"adv_emb_$seed").toString
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    java.nio.file.Files.list(src).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet") && name != "embeddings.parquet")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(adv, name), p)
+      ()
+    }
+    val rng = new scala.util.Random(seed)
+    def unit(): Seq[java.lang.Float] = {
+      val v = Seq.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => java.lang.Float.valueOf((x / n).toFloat))
+    }
+    val zeros = Seq.fill(64)(java.lang.Float.valueOf(0f))
+    val degenerate: Seq[(Long, Seq[java.lang.Float], Int)] = Seq(
+      (2L, zeros, 0), // zero-norm QUERY vector: ranks nothing
+      (10L, zeros, 1),
+      (11L, null.asInstanceOf[Seq[java.lang.Float]], 2),
+      (12L, unit().updated(7, null.asInstanceOf[java.lang.Float]), 3),
+      (13L, unit().updated(3, java.lang.Float.valueOf(Float.NaN)), 4),
+      (14L, Seq.fill(64)(java.lang.Float.valueOf(1e30f)), 5))
+    val normal = (Seq(0L, 1L) ++ (20L until 70L)).map(id =>
+      (id, unit(), (id % 8).toInt))
+    val tmp = s"$adv/__emb_tmp"
+    (degenerate ++ normal)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(adv, "embeddings.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    adv
+  }
+
   private def writeFixture(seed: Int): String = {
     import spark.implicits._
     val adv = java.nio.file.Files
@@ -247,5 +292,15 @@ class AdversarialDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "NULL_MAP_KEY job failure") {
     assume(duckdbAvailable, "driver-side python/duckdb stack not present")
     runSeed(707, SparkEntry.oracleSql.keys.toSeq.sorted, writeEventsFixture)
+  }
+
+  test("EVERY hash-gated query matches the DuckDB oracle on an " +
+      "adversarial EMBEDDINGS corpus (zero/null/NaN vectors) — the " +
+      "sweep that caught the ANSI DIVIDE_BY_ZERO job failures " +
+      "(q37/q78/x78), the k-means NPE on a null embedding (q48), the " +
+      "UDF NPE (x37), and the NaN-quantization oracle error (q75)") {
+    assume(duckdbAvailable, "driver-side python/duckdb stack not present")
+    runSeed(909, SparkEntry.oracleSql.keys.toSeq.sorted,
+      writeEmbeddingsFixture)
   }
 }
