@@ -25,11 +25,22 @@ object LlmOps {
   /** THE token-set definition for every Jaccard-based operator
     * (q36/q47/q76/q80 all derive their pair sets from this frame) —
     * single definition so a tokenization change can't silently diverge
-    * one operator's pair set from another's. */
+    * one operator's pair set from another's.
+    *
+    * NULL text normalizes to the EMPTY token set (r9 adversarial
+    * finding): a NULL `toks` array slipped through the mask-0
+    * empty-set guards (`NULL =!= 0` is NULL, so the doc vanished from
+    * both the survivor groups and the zero-mask keep list — q76
+    * silently DROPPED null-text docs where the oracle and the declared
+    * empty-set contract keep them). Empty and null token sets mean the
+    * same thing everywhere: pairs with nothing, clusters with nothing,
+    * never dropped by a keep policy. */
   private[queries] def docTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+      .select($"doc_id",
+        coalesce(array_distinct(split($"text", " ")),
+          array().cast("array<string>")).as("toks"))
   }
 
   /** If the global vocabulary fits in an int64 (≤ 62 distinct tokens),

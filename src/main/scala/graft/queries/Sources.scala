@@ -89,14 +89,26 @@ object Sources {
         sum(length($"value")).as("total_chars"),
         sum(graft.functions.RollingHash.rollingHash($"value", 4096)).as("hash_sum"))
   }
+  // The oracle models the LINE semantics of a text sink faithfully
+  // (r9 adversarial finding): a document containing '\n' round-trips
+  // as MULTIPLE lines (the sink writes raw text + a row terminator,
+  // the source splits on newlines — document boundaries are NOT
+  // preserved, the classic text-sink footgun), and a NULL document
+  // writes as one empty line. The old per-document formulation
+  // coincided with this only on newline-free corpora. '\r' line
+  // endings are out of the declared domain (Hadoop's reader treats
+  // them as terminators; string_split models '\n' only).
   val q85Sql: String =
-    """SELECT COUNT(*) AS n_lines,
-      |  CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+    """WITH lines AS (
+      |  SELECT unnest(string_split(coalesce(text, ''), chr(10))) AS line
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(len(line)) AS BIGINT) AS total_chars,
       |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(generate_series(1, least(len(text), 4096)),
-      |                     i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      list_transform(generate_series(1, least(len(line), 4096)),
+      |                     i -> CAST(ascii(line[i]) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS hash_sum
-      |FROM documents""".stripMargin
+      |FROM lines""".stripMargin
 
   // ---- Q86: multi-source federation (parquet ⋈ CSV ⋈ JSON) ------------
   // One query over three formats: parquet lineitem joined to a

@@ -77,7 +77,16 @@ class AdversarialDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       doc(10L, huge), // exact dup of the huge doc
       doc(11L, "naïve café naïve café"), // exact dup
       doc(12L, "a b"), // exact dup of the 2-token doc
-      doc(13L, "东京 大阪 京都")) // near-dup of doc 5
+      doc(13L, "东京 大阪 京都"), // near-dup of doc 5
+      // control characters (found q85's line-model divergence and
+      // q76's null-toks drop): embedded/trailing/lone newlines, quotes,
+      // commas, tabs, backslashes
+      doc(14L, "line one\nline two"),
+      doc(15L, "ends with newline\n"),
+      doc(16L, "a \"quoted\" token, with comma"),
+      doc(17L, "tab\tseparated\ttokens"),
+      doc(18L, "back\\slash and 'single'"),
+      doc(19L, "\n"))
     val vocab = Seq("the", "fast", "key", "order", "sort", "table",
       "scan", "merge", "part", "window", "small", "hash", "join",
       "batch", "stream", "spark", "dup", "group", "query", "row",
