@@ -168,42 +168,58 @@ object Bench {
       .take(40)
       .map { case (k, _, min, _) => "\"" + key(k) + "\":" + math.round(min * 1000) }
       .mkString("{", ",", "}")
-    // Uniform-inflation markers from the canary samples: a block whose
-    // interleaved canary ran ≥1.5× the session's fastest (and ≥100 ms
-    // over it — sub-noise floors don't flag) was measured under ambient
-    // contention; its queries' MEDIANS are suspect even when all three
-    // runs agree. Span labels are "firstKey-lastKey" of the 10-query
-    // block ("end" = the closing sample after the last query).
+    // Uniform-inflation markers from the canary samples: a canary that
+    // ran ≥1.5× the session's fastest (and ≥100 ms over it — sub-noise
+    // floors don't flag) marks ambient contention; the bracketed
+    // blocks' MEDIANS are suspect even when all three runs agree. Span
+    // labels are "firstKey-lastKey" of the 10-query block. A block is
+    // flagged when EITHER its leading or its trailing canary is
+    // inflated (worst ratio wins): contention arriving mid-block is
+    // invisible to the sample taken before it and only shows on the
+    // next — single-sided attribution pointed one block late
+    // (ADVICE r9).
     val minCanary = if (canaryMs.isEmpty) 0L else canaryMs.min
-    val spans = canaryMs.zipWithIndex.collect {
-      case (c, b) if c >= minCanary + math.max(minCanary / 2, 100) =>
+    val canaryThresh = minCanary + math.max(minCanary / 2, 100)
+    val nBlocks = (names.length + 9) / 10
+    val spans = (0 until nBlocks).flatMap { b =>
+      val worst = Seq(canaryMs.lift(b), canaryMs.lift(b + 1)).flatten
+        .foldLeft(0L)(math.max)
+      if (worst >= canaryThresh) {
         val lo = b * 10
-        val label =
-          if (lo >= names.length) "end"
-          else key(names(lo)) + "-" +
-            key(names(math.min(lo + 9, names.length - 1)))
-        "\"" + label + "\":" + (c.toDouble / math.max(minCanary, 1L) * 10)
-          .round / 10.0
+        val label = key(names(lo)) + "-" +
+          key(names(math.min(lo + 9, names.length - 1)))
+        Some("\"" + label + "\":" +
+          (worst.toDouble / math.max(minCanary, 1L) * 10).round / 10.0)
+      } else None
     }.mkString("{", ",", "}")
     // stop BEFORE printing: Spark's shutdown logging (if any escapes the
     // OFF level) must land ahead of the JSON line the driver parses
     spark.stop()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
-      s""""canary_ms":$canaryJson,"inflated_spans":$spans,""" +
-      s""""queries":$qs,"mins_ms":$mins,"sf":"$sfDir"}"""
     // belt-and-braces on the capture window: if a future query set
-    // outgrows the budget, shed mins_ms first, then the canary fields
-    // (BENCH_LOCAL.json keeps everything) rather than lose the whole
-    // line to the 2000-char truncation
-    val lineNoMins = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
-      s""""canary_ms":$canaryJson,"inflated_spans":$spans,""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
-    println(if (line.length <= 1900) line
-    else if (lineNoMins.length <= 1900) lineNoMins
-    else s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
-      s""""queries":$qs,"sf":"$sfDir"}""")
+    // outgrows the budget, shed mins_ms first, then the per-block
+    // loads, then the canary fields (BENCH_LOCAL.json keeps
+    // everything) rather than lose the whole line to the 2000-char
+    // truncation. `loads` (the 1-min load sampled beside each canary)
+    // now ships in the round artifact itself — the evidence behind
+    // inflated_spans used to live only in the untracked local file
+    // (VERDICT r9 task 7).
+    def mkLine(withMins: Boolean, withLoads: Boolean,
+        withCanary: Boolean): String =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+        (if (withCanary)
+          s""""canary_ms":$canaryJson,""" +
+            (if (withLoads) s""""loads":$loadsJson,""" else "") +
+            s""""inflated_spans":$spans,"""
+        else "") +
+        s""""queries":$qs,""" +
+        (if (withMins) s""""mins_ms":$mins,""" else "") +
+        s""""sf":"$sfDir"}"""
+    val candidates = Seq(
+      mkLine(withMins = true, withLoads = true, withCanary = true),
+      mkLine(withMins = false, withLoads = true, withCanary = true),
+      mkLine(withMins = false, withLoads = false, withCanary = true),
+      mkLine(withMins = false, withLoads = false, withCanary = false))
+    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
   }
 }

@@ -41,7 +41,10 @@ object Compaction {
   /** Swap `tmp` over `live` through a rename pair. The crash window
     * between the two renames leaves NO live dir — a LOUD failure on the
     * next read, never silent data loss — and [[recoverSwap]] (or a
-    * manual `…__old` rename) restores it. */
+    * manual `…__old` rename) restores it. The `…__old` copy is deleted
+    * once the swap commits: there is no rollback after a SUCCESSFUL
+    * swap, so a caller must validate `tmp`'s contents before swapping
+    * (the compaction specs assert content equality pre/post). */
   def swapDir(spark: SparkSession, live: String, tmp: String): Unit = {
     val livP = new Path(live)
     val fs = livP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -60,8 +63,12 @@ object Compaction {
     * and with it partition pruning — then the tree swaps over the
     * original via [[swapDir]]. Crash-recoverable ([[recoverSwap]] runs
     * first), contents untouched, file count drops to
-    * ~⌈bytes/targetBytes⌉ per leaf. Not concurrency-safe against a
-    * simultaneous writer — the maintenance window is the caller's.
+    * ~⌈bytes/targetBytes⌉ per leaf. Root entries that are NOT
+    * `<partPrefix>*` leaf dirs (a `_SUCCESS` marker, side metadata
+    * files or dirs) are copied into the new tree before the swap, so
+    * they survive compaction byte-for-byte. Not concurrency-safe
+    * against a simultaneous writer — the maintenance window is the
+    * caller's (enforceable via [[MaintenanceLease]]).
     * Returns (filesBefore, filesAfter). */
   def compactPartitioned(spark: SparkSession, dir: String,
       partPrefix: String, targetBytes: Long): (Int, Int) = {
@@ -73,12 +80,29 @@ object Compaction {
       .map(_.getPath)
     def countParts(): Int = leaves().map(p => fs.listStatus(p)
       .count(f => f.isFile && f.getPath.getName.startsWith("part-"))).sum
+    // Zero matching leaves (degenerate-but-valid: empty table, wrong
+    // prefix) must be a no-op — entering the swap would rename the live
+    // dir aside and then fail on the never-created tmp tree,
+    // manufacturing the no-live-dir crash state on a healthy table
+    // (ADVICE r9).
+    if (leaves().isEmpty) return (0, 0)
     val before = countParts()
     val tmp = s"${dir}__compacting"
     if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
     leaves().foreach { leaf =>
       compact(spark, leaf.toString, s"$tmp/${leaf.getName}", targetBytes)
     }
+    // Carry non-leaf root entries (copy, not move: the original tree
+    // stays intact until the swap commits, keeping the crash window
+    // recoverable) — without this a root _SUCCESS or any side file a
+    // future caller keeps beside the partitions would silently vanish
+    // in the swap (ADVICE r9).
+    fs.listStatus(new Path(dir))
+      .filterNot(s => s.isDirectory && s.getPath.getName.startsWith(partPrefix))
+      .foreach { side =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, side.getPath,
+          fs, new Path(s"$tmp/${side.getPath.getName}"), false, conf)
+      }
     swapDir(spark, dir, tmp)
     (before, countParts())
   }

@@ -45,6 +45,7 @@ object IvfIndex {
     * of the index arrived by [[append]]. */
   def build(emb: DataFrame, dir: String, c: Int = 16): Unit = {
     val spark = emb.sparkSession
+    MaintenanceLease.withLease(spark, dir, "build") {
     import spark.implicits._
     // un-indexable vectors (null / NaN / zero-norm) are dropped — they
     // can never produce a rankable score, and a null embedding NPEs
@@ -59,6 +60,7 @@ object IvfIndex {
     Seq(spark.read.parquet(s"$dir/assignments").count())
       .toDF("build_rows").repartition(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   /** Incrementally add vectors to an existing index WITHOUT refitting
@@ -78,14 +80,15 @@ object IvfIndex {
     * not a correctness drift. Rebuild via [[build]] when the appended
     * fraction is no longer small (the usual IVF practice: increments
     * append, compactions refit). */
-  def append(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
-    import spark.implicits._
-    val cents = spark.read.parquet(s"$dir/centroids")
-    assign(emb.filter(graft.queries.LlmOps.wellFormedVec($"v")), cents)
-      .repartition($"cent_id")
-      .write.mode("append").partitionBy("cent_id")
-      .parquet(s"$dir/assignments")
-  }
+  def append(spark: SparkSession, dir: String, emb: DataFrame): Unit =
+    MaintenanceLease.withLease(spark, dir, "append") {
+      import spark.implicits._
+      val cents = spark.read.parquet(s"$dir/centroids")
+      assign(emb.filter(graft.queries.LlmOps.wellFormedVec($"v")), cents)
+        .repartition($"cent_id")
+        .write.mode("append").partitionBy("cent_id")
+        .parquet(s"$dir/assignments")
+    }
 
   /** Compact the index's assignment files — the remedy for [[append]]'s
     * one-file-per-cell-per-increment growth, mirroring
@@ -97,8 +100,10 @@ object IvfIndex {
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
-    Compaction.compactPartitioned(spark, s"$dir/assignments", "cent_id=",
-      targetBytes)
+    MaintenanceLease.withLease(spark, dir, "compact") {
+      Compaction.compactPartitioned(spark, s"$dir/assignments", "cent_id=",
+        targetBytes)
+    }
 
   /** Cell-balance health of the index at `dir` — the operational half
     * of [[append]] (VERDICT r8 task 6): appends never move the
@@ -137,9 +142,19 @@ object IvfIndex {
     val appended =
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))) -1.0
       else {
-        val built = spark.read.parquet(s"$dir/meta")
-          .collect().head.getLong(0)
-        if (rows == 0L) 0.0 else (rows - built).toDouble / rows
+        // Try + headOption, not bare head: a re-build that crashed
+        // between truncating `meta` (mode overwrite) and writing the
+        // new row leaves an existing-but-EMPTY meta dir — the read
+        // throws (no schema to infer) or collects nothing, and the
+        // health probe must report the documented -1.0 unknown
+        // sentinel, not itself die (ADVICE r9)
+        scala.util.Try(spark.read.parquet(s"$dir/meta").collect().headOption)
+          .toOption.flatten match {
+          case Some(r) =>
+            val built = r.getLong(0)
+            if (rows == 0L) 0.0 else (rows - built).toDouble / rows
+          case None => -1.0
+        }
       }
     IndexStats(cells, rows, fattest,
       if (cells == 0) 0.0 else fattest * cells, appended)

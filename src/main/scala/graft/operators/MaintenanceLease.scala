@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.io.IOException
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Writer-mutual-exclusion lease for the persisted-artifact maintenance
+  * surfaces ([[NearDupSignatureStore]], [[IvfIndex]]). Both stores'
+  * `compact` commits through a rename-pair swap; an `append` racing a
+  * `compact` can land its files in the directory the swap is about to
+  * rename aside — the increment's rows silently vanish when the
+  * `…__old` copy is deleted. The scaladocs said "the maintenance window
+  * is the caller's"; this enforces it (VERDICT r9 task 3).
+  *
+  * Mechanics: one lease FILE beside the guarded directory
+  * (`<dir>__lease` — beside, not inside: `compact` swaps the whole
+  * directory, and a lease inside it would be renamed away mid-hold).
+  * Acquisition is create-fails-if-exists (atomic on HDFS;
+  * check-then-create on the local filesystem — the usual
+  * metastore-less-table compromise); the file body names the holder and
+  * the acquisition time, so a refused caller's error says WHO holds it.
+  * A crash leaves the file behind — a lease older than `staleMs` (by
+  * filesystem mtime) is presumed dead and broken by the next acquirer.
+  * Size `staleMs` ABOVE your longest append/compact: a live job that
+  * outruns it loses its exclusion.
+  *
+  * Readers (probe/query/stats) take no lease — the swap protocol
+  * already makes a torn read loud (no live dir), never silent. */
+object MaintenanceLease {
+
+  /** Presumed-dead threshold: 1 h covers any fixture-to-sf0.1 job by
+    * orders of magnitude; raise it for cluster-scale maintenance. */
+  val DefaultStaleMs: Long = 60L * 60 * 1000
+
+  private def leasePath(dir: String): Path = new Path(s"${dir}__lease")
+
+  private def defaultHolder(op: String): String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    s"$op@$host#pid${ProcessHandle.current.pid}"
+  }
+
+  /** Run `f` holding the lease on `dir`; released on every exit path (a
+    * crashed PROCESS leaves a stale lease for mtime-breaking). Throws
+    * `IllegalStateException` naming the current holder when the lease
+    * is held and fresh. */
+  def withLease[A](spark: SparkSession, dir: String, op: String,
+      staleMs: Long = DefaultStaleMs)(f: => A): A = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = leasePath(dir)
+    val holder = defaultHolder(op)
+
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(
+          s"$holder acquired_ms=${System.currentTimeMillis}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: IOException => false }
+
+    def currentHolder(): String =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](4096)
+          val n = in.read(buf)
+          if (n <= 0) "<empty lease file>"
+          else new String(buf, 0, n, "UTF-8")
+        } finally in.close()
+      } catch { case _: IOException => "<unreadable lease file>" }
+
+    if (!tryCreate()) {
+      val stale =
+        try {
+          val st = fs.getFileStatus(p)
+          System.currentTimeMillis - st.getModificationTime > staleMs
+        } catch { case _: IOException => true } // holder released mid-check
+      if (stale) fs.delete(p, false)
+      // one retry covers both the stale break and a release race; a
+      // second failure means a LIVE competing writer — refuse loudly
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"maintenance lease on $dir is held by '${currentHolder()}' — " +
+            s"concurrent append/compact refused; a lease untouched for " +
+            s"${staleMs} ms is presumed dead and will be broken")
+    }
+    try f
+    finally fs.delete(p, false)
+  }
+}

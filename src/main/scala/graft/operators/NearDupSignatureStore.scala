@@ -109,6 +109,7 @@ object NearDupSignatureStore {
   def build(corpus: DataFrame, dir: String, threshold: Double = 0.7,
       cells: Int = 64): Unit = {
     val spark = corpus.sparkSession
+    MaintenanceLease.withLease(spark, dir, "build") {
     import spark.implicits._
     require(cells >= 1, s"cells must be positive: $cells")
     val dt = corpus.select($"doc_id", $"toks")
@@ -137,6 +138,7 @@ object NearDupSignatureStore {
     // build time; `cells` tasks each writing whole cells.
     sigsFor(dt, meta).repartition(cells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/sigs")
+    }
   }
 
   /** Append an increment's signatures (and token sets) to the store —
@@ -151,7 +153,8 @@ object NearDupSignatureStore {
     * merely re-probes the increment on retry (duplicate pairs — dedupe
     * downstream). [[graft.streaming.StreamingNearDup.reconcile]] is the
     * reference implementation of that ordering. */
-  def append(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+  def append(spark: SparkSession, dir: String, delta: DataFrame): Unit =
+    MaintenanceLease.withLease(spark, dir, "append") {
     import spark.implicits._
     val m = readMeta(spark, dir)
     val dt = delta.select($"doc_id", $"toks")
@@ -407,11 +410,13 @@ object NearDupSignatureStore {
     *
     * Run it off the probe path on whatever cadence keeps
     * [[stats]]' `maxFilesPerCell` small (weekly against daily appends,
-    * say). Not concurrency-safe against a simultaneous append — the
-    * maintenance window is the caller's, as with any metastore-less
-    * table format. */
+    * say). Concurrent writers are refused via [[MaintenanceLease]]:
+    * build/append/compact all take the store lease, so an append racing
+    * a compact fails loudly instead of losing its increment in the
+    * swap. */
   def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+      targetBytes: Long = 128L * 1024 * 1024): CompactStats =
+    MaintenanceLease.withLease(spark, dir, "compact") {
     readMeta(spark, dir) // store must exist; meta itself is 1 file, untouched
     val fs = fsOf(spark, dir)
     val (sigsBefore, sigsAfter) =
@@ -429,5 +434,5 @@ object NearDupSignatureStore {
     Compaction.swapDir(spark, s"$dir/toksets", toksTmp)
     CompactStats(sigsBefore, sigsAfter, toksBefore,
       partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length)
-  }
+    }
 }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The maintenance concurrency lease (VERDICT r9 task 3) plus the r9
+  * ADVICE hardening of the compaction/stats machinery: a writer racing
+  * another writer is refused LOUDLY (naming the holder) instead of
+  * silently losing an increment in the rename swap; a crashed writer's
+  * stale lease is broken by mtime; degenerate compaction inputs are
+  * no-ops, not manufactured crash states; root side files survive the
+  * swap; a truncated meta dir degrades the health probe to its
+  * documented sentinel instead of killing it. */
+class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docs(n: Int): DataFrame = {
+    import spark.implicits._
+    (0L until n.toLong).map(i =>
+      (i, Seq("a", "b", s"t${i % 5}", s"u${i % 3}"))).toDF("doc_id", "toks")
+  }
+
+  private def holdLease(dir: String, text: String): Path = {
+    val p = new Path(s"${dir}__lease")
+    val out = fs.create(p, false)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    p
+  }
+
+  test("store append/compact refuse while a fresh lease is held, naming " +
+      "the holder; release re-admits") {
+    val dir = tmp("lease_store")
+    NearDupSignatureStore.build(docs(20), dir, threshold = 0.5)
+    val lease = holdLease(dir, "rival-compactor@elsewhere")
+    val e1 = intercept[IllegalStateException] {
+      NearDupSignatureStore.append(spark, dir, docs(4))
+    }
+    assert(e1.getMessage.contains("rival-compactor@elsewhere"))
+    assert(e1.getMessage.contains(dir))
+    val e2 = intercept[IllegalStateException] {
+      NearDupSignatureStore.compact(spark, dir)
+    }
+    assert(e2.getMessage.contains("rival-compactor@elsewhere"))
+    // the refused calls must not have broken the live lease
+    assert(fs.exists(lease), "refused writer deleted the holder's lease")
+    fs.delete(lease, false)
+    NearDupSignatureStore.append(spark, dir, docs(4)) // re-admitted
+    assert(!fs.exists(lease), "lease not released after append")
+  }
+
+  test("ivf append/compact take the same lease on the index dir") {
+    import spark.implicits._
+    val dir = tmp("lease_ivf")
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(d => ((i + d) % 7).toDouble + 0.5)))
+      .toDF("vec_id", "v")
+    IvfIndex.build(emb, dir, c = 4)
+    val lease = holdLease(dir, "rival-append")
+    val e = intercept[IllegalStateException] {
+      IvfIndex.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("rival-append"))
+    fs.delete(lease, false)
+    IvfIndex.compact(spark, dir) // re-admitted, lease released
+    assert(!fs.exists(lease))
+  }
+
+  test("a stale lease (mtime beyond staleMs) is broken, not honored") {
+    val dir = tmp("lease_stale")
+    NearDupSignatureStore.build(docs(20), dir, threshold = 0.5)
+    val lease = holdLease(dir, "dead-process")
+    // age the lease past the default 1 h threshold
+    fs.setTimes(lease, System.currentTimeMillis - 2L * 60 * 60 * 1000, -1)
+    NearDupSignatureStore.append(spark, dir, docs(4)) // broken + acquired
+    assert(!fs.exists(lease), "stale lease not cleaned up after the run")
+  }
+
+  test("the lease releases on a FAILED operation too") {
+    val dir = tmp("lease_fail")
+    NearDupSignatureStore.build(docs(20), dir, threshold = 0.5)
+    import spark.implicits._
+    val badDelta = Seq((1L, "not-a-token-array")).toDF("doc_id", "wrong")
+    intercept[Exception] {
+      NearDupSignatureStore.append(spark, dir, badDelta)
+    }
+    assert(!fs.exists(new Path(s"${dir}__lease")),
+      "lease leaked by a failed append (would deadlock the next writer " +
+        "until the stale break)")
+  }
+
+  test("compactPartitioned with zero matching leaves is a (0,0) no-op — " +
+      "never a manufactured crash state (ADVICE r9)") {
+    val dir = tmp("compact_empty")
+    // a dir with content, but none of it matching the partition prefix
+    fs.mkdirs(new Path(s"$dir/unrelated"))
+    val out = fs.create(new Path(s"$dir/side.txt"), false)
+    try out.write("keep".getBytes("UTF-8")) finally out.close()
+    assert(Compaction.compactPartitioned(spark, dir, "cell=", 1L << 20)
+      == ((0, 0)))
+    // the live dir must be untouched: no swap happened
+    assert(fs.exists(new Path(s"$dir/unrelated")))
+    assert(fs.exists(new Path(s"$dir/side.txt")))
+    assert(!fs.exists(new Path(s"${dir}__old")))
+  }
+
+  test("non-leaf root entries (side files/dirs) survive compactPartitioned " +
+      "byte-for-byte (ADVICE r9)") {
+    import spark.implicits._
+    val dir = tmp("compact_side") + "/table"
+    val d = (0L until 30L).map(i => (i, i % 3)).toDF("id", "cell")
+    d.write.partitionBy("cell").parquet(dir)
+    d.write.mode("append").partitionBy("cell").parquet(dir) // 2nd sliver set
+    val out = fs.create(new Path(s"$dir/_side_note"), true)
+    try out.write("side-payload".getBytes("UTF-8")) finally out.close()
+    fs.mkdirs(new Path(s"$dir/_sidecar_dir"))
+    val out2 = fs.create(new Path(s"$dir/_sidecar_dir/inner"), true)
+    try out2.write("inner-payload".getBytes("UTF-8")) finally out2.close()
+    val (before, after) =
+      Compaction.compactPartitioned(spark, dir, "cell=", 1L << 30)
+    assert(before > after && after == 3, s"expected 1 file/cell, got $after")
+    // content identical, side entries preserved
+    assert(spark.read.parquet(dir).orderBy("id").collect().map(_.getLong(0))
+      .toSeq == ((0L until 30L) ++ (0L until 30L)).sorted)
+    val in = fs.open(new Path(s"$dir/_side_note"))
+    val buf = new Array[Byte](64)
+    val n = try in.read(buf) finally in.close()
+    assert(new String(buf, 0, n, "UTF-8") == "side-payload")
+    val in2 = fs.open(new Path(s"$dir/_sidecar_dir/inner"))
+    val n2 = try in2.read(buf) finally in2.close()
+    assert(new String(buf, 0, n2, "UTF-8") == "inner-payload")
+  }
+
+  test("IvfIndex.stats on a truncated (empty) meta dir reports the -1.0 " +
+      "sentinel instead of throwing (ADVICE r9)") {
+    import spark.implicits._
+    val dir = tmp("ivf_meta")
+    val emb = (0L until 20L).map(i =>
+      (i, Seq.tabulate(4)(d => ((i + d) % 5).toDouble + 0.5)))
+      .toDF("vec_id", "v")
+    IvfIndex.build(emb, dir, c = 2)
+    // simulate the crash window: overwrite truncated meta, then died
+    fs.delete(new Path(s"$dir/meta"), true)
+    fs.mkdirs(new Path(s"$dir/meta"))
+    val st = IvfIndex.stats(spark, dir)
+    assert(st.appendedFraction == -1.0)
+    assert(st.rows == 20L)
+  }
+}
