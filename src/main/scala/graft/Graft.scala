@@ -377,6 +377,25 @@ object Graft {
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     operators.Profiler.profileApprox(df, cols)
 
+  /** One-pass domain preflight: per-rule violation counts
+    * (`rule, col_name, violations`) for the declared domains the r9
+    * adversarial sweeps adjudicated (money castability, key-ness,
+    * fixed embedding dim, bounded grid span, JSON validity) — run it
+    * on a new drop BEFORE the pipeline, fail fast instead of 600
+    * tasks in. `rules` from [[operators.DomainCheck.rulesFor]]
+    * (declared table domains) or composed from the rule case classes.
+    * See [[operators.DomainCheck]]; [[requireDomains]] is the
+    * throwing gate form. */
+  def checkDomains(df: DataFrame,
+      rules: Seq[operators.DomainCheck.Rule]): DataFrame =
+    operators.DomainCheck.check(df, rules)
+
+  /** [[checkDomains]] + fail-fast: throws naming every violated rule
+    * and its count; no-op on a clean frame. */
+  def requireDomains(df: DataFrame,
+      rules: Seq[operators.DomainCheck.Rule]): Unit =
+    operators.DomainCheck.requireClean(df, rules)
+
   // ---- corpus assembly ------------------------------------------------
 
   /** RNG-free weighted Bernoulli subsample: keep each row with
@@ -439,6 +458,26 @@ object Graft {
       .select(col("doc_id").as(idCol), col("label"), col("split"))
     df.join(splits, idCol)
   }
+
+  /** The end-to-end corpus pipeline (quality/langid gate → exact dedup
+    * → near-dup greedy drop → decontaminate → mixture sample →
+    * leakage-safe split → sequence packing), one call over a documents
+    * frame; returns one row per surviving doc with its (shard, bin,
+    * split) coordinates. Deterministic and RNG-free end to end —
+    * DuckDB-oracle-verified as q106. Pair with [[writeCorpusShards]]
+    * for mover-renamed output files. See
+    * [[queries.CorpusPipeline.assemble]]. */
+  def corpusPipeline(docs: DataFrame,
+      cfg: queries.CorpusPipeline.Config = queries.CorpusPipeline.Config())
+      : DataFrame =
+    queries.CorpusPipeline.assemble(docs, cfg)
+
+  /** Write a [[corpusPipeline]] result as CSV shards renamed through
+    * the file-mover commit protocol (`shard_$split_$lang.csv` — one
+    * file per (split, lang), FM1–FM9 exercised on real pipeline
+    * output). See [[queries.CorpusPipeline.writeShards]]. */
+  def writeCorpusShards(packed: DataFrame, outDir: String): Unit =
+    queries.CorpusPipeline.writeShards(packed, outDir)
 
   /** Passage-level duplication report: document pairs sharing ≥
     * `minShared` winnowed `k`-gram fingerprints (fingerprinting is a

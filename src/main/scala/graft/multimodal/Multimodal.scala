@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run as batched
   * per-partition transforms.
   *
-  * IMAGE decode is REAL ([[Codecs.decodeImage]] — the JDK's built-in
-  * `javax.imageio`, PNG/JPEG/BMP/GIF, no external libraries); the
-  * synthetic `image/fake` rows and the audio/video/resize/frame paths
-  * remain deterministic STUBS (this container has no audio/video
-  * libraries): [[Codecs.decodeImageStub]] etc. derive fake metadata
-  * from the bytes. Everything around the codec slot — schema,
-  * encoders, partition-preserving batched execution, the binary
-  * round-trip — is real and tested (MultimodalSpec, E03).
+  * IMAGE decode ([[Codecs.decodeImage]]), multi-frame decode
+  * ([[Codecs.decodeFrames]]) and resize ([[Codecs.resizeImage]]) are
+  * REAL — the JDK's built-in `javax.imageio`/`Graphics2D`
+  * (PNG/JPEG/BMP/GIF, no external libraries). The synthetic
+  * `image/fake` rows and the audio/video paths remain deterministic
+  * STUBS (this container has no audio/video libraries):
+  * [[Codecs.decodeImageStub]] etc. derive fake metadata from the
+  * bytes. Everything around the codec slot — schema, encoders,
+  * partition-preserving batched execution, the binary round-trip — is
+  * real and tested (MultimodalSpec, E03).
   *
   * In Scala the batched-vectorized shape is `mapPartitions` over an
   * iterator that is consumed in fixed-size batches (the JVM analogue of
@@ -138,12 +140,54 @@ object Multimodal {
         } finally if (iis != null) iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** STUB resize — keeps bytes opaque; real codec would re-encode. */
-    def resizeStub(payload: Array[Byte], maxBytes: Int): Array[Byte] =
-      payload.take(maxBytes)
+    /** REAL resize (VERDICT r9 task 4 — the last stub with an
+      * offline-feasible implementation): decode via `javax.imageio`,
+      * scale to FIT WITHIN maxW×maxH preserving aspect ratio
+      * (`Graphics2D` bilinear — the same zero-dependency JDK pattern
+      * as [[decodeImage]]/[[decodeFrames]]), re-encode as PNG
+      * (lossless and deterministic: a brightness assertion survives the
+      * round-trip; JPEG would make the output quantizer-dependent).
+      * An image already within bounds passes through BYTE-IDENTICAL —
+      * no decode/re-encode churn, and downstream exact-dedup hashes
+      * are preserved for the (typical) already-small majority. `None`
+      * when the bytes don't decode — callers choose the sentinel. */
+    def resizeImage(payload: Array[Byte], maxW: Int,
+        maxH: Int): Option[Array[Byte]] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val scale = math.min(1.0, math.min(
+            maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+          if (scale >= 1.0) Some(payload)
+          else {
+            val w = math.max(1, math.round(img.getWidth * scale).toInt)
+            val h = math.max(1, math.round(img.getHeight * scale).toInt)
+            val dst = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            Some(bos.toByteArray)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** STUB frame sampling — every `stride`-th 16-byte window is a
-      * "frame". */
+    /** STUB frame sampling for the SYNTHETIC `image/fake` payloads —
+      * every `stride`-th 16-byte window is a "frame". Retained (not
+      * retired) deliberately: the fake rows' bytes are UTF-8 text, not
+      * an encoded image, so the real [[decodeFrames]] path can never
+      * apply to them; this stub is what keeps the fake corpus
+      * deterministic through [[sampleFrames]] and the `image/fake`
+      * branch of `extractFrameFeatures`. Real media types take the
+      * real decoder (VERDICT r8 task 7 / r9 task 4). */
     def sampleFramesStub(payload: Array[Byte], stride: Int): Seq[Array[Byte]] =
       payload.grouped(16).zipWithIndex.collect {
         case (frame, i) if i % stride == 0 => frame
@@ -190,6 +234,38 @@ object Multimodal {
             else Codecs.decodeImage(rec.payload).getOrElse((-1, -1, 0, 0.0))
           ImageFeatures(rec.doc_id, rec.payload.length,
             Codecs.sha256Hex(rec.payload), w, h, c, bright)
+        }
+      }
+    }
+  }
+
+  /** Bound every image to maxW×maxH (aspect-preserving downscale, never
+    * an upscale) — the standard pre-training normalization pass over a
+    * crawled image corpus, where a handful of huge images dominate
+    * storage and decode cost downstream. Dispatch follows
+    * [[extractImageFeatures]]: real media types resize for real
+    * ([[Codecs.resizeImage]] — already-fitting payloads pass through
+    * byte-identical); `image/fake` synthetic rows pass through
+    * untouched (their bytes are not an encoded image); an undecodable
+    * real payload emits an EMPTY payload with media_type
+    * `"corrupt/" + original` — a visible sentinel row, never a failed
+    * job (filter `length(payload) > 0` or `media_type NOT LIKE
+    * 'corrupt/%'` downstream). Partition-preserving map; batch shape as
+    * in [[extractImageFeatures]]. */
+  def resizeImages(media: Dataset[MediaRecord], maxW: Int, maxH: Int,
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    require(maxW > 0 && maxH > 0, s"bounds must be positive: $maxW x $maxH")
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          if (rec.media_type == "image/fake") rec
+          else Codecs.resizeImage(rec.payload, maxW, maxH) match {
+            case Some(bytes) => rec.copy(payload = bytes)
+            case None => rec.copy(media_type = s"corrupt/${rec.media_type}",
+              payload = Array.emptyByteArray)
+          }
         }
       }
     }

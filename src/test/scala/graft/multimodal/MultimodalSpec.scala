@@ -192,6 +192,60 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fakeGot.forall(f => f.width >= 64 && f.channels == 3))
   }
 
+  test("REAL resize codec: aspect-preserving downscale to exact target " +
+      "dims with brightness preserved, fit-through identity, corrupt " +
+      "sentinel (VERDICT r9 task 4)") {
+    import spark.implicits._
+    // 64×48 half-black/half-white: mean brightness exactly 0.5, and the
+    // sharp edge is where bilinear resampling would drift a sloppy
+    // implementation — tolerance bounds the PNG-roundtripped mean
+    val big = {
+      val im = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 48)
+        im.setRGB(x, y, if (x < 32) 0x000000 else 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    val small = { // 8×8, already within every bound below
+      val im = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 8) im.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", big),
+      Multimodal.MediaRecord(2L, "image/png", small),
+      Multimodal.MediaRecord(3L, "image/png", Array[Byte](5, 5, 5)), // corrupt
+      Multimodal.MediaRecord(4L, "image/fake", Array[Byte](1, 2, 3)))
+      .toDS()
+    def run() = Multimodal.resizeImages(media, 32, 32, batchSize = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    val got = run()
+    assert(got.mapValues(_.payload.toSeq).toMap ==
+      run().mapValues(_.payload.toSeq).toMap) // deterministic
+    // downscale: 64×48 into 32×32 → scale 1/2 → exactly 32×24, decodable,
+    // brightness within bilinear+PNG tolerance of the source's 0.5
+    val resized = Multimodal.Codecs.decodeImage(got(1L).payload)
+    assert(resized.isDefined, "resized payload does not decode")
+    val (w, h, c, bright) = resized.get
+    assert((w, h, c) == ((32, 24, 3)), s"dims ${(w, h, c)}")
+    assert(math.abs(bright - 0.5) < 0.02, s"brightness $bright")
+    assert(got(1L).payload.length < big.length, "downscale grew the bytes")
+    // fit-through: already-small image passes byte-identical
+    assert(got(2L).payload.toSeq == small.toSeq, "fitting image was recoded")
+    assert(got(2L).media_type == "image/png")
+    // corrupt: visible sentinel, not a failed job
+    assert(got(3L).media_type == "corrupt/image/png" &&
+      got(3L).payload.isEmpty, s"corrupt row: ${got(3L)}")
+    // fake rows pass through untouched
+    assert(got(4L).payload.toSeq == Seq[Byte](1, 2, 3) &&
+      got(4L).media_type == "image/fake")
+  }
+
   test("sha2 on binary matches java MessageDigest (stub consistency)") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir).limit(10)
