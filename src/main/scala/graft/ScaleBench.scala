@@ -1,0 +1,366 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-crossover harness (VERDICT r9 task 1): generates a
+  * deterministic ~10×-sf0.1 corpus at REALISTIC duplicate density
+  * (~4% near-dup docs vs sf0.1's 41% true-pair regime) and measures
+  * the four asymptotic claims the engine's 100 TB story rests on,
+  * converting each from "spec-pinned at fixture scale" to "demonstrated
+  * at the larger scale":
+  *
+  *  1. signature-store `probe` vs the inline
+  *     `minhashNearDupPairsDelta` (the no-corpus-rescan claim) — time
+  *     AND records-read, plus pair-set equality re-asserted;
+  *  2. `IvfIndex.query` vs brute-force cosine top-k — time, plus the
+  *     recall ≥ 0.8 spec re-asserted;
+  *  3. LSH banding (`minhashNearDupPairs`) vs the exact inverted-index
+  *     pair join (`neardupPairs`) — time, plus banding recall ≥ 0.95
+  *     re-asserted against the exact pair set;
+  *  4. `AsofJoin` with and without `sliceWidth` on a hot key — time,
+  *     plus row-identical output re-asserted by content hash.
+  *
+  * Everything is seeded and RNG-free across runs (generation is a pure
+  * function of (seed, id) — same parquet bytes every invocation);
+  * results land in SCALING.md's crossover table. Usage:
+  *
+  * {{{ sbt "runMain graft.ScaleBench /tmp/graft_scale10x" }}}
+  *
+  * Run on a quiet box; each measurement is the median of `runs` timed
+  * executions with caches cleared between (the one deliberately-slow
+  * exact-pair sweep runs once). Not part of the driver gate — this is
+  * the measured-evidence harness behind SCALING.md §"crossovers".
+  */
+object ScaleBench {
+
+  // ---- deterministic generators --------------------------------------
+
+  /** `n` documents, `dupFrac` of them near-dup mutations of an earlier
+    * doc (Jaccard vs base ~0.85 — above the 0.7 operator threshold),
+    * over a `vocab`-token vocabulary. Pure function of (seed, id). */
+  def genDocs(spark: SparkSession, n: Long, dupFrac: Double, vocab: Int,
+      seed: Long, idOffset: Long = 0L): DataFrame = {
+    import spark.implicits._
+    def baseToks(baseId: Long): Seq[String] = {
+      val rng = new scala.util.Random(seed ^ (baseId * 0x9E3779B97F4A7C15L))
+      val len = 40 + rng.nextInt(41)
+      Seq.fill(len)(s"t${rng.nextInt(vocab)}")
+    }
+    spark.range(n).map { i =>
+      val id = i + idOffset
+      val rng = new scala.util.Random(seed ^ (id * 0xC2B2AE3D27D4EB4FL) + 1)
+      val isDup = id > 100 && rng.nextDouble() < dupFrac
+      val toks =
+        if (!isDup) baseToks(id)
+        else {
+          // mutate an earlier doc's base: drop ~7% of tokens, add 3 new
+          val baseId = math.abs(rng.nextLong()) % (id - 50)
+          val kept = baseToks(baseId).filter(_ => rng.nextDouble() > 0.07)
+          kept ++ Seq.fill(3)(s"t${rng.nextInt(vocab)}")
+        }
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  /** `n` 64-dim vectors in `centers` Gaussian clusters (σ=0.08 around
+    * unit-ish centers) — the IVF-favorable-but-honest geometry: cells
+    * map to real structure, queries have true neighbors. */
+  def genEmbeddings(spark: SparkSession, n: Long, centers: Int,
+      seed: Long): DataFrame = {
+    import spark.implicits._
+    val centerVecs = Array.tabulate(centers) { c =>
+      val rng = new scala.util.Random(seed ^ (c * 0xDEADBEEFL) + 7)
+      Array.fill(64)(rng.nextGaussian())
+    }
+    spark.range(n).map { id =>
+      val rng = new scala.util.Random(seed ^ (id * 0xA24BAED4963EE407L) + 3)
+      val c = rng.nextInt(centers)
+      val v = Array.tabulate(64)(d => centerVecs(c)(d) + rng.nextGaussian() * 0.08)
+      (id, v.toSeq)
+    }.toDF("vec_id", "v")
+  }
+
+  /** Hot-keyed as-of inputs: right side has `hotRows` clicks on ONE key
+    * plus `coldKeys`×`coldRows` elsewhere; left purchases ~1:20. */
+  def genAsof(spark: SparkSession, hotRows: Long, coldKeys: Int,
+      coldRows: Long, seed: Long): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    def ts(rng: scala.util.Random): Long = math.abs(rng.nextLong()) % 1000000000L
+    val right = spark.range(hotRows + coldKeys * coldRows).map { i =>
+      val rng = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L) + 11)
+      val k = if (i < hotRows) "hot" else s"k${(i - hotRows) / coldRows}"
+      (k, ts(rng), i)
+    }.toDF("k", "cts", "click_id")
+    val leftN = (hotRows + coldKeys * coldRows) / 20
+    val hotLeft = hotRows / 20
+    val left = spark.range(leftN).map { i =>
+      val rng = new scala.util.Random(seed ^ (i * 0xC2B2AE3D27D4EB4FL) + 13)
+      val k = if (i < hotLeft) "hot" else s"k${(i - hotLeft) / (coldRows / 20)}"
+      (k, ts(rng), i)
+    }.toDF("k", "pts", "purchase_id")
+    (left, right)
+  }
+
+  // ---- measurement machinery -----------------------------------------
+
+  private final class InputMeter extends SparkListener {
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null)
+        records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+  }
+
+  /** Median wall seconds of `runs` executions of `f` (caches cleared
+    * before each), plus the records-read of the LAST run. */
+  private def timed(spark: SparkSession, runs: Int)(f: => Long)
+      : (Double, Long, Long) = {
+    var result = 0L
+    var recs = 0L
+    val times = (1 to runs).map { _ =>
+      Hygiene.clearAll(spark)
+      val meter = new InputMeter
+      spark.sparkContext.addSparkListener(meter)
+      val t0 = System.nanoTime()
+      result = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async (private API — no waitUntilEmpty from
+      // here); a short settle keeps the records-read numbers honest
+      // without touching the timed window
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(meter)
+      recs = meter.records.get()
+      dt
+    }
+    (times.sorted.apply(times.size / 2), result, recs)
+  }
+
+  private def round2(d: Double): Double = math.round(d * 100) / 100.0
+
+  def main(args: Array[String]): Unit = {
+    org.apache.logging.log4j.core.config.Configurator
+      .setRootLevel(org.apache.logging.log4j.Level.WARN)
+    val work = if (args.nonEmpty) args(0) else "/tmp/graft_scale10x"
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gen(name: String)(f: => DataFrame): String = {
+      val p = s"$work/$name"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p))) {
+        val t0 = System.nanoTime()
+        f.write.mode("overwrite").parquet(p)
+        println(f"GEN $name%-12s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      p
+    }
+
+    // ~10× sf0.1: 50k docs (sf0.1: 5k) at ~4% dup density, 50k vectors
+    // (sf0.1 embeddings: 2k — oversized to make the index regime real),
+    // 1.2M as-of rows with a 1M-row hot key (sf0.1 events: 100k).
+    // 50k docs (10× sf0.1) for the LSH-vs-exact sweep — the exact pair
+    // join is deliberately quadratic, so IT bounds this corpus's size;
+    // 500k docs (100×) for the store-vs-inline increment loop, where
+    // the corpus-rescan cost being avoided needs to be visible
+    val docsP = gen("docs") { genDocs(spark, 50000, 0.04, 30000, 42) }
+    val docs500kP = gen("docs500k") { genDocs(spark, 500000, 0.04, 100000, 43) }
+    // 2M docs (400× sf0.1): the corpus size where the inline twin's
+    // per-call corpus signature job unmistakably dominates the probe's
+    // pruned scan — the store's raison d'être made visible
+    val docs2mP = gen("docs2m") { genDocs(spark, 2000000, 0.04, 100000, 44) }
+    // increments: a 500-doc batch and a "daily-drip" 20-doc one, a
+    // fifth of each near-dups of corpus docs (ids continue after the
+    // corpus; dup bases fall inside it)
+    val deltaP = gen("delta500k") {
+      genDocs(spark, 500, 0.2, 100000, 43, idOffset = 500000) }
+    val dripP = gen("drip500k") {
+      genDocs(spark, 20, 0.2, 100000, 43, idOffset = 510000) }
+    val drip2mP = gen("drip2m") {
+      genDocs(spark, 20, 0.2, 100000, 44, idOffset = 2000000) }
+    val embP = gen("emb300k") { genEmbeddings(spark, 300000, 64, 99) }
+
+    def toks(p: String): DataFrame =
+      spark.read.parquet(p).select($"doc_id",
+        array_distinct(split($"text", " ")).as("toks"))
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // ---- 1. store probe vs inline delta -------------------------------
+    // cells=4096, not the fixture 64: the partition-prune reads
+    // touched-cells/cells of the store, and the cell count is DECLARED
+    // to scale with the corpus (NearDupSignatureStore.build scaladoc) —
+    // a 20-doc drip touches ≤320 (band,sig) keys → ≤320 of 4096 cells,
+    // so ≥92% of the store never leaves disk, while the inline twin
+    // re-signs all 500k corpus docs on every call.
+    {
+      val storeDir = s"$work/sigstore500k"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/meta"))) {
+        val t0 = System.nanoTime()
+        operators.NearDupSignatureStore.build(toks(docs500kP), storeDir,
+          threshold = 0.7, cells = 4096)
+        println(f"GEN sigstore500k ${(System.nanoTime() - t0) / 1e9}%.1f s (one-time build)")
+      }
+      for ((label, deltaPath) <- Seq("delta500" -> deltaP, "drip20" -> dripP)) {
+        val (tInline, nInline, rInline) = timed(spark, runs) {
+          Graft.minHashNearDupPairsDelta(toks(docs500kP), toks(deltaPath), 0.7)
+            .count()
+        }
+        val (tProbe, nProbe, rProbe) = timed(spark, runs) {
+          operators.NearDupSignatureStore.probe(spark, storeDir,
+            toks(deltaPath)).count()
+        }
+        // the equality spec, re-asserted at scale
+        val a = Graft
+          .minHashNearDupPairsDelta(toks(docs500kP), toks(deltaPath), 0.7)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val b = operators.NearDupSignatureStore
+          .probe(spark, storeDir, toks(deltaPath))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        require(a == b, s"probe != inline at scale ($label): " +
+          s"${(a -- b).take(5)} / ${(b -- a).take(5)}")
+        require(nInline == nProbe)
+        results += s"${label}_inline_s" -> s"${round2(tInline)} ($nInline pairs, $rInline recs)"
+        results += s"${label}_probe_s" -> s"${round2(tProbe)} ($nProbe pairs, $rProbe recs)"
+        println(s"1. [$label] store probe ${round2(tProbe)}s vs inline " +
+          s"${round2(tInline)}s (pairs=$nInline equal; recordsRead " +
+          s"$rProbe vs $rInline)")
+      }
+    }
+
+    // ---- 1b. the same loop at 2M docs: the corpus-rescan crossover ----
+    {
+      val storeDir = s"$work/sigstore2m"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/meta"))) {
+        val t0 = System.nanoTime()
+        operators.NearDupSignatureStore.build(toks(docs2mP), storeDir,
+          threshold = 0.7, cells = 8192)
+        println(f"GEN sigstore2m   ${(System.nanoTime() - t0) / 1e9}%.1f s (one-time build)")
+      }
+      val (tInline, nInline, rInline) = timed(spark, 2) {
+        Graft.minHashNearDupPairsDelta(toks(docs2mP), toks(drip2mP), 0.7)
+          .count()
+      }
+      val (tProbe, nProbe, rProbe) = timed(spark, 2) {
+        operators.NearDupSignatureStore.probe(spark, storeDir, toks(drip2mP))
+          .count()
+      }
+      require(nInline == nProbe)
+      results += "drip2m_inline_s" -> s"${round2(tInline)} ($nInline pairs, $rInline recs)"
+      results += "drip2m_probe_s" -> s"${round2(tProbe)} ($nProbe pairs, $rProbe recs)"
+      println(s"1b. [drip20 @ 2M docs] store probe ${round2(tProbe)}s vs " +
+        s"inline ${round2(tInline)}s (pairs=$nInline equal; recordsRead " +
+        s"$rProbe vs $rInline)")
+    }
+
+    // ---- 2. IVF vs brute-force ANN ------------------------------------
+    // the index dir is NAMED for its source table: a stale index from an
+    // earlier corpus silently destroys recall (first-run lesson — the
+    // brute side read 300k vectors while the index held an old 50k set)
+    {
+      val idxDir = s"$work/ivf300k"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/meta"))) {
+        val t0 = System.nanoTime()
+        operators.IvfIndex.build(spark.read.parquet(embP), idxDir, c = 64)
+        println(f"GEN ivf          ${(System.nanoTime() - t0) / 1e9}%.1f s (one-time build)")
+      }
+      def queriesDf = spark.read.parquet(embP).filter($"vec_id" < 100)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+      def brute = {
+        val scored = spark.read.parquet(embP).join(broadcast(queriesDf))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            round(functions.CosineSimilarity.cosineSim($"qv", $"v"), 6)
+              .as("score"))
+        queries.LlmOps.topKByScore(scored, 10)
+      }
+      val (tBrute, nBrute, _) = timed(spark, runs) { brute.count() }
+      val (tIvf, nIvf, _) = timed(spark, runs) {
+        operators.IvfIndex.query(spark, idxDir, queriesDf, k = 10, nprobe = 4)
+          .count()
+      }
+      require(nBrute > 0 && nIvf > 0)
+      val bSet = brute.collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val iSet = operators.IvfIndex
+        .query(spark, idxDir, queriesDf, k = 10, nprobe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (bSet & iSet).size.toDouble / bSet.size
+      require(recall >= 0.8, s"IVF recall at scale: $recall")
+      results += "ann_brute_s" -> s"${round2(tBrute)} ($nBrute rows)"
+      results += "ann_ivf_s" -> s"${round2(tIvf)} (recall ${round2(recall)})"
+      println(s"2. IVF ${round2(tIvf)}s vs brute ${round2(tBrute)}s " +
+        s"(recall ${round2(recall)})")
+    }
+
+    // ---- 3. LSH banding vs exact pair join ----------------------------
+    {
+      val (tLsh, nLsh, _) = timed(spark, runs) {
+        queries.ApproxOps.minhashNearDupPairs(toks(docsP), 0.7, sorted = false)
+          .count()
+      }
+      // the exact sweep is the deliberately-quadratic baseline: run once
+      val (tExact, nExact, _) = timed(spark, 1) {
+        queries.LlmOps.neardupPairs(toks(docsP), 0.7, sorted = false).count()
+      }
+      val lshSet = queries.ApproxOps
+        .minhashNearDupPairs(toks(docsP), 0.7, sorted = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactSet = queries.LlmOps
+        .neardupPairs(toks(docsP), 0.7, sorted = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactSet & lshSet).size.toDouble / math.max(exactSet.size, 1)
+      require(recall >= 0.95, s"banding recall at scale: $recall")
+      results += "pairs_exact_s" -> s"${round2(tExact)} ($nExact pairs)"
+      results += "pairs_lsh_s" -> s"${round2(tLsh)} ($nLsh pairs, recall ${round2(recall)})"
+      println(s"3. LSH ${round2(tLsh)}s vs exact ${round2(tExact)}s " +
+        s"(recall ${round2(recall)}, $nExact true pairs)")
+    }
+
+    // ---- 4. as-of hot key: sliceWidth on vs off -----------------------
+    // a 20M-row hot key: the monolithic plan sorts the whole key's
+    // timeline in ONE task (the single-task wall the slice path
+    // exists to break); ~1M rows sorts in fractions of a second and
+    // demonstrates nothing
+    {
+      val (leftDf, rightDf) = genAsof(spark, 20000000L, 20, 10000L, 7)
+      val leftP = gen("asof20m_left") { leftDf }
+      val rightP = gen("asof20m_right") { rightDf }
+      def run(w: Option[Long]) = operators.AsofJoin.asofJoin(
+        spark.read.parquet(leftP), spark.read.parquet(rightP),
+        Seq("k"), "pts", "cts", "click_id", "backward", w)
+      // the timed action is the full-output content hash, NOT count():
+      // count() lets Catalyst prune the carried columns and with them
+      // the window itself — the "timing" then measures an empty plan
+      // (first-run lesson: 20M hot rows "sorted" in 0.26 s). bit_xor,
+      // not sum: order-independent and cannot overflow ANSI BIGINT
+      // arithmetic (the canary lesson, relearned).
+      def contentHash(w: Option[Long]): Long = run(w)
+        .agg(expr("bit_xor(xxhash64(purchase_id, k, pts, click_id))"))
+        .collect()(0).getLong(0)
+      val (tMono, hMono, _) = timed(spark, 2) { contentHash(None) }
+      val (tSlice, hSlice, _) = timed(spark, 2) {
+        contentHash(Some(10000000L)) }
+      require(hMono == hSlice, "sliceWidth changed as-of output at scale")
+      val nRows = run(None).count()
+      results += "asof_monolithic_s" -> s"${round2(tMono)} ($nRows rows)"
+      results += "asof_sliced_s" -> s"${round2(tSlice)} (identical output)"
+      println(s"4. as-of sliced ${round2(tSlice)}s vs monolithic " +
+        s"${round2(tMono)}s ($nRows rows, hash-identical)")
+    }
+
+    println("RESULTS " + results.map { case (k, v) => s"$k=$v" }.mkString(" | "))
+    spark.stop()
+  }
+}

@@ -118,9 +118,17 @@ object ApproxOps {
     * signatures and exact-verify bitmasks the batch pipeline uses,
     * exploded per band. Bitmask-vocabulary corpora only (the
     * streaming state holds one int64 per member). */
-  private[graft] def docSigs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val d = LlmOps.docTokens(s, dir)
+  private[graft] def docSigs(s: SparkSession, dir: String): DataFrame =
+    docSigsFor(LlmOps.docTokens(s, dir))
+
+  /** [[docSigs]] over an arbitrary `(doc_id, toks)` frame — the
+    * streaming adversarial pass feeds degenerate corpora through the
+    * same signature path the table-keyed twin uses. Empty token sets
+    * (null/empty text) produce NO signature rows (MinHashBands is NULL
+    * on an empty array), so such docs never enter a bucket — the batch
+    * empty-set contract, preserved structurally in the stream. */
+  private[graft] def docSigsFor(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
     val masks = LlmOps
       .tokenBitmasks(d.select($"doc_id", $"toks"))
       .getOrElse(throw new IllegalStateException(

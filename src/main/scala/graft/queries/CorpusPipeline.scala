@@ -87,10 +87,14 @@ object CorpusPipeline {
       array_distinct(col("__toks")).as("toks"))
     val pairs = LlmOps.neardupPairs(withToks, cfg.nearDupThreshold,
       sorted = false)
-    val retained = graft.operators.Dedup
+    // eager cut: `retained` (and its pair anti-join) feeds FOUR
+    // downstream consumers (eval grams, train grams, decon, and —
+    // through the mixture — the split/pack tail); without the cut each
+    // re-evaluates the pair generation (r10 sweep finding)
+    val retained = graft.Hygiene.eagerCut(graft.operators.Dedup
       .greedyRetain(exact, pairs, cfg.idCol)
       .withColumn("__h",
-        graft.functions.RollingHash.rollingHash(col(cfg.textCol), 64) % 100)
+        graft.functions.RollingHash.rollingHash(col(cfg.textCol), 64) % 100))
     // 4. decontaminate (q68's rule): the h≥98 content-hash slice is the
     // held-out eval set; every remaining doc sharing ≥1 distinct word
     // trigram with ANY eval doc is contaminated and dropped, and the
@@ -112,8 +116,12 @@ object CorpusPipeline {
       .join(contaminated, Seq(cfg.idCol), "left_anti")
     // 5. mixture sample: per-source quotas, smallest content hash first
     // (q103's RNG-free window)
-    val mixed = LlmOps6.mixtureSample(decon, cfg.sourceCol, cfg.textCol,
-      cfg.idCol, cfg.quotas).drop("rnk")
+    // cut again post-quota (the frame is now quota-bounded and cheap to
+    // pin): leakageSafeSplit consumes its input three times (token
+    // sets, canonical text, final join)
+    val mixed = graft.Hygiene.eagerCut(
+      LlmOps6.mixtureSample(decon, cfg.sourceCol, cfg.textCol,
+        cfg.idCol, cfg.quotas).drop("rnk"))
     // 6. leakage-safe split — the REAL component-based operator. After
     // greedy retention no two surviving docs form a ≥-threshold pair
     // (any such pair's doc_b was dropped), so every component is a

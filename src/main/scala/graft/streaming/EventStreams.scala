@@ -73,9 +73,14 @@ object EventStreams {
         col("event_type"), col("n"))
 
   /** E02: stateful streaming dedup on event_id, state bounded by the
-    * watermark. */
+    * watermark. Null event time drops at entry (the q32–q34
+    * convention): a null-ts row has no watermark window to be deduped
+    * WITHIN — Spark re-emits such a duplicate on every micro-batch
+    * (r10 adversarial finding), which under at-least-once delivery is
+    * an unbounded duplicate source; the only guaranteeable semantic
+    * is that event-time dedup applies to rows WITH event time. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "1 hour")
+    events.filter(col("ts").isNotNull).withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
   /** E06: stream-stream inner join — "clicks" matched to "impressions"
@@ -112,7 +117,12 @@ object EventStreams {
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    events.withWatermark("ts", "1 hour")
+    // null event time belongs to NO session (the pinned q32–q34
+    // convention — the only semantic a watermark can implement, and
+    // what `session_window` does structurally in the batch twin).
+    // Without the guard one null-ts event NPEs the state function and
+    // kills the whole stream (r10 streaming adversarial pass).
+    events.filter(_.ts != null).withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -256,7 +266,10 @@ object EventStreams {
       : Dataset[TimedChange] = {
     import changes.sparkSession.implicits._
     val ttlMs = ttlMinutes * 60L * 1000L
-    changes.withWatermark("ts", watermarkDelay)
+    // null event time: the change can never start a TTL clock (and
+    // `cur.ts.getTime` would NPE the state function) — dropped at
+    // entry, the q32–q34 null-ts convention (r10 adversarial pass)
+    changes.filter(_.ts != null).withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState[TimedChange, TimedChange](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {

@@ -319,7 +319,10 @@ object StreamingNearDup {
       threshold: Double = 0.7): Dataset[NearDupMatch] = {
     import sigs.sparkSession.implicits._
     val ttlMs = ttlMinutes * 60L * 1000L
-    sigs.withWatermark("ts", watermarkDelay)
+    // null event time: the entry can never be retired by the TTL clock
+    // (and `d.ts.getTime` would NPE mid-bucket) — dropped at entry,
+    // the q32–q34 null-ts convention (r10 adversarial pass)
+    sigs.filter(_.ts != null).withWatermark("ts", watermarkDelay)
       .groupByKey(d => (d.band, d.sig))
       .flatMapGroupsWithState[List[(Long, Long, Long)], NearDupMatch](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
