@@ -52,7 +52,21 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.7,
       quotas: Map[String, Int] = DefaultQuotas,
       packBudget: Int = 512,
-      packShards: Int = 8)
+      packShards: Int = 8,
+      /** `true` swaps the near-dup stage onto the MinHash-LSH path —
+        * the 100 TB shape (banded candidates + exact verify, q47's
+        * plan) instead of the exact inverted-index join. Same output
+        * contract; banding recall applies, so the oracle-gated q106
+        * keeps `false`. Spec asserts LSH-mode == exact-mode end to end
+        * on the sf fixtures (where the derived banding finds every
+        * pair). */
+      useLsh: Boolean = false,
+      /** `true` runs the declared-domain preflight the pipeline's own
+        * stages assume before anything else: `idCol` must be a KEY
+        * (dedup's min-id survivor, the pair orientation rule and the
+        * quota tiebreak all lean on it). Fail-fast via
+        * [[graft.operators.DomainCheck.requireClean]]. */
+      preflight: Boolean = false)
 
   /** q106's mixture slice: quotas over the even-numbered sources (odd
     * sources quota 0 → dropped — the quota-gate path is exercised). */
@@ -69,6 +83,11 @@ object CorpusPipeline {
   def assemble(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // 0. opt-in preflight: one aggregation pass, then either a clean
+    // drop proceeds or nothing downstream runs at all
+    if (cfg.preflight)
+      graft.operators.DomainCheck.requireClean(docs,
+        Seq(graft.operators.DomainCheck.UniqueKey(cfg.idCol)))
     // 1. quality + language gate. The exact-integer q41 score shared
     // with q79's selector; a null-text doc scores null and the >=
     // comparison drops it (both engines agree on null comparison).
@@ -85,8 +104,11 @@ object CorpusPipeline {
     // fixture scale with the same output contract) + q76's retention
     val withToks = exact.select(col(cfg.idCol).as("doc_id"),
       array_distinct(col("__toks")).as("toks"))
-    val pairs = LlmOps.neardupPairs(withToks, cfg.nearDupThreshold,
-      sorted = false)
+    val pairs =
+      if (cfg.useLsh) ApproxOps.minhashNearDupPairs(withToks,
+        cfg.nearDupThreshold, sorted = false)
+      else LlmOps.neardupPairs(withToks, cfg.nearDupThreshold,
+        sorted = false)
     // eager cut: `retained` (and its pair anti-join) feeds FOUR
     // downstream consumers (eval grams, train grams, decon, and —
     // through the mixture — the split/pack tail); without the cut each

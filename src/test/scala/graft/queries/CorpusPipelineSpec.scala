@@ -123,6 +123,37 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back == want)
   }
 
+  test("LSH mode (the 100 TB near-dup path) produces the SAME pipeline " +
+      "output as the exact mode on this corpus") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+    def rows(cfg: CorpusPipeline.Config): Set[Seq[Any]] =
+      CorpusPipeline.assemble(docs, cfg).collect().map(_.toSeq).toSet
+    val exact = rows(CorpusPipeline.Config(useLsh = false))
+    val lsh = rows(CorpusPipeline.Config(useLsh = true))
+    assert(exact == lsh,
+      s"LSH-mode diverged: only-exact ${(exact -- lsh).take(3)} " +
+        s"only-lsh ${(lsh -- exact).take(3)}")
+  }
+
+  test("preflight: a duplicated doc_id fails fast BEFORE any pipeline " +
+      "stage runs; default stays preflight-free") {
+    import spark.implicits._
+    val dup = Seq(
+      (1L, "the a data value", "en", "src0", 16L),
+      (1L, "another the a doc", "en", "src0", 17L),
+      (2L, "the a data clean", "en", "src2", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalStateException] {
+      CorpusPipeline.assemble(dup, CorpusPipeline.Config(preflight = true))
+        .count()
+    }
+    assert(e.getMessage.contains("unique_key(doc_id)=1"), e.getMessage)
+    // without preflight the pipeline still runs (dedup semantics take
+    // the min-id row; keyness violations are the caller's to care about)
+    CorpusPipeline.assemble(dup).count()
+  }
+
   test("q106 is registered with its oracle and returns rows at sf0.001") {
     assert(graft.SparkEntry.queries.contains("q106_corpus_pipeline"))
     assert(graft.SparkEntry.oracleSql.contains("q106_corpus_pipeline"))
