@@ -360,6 +360,32 @@ object ScaleBench {
         s"${round2(tMono)}s ($nRows rows, hash-identical)")
     }
 
+    // ---- 5. corpus pipeline: exact vs LSH near-dup stage --------------
+    // the composed q106 shape on the 50k corpus (lang/source
+    // synthesized — the generator's docs carry text only): the
+    // pipeline-level twin of measurement 3, asserting the two modes
+    // stay row-identical while the LSH stage removes the quadratic
+    // wall from the composition
+    {
+      def fullDocs = spark.read.parquet(docsP)
+        .withColumn("lang", lit("en"))
+        .withColumn("source",
+          concat(lit("src"), (col("doc_id") % 20).cast("string")))
+      def run(lsh: Boolean) = queries.CorpusPipeline.assemble(fullDocs,
+        queries.CorpusPipeline.Config(useLsh = lsh))
+      val (tExact, nExact, _) = timed(spark, 1) { run(false).count() }
+      val (tLsh, nLsh, _) = timed(spark, runs) { run(true).count() }
+      val a = run(false).collect().map(_.toSeq).toSet
+      val b = run(true).collect().map(_.toSeq).toSet
+      require(a == b, s"pipeline LSH mode diverged at scale: " +
+        s"${(a -- b).take(3)} / ${(b -- a).take(3)}")
+      require(nExact == nLsh && nExact > 0)
+      results += "pipeline_exact_s" -> s"${round2(tExact)} ($nExact rows)"
+      results += "pipeline_lsh_s" -> s"${round2(tLsh)} (identical output)"
+      println(s"5. pipeline LSH-mode ${round2(tLsh)}s vs exact-mode " +
+        s"${round2(tExact)}s ($nExact rows, identical)")
+    }
+
     println("RESULTS " + results.map { case (k, v) => s"$k=$v" }.mkString(" | "))
     spark.stop()
   }

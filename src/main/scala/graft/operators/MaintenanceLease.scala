@@ -90,4 +90,25 @@ object MaintenanceLease {
     try f
     finally fs.delete(p, false)
   }
+
+  /** Operator override: force-release the lease on `dir` regardless of
+    * age — for the KNOWN-dead-holder case (a crashed compact otherwise
+    * blocks maintenance until the stale threshold passes). Returns the
+    * holder text that was evicted, if any. Never call it against a
+    * holder that might still be alive: the next writer would race it. */
+  def break(spark: SparkSession, dir: String): Option[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = leasePath(dir)
+    try {
+      val in = fs.open(p)
+      val text =
+        try {
+          val buf = new Array[Byte](4096)
+          val n = in.read(buf)
+          if (n <= 0) "<empty lease file>" else new String(buf, 0, n, "UTF-8")
+        } finally in.close()
+      fs.delete(p, false)
+      Some(text)
+    } catch { case _: IOException => None }
+  }
 }

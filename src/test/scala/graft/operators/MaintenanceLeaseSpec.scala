@@ -81,6 +81,17 @@ class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(lease))
   }
 
+  test("break(): the operator override evicts a fresh lease and names " +
+      "the evicted holder (the crashed-compact-blocks-maintenance case)") {
+    val dir = tmp("lease_break")
+    NearDupSignatureStore.build(docs(20), dir, threshold = 0.5)
+    holdLease(dir, "crashed-compact@deadhost")
+    val evicted = MaintenanceLease.break(spark, dir)
+    assert(evicted.exists(_.contains("crashed-compact@deadhost")), evicted)
+    NearDupSignatureStore.append(spark, dir, docs(4)) // re-admitted now
+    assert(MaintenanceLease.break(spark, dir).isEmpty) // nothing held
+  }
+
   test("a stale lease (mtime beyond staleMs) is broken, not honored") {
     val dir = tmp("lease_stale")
     NearDupSignatureStore.build(docs(20), dir, threshold = 0.5)
