@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   *     pair join (`neardupPairs`) — time, plus banding recall ≥ 0.95
   *     re-asserted against the exact pair set;
   *  4. `AsofJoin` with and without `sliceWidth` on a hot key — time,
-  *     plus row-identical output re-asserted by content hash.
+  *     plus row-identical output re-asserted by content hash;
+  *  5. the composed corpus pipeline (q106 shape) with the LSH vs the
+  *     exact near-dup stage — time, plus row-identical pipeline
+  *     output re-asserted (the capstone inherits crossover 3).
+  *
+  * The store-vs-inline loop runs at TWO corpus sizes (500k and 2M
+  * docs): the tie region and the demonstrated-crossover region are
+  * both part of the evidence.
   *
   * Everything is seeded and RNG-free across runs (generation is a pure
   * function of (seed, id) — same parquet bytes every invocation);
