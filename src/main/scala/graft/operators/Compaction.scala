@@ -112,9 +112,17 @@ object Compaction {
     * the swap (rename over the original) is the caller's commit step:
     * [[swapDir]] for rename-capable filesystems, or the file-mover
     * protocol / a metastore swap where stronger atomicity exists.
+    *
+    * `sortCol` (optional) locally sorts each merged output partition —
+    * still shuffle-free, same row multiset — so that row-group min/max
+    * stats on that column stay tight through the rewrite. Without it,
+    * coalesce concatenates the input files' sorted runs and a merged
+    * row group can span the column's whole range, defeating any reader
+    * that prunes row groups by predicate on it (the signature store's
+    * toksets ledger is the motivating caller).
     */
   def compact(spark: SparkSession, in: String, out: String,
-      targetBytes: Long): Stats = {
+      targetBytes: Long, sortCol: Option[String] = None): Stats = {
     require(in != out, "compact target must differ from source")
     val conf = spark.sparkContext.hadoopConfiguration
     val inPath = new Path(in)
@@ -131,7 +139,8 @@ object Compaction {
         s"level, found none in $in (compact per leaf partition)")
     val totalBytes = parts.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(in).coalesce(n)
+    val merged = spark.read.parquet(in).coalesce(n)
+    sortCol.fold(merged)(c => merged.sortWithinPartitions(c))
       .write.mode("overwrite").parquet(out)
     val outPath = new Path(out)
     val outParts = outPath.getFileSystem(conf).listStatus(outPath)

@@ -168,7 +168,6 @@ object IvfIndex {
     import spark.implicits._
     import graft.plans.GraftOps
     val cents = spark.read.parquet(s"$dir/centroids")
-    val assigned = spark.read.parquet(s"$dir/assignments")
     val probes = GraftOps.topKPerGroup(
         queries.filter(graft.queries.LlmOps.wellFormedVec($"qv"))
           .join(broadcast(cents))
@@ -177,11 +176,15 @@ object IvfIndex {
         nprobe, Seq("query_id"),
         Seq(GraftOps.Order("sim", desc = true), GraftOps.Order("cent_id")))
       .select($"query_id", $"qv", $"cent_id")
-    // static partition prune: the probed cell set is metadata-sized
+    // static partition prune: the probed cell set is metadata-sized.
+    // PrunedRead also skips DISCOVERY of the unprobed cell dirs — same
+    // O(cells)-listings-per-query cost the signature-store probe shed
+    // (r10; measurement in PrunedRead's scaladoc)
     val cells = probes.select($"cent_id").distinct().collect()
       .map(_.getLong(0)).toSeq
     val scored = broadcast(probes)
-      .join(assigned.filter($"cent_id".isin(cells: _*)), "cent_id")
+      .join(PrunedRead.partitions(spark, s"$dir/assignments", "cent_id",
+        cells), "cent_id")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         round(graft.functions.CosineSimilarity.cosineSim($"qv", $"v"), 6)

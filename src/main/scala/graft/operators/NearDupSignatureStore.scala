@@ -130,7 +130,15 @@ object NearDupSignatureStore {
       graft.queries.ApproxOps.bandRowsFor(threshold), cells,
       mask_complete = vocab.nonEmpty || distinctToks.isEmpty, vocab)
     writeMeta(spark, dir, meta)
-    dt.write.mode("overwrite").parquet(s"$dir/toksets")
+    // sortWithinPartitions, NOT a shuffle: the generic-verify probe
+    // prunes `toksets` with an id-set filter that parquet can only turn
+    // into ROW-GROUP skipping if the row groups have tight doc_id
+    // min/max — randomly ordered ids make every group span the whole
+    // range and the "pruned" scan decodes the entire ledger (r10
+    // ScaleBench finding at 2M docs). A per-partition local sort gives
+    // each row group a narrow id quantile at zero shuffle cost.
+    dt.sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/toksets")
     // cluster rows onto their cell BEFORE the partitioned write: without
     // it every input partition writes a sliver into every cell (~input
     // partitions × cells tiny files) and probes pay one file-open per
@@ -171,7 +179,9 @@ object NearDupSignatureStore {
       // stays O(cells × increments), compactable per cell dir
       sigs.repartition(m.cells, $"cell")
         .write.mode("append").partitionBy("cell").parquet(s"$dir/sigs")
-      dt.write.mode("append").parquet(s"$dir/toksets")
+      // same row-group-stats discipline as build (see build's note)
+      dt.sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(s"$dir/toksets")
     } finally sigs.unpersist()
   }
 
@@ -253,8 +263,12 @@ object NearDupSignatureStore {
     // pushed as a static partition filter on the store scan
     val cellVals = deltaSigs.select($"cell").distinct().collect()
       .map(_.getInt(0)).toSeq
-    val store = spark.read.parquet(s"$dir/sigs")
-      .filter($"cell".isin(cellVals: _*))
+    // Discovery-pruned read: the isin filter below already pruned what
+    // is READ, but plain partition discovery still LISTED all `cells`
+    // dirs per probe — at 8192 cells that listing was ~9 of the drip
+    // probe's 11.5 s (r10 ScaleBench finding; mechanics + measurement
+    // in PrunedRead's scaladoc)
+    val store = PrunedRead.partitions(spark, s"$dir/sigs", "cell", cellVals)
     // map-side mask verify only when the store's masks are complete AND
     // the delta stayed inside the frozen vocabulary
     val maskOk = m.mask_complete &&
@@ -430,7 +444,10 @@ object NearDupSignatureStore {
       if (fs.exists(p)) fs.delete(p, true) // leftover from a dead run
       t
     }
-    Compaction.compact(spark, s"$dir/toksets", toksTmp, targetBytes)
+    // sortCol keeps the ledger's tight per-row-group doc_id bounds (set
+    // up by build/append's sortWithinPartitions) through the rewrite
+    Compaction.compact(spark, s"$dir/toksets", toksTmp, targetBytes,
+      sortCol = Some("doc_id"))
     Compaction.swapDir(spark, s"$dir/toksets", toksTmp)
     CompactStats(sigsBefore, sigsAfter, toksBefore,
       partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length)
