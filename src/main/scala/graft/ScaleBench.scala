@@ -157,7 +157,11 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NO spark.driver.memory here (ADVICE r10): in local mode the JVM
+      // is already running, so a builder-set value is silently ignored.
+      // The heap actually in force is build.sbt's fork javaOptions
+      // (-Xmx${SPARK_DRIVER_MEM:-8g}) — raise SPARK_DRIVER_MEM for
+      // bigger corpora instead.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

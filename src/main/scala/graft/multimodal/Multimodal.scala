@@ -164,8 +164,18 @@ object Multimodal {
           else {
             val w = math.max(1, math.round(img.getWidth * scale).toInt)
             val h = math.max(1, math.round(img.getHeight * scale).toInt)
+            // alpha-aware target (ADVICE r10): an unconditional RGB
+            // buffer composites transparent PNG/GIF pixels onto
+            // uninitialized black — resized transparent images silently
+            // gained black backgrounds while already-fitting ones kept
+            // their alpha, an inconsistent output contract. The rule:
+            // the output carries an alpha channel iff the input did
+            // (opaque sources stay 3-band, preserving downstream
+            // channel/brightness stats).
             val dst = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
+              if (img.getColorModel.hasAlpha)
+                java.awt.image.BufferedImage.TYPE_INT_ARGB
+              else java.awt.image.BufferedImage.TYPE_INT_RGB)
             val g = dst.createGraphics()
             try {
               g.setRenderingHint(

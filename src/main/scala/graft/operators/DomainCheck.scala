@@ -27,6 +27,9 @@ object DomainCheck {
     /** short id in the report (`not_null`, `unique_key`, …) */
     def ruleName: String
     def column: String
+    /** the input columns the rule reads (validated present) — default
+      * the single `column`; composite rules override */
+    private[DomainCheck] def inputCols: Seq[String] = Seq(column)
     /** aggregate expression counting this rule's VIOLATING rows */
     private[DomainCheck] def agg: Column
   }
@@ -74,6 +77,29 @@ object DomainCheck {
       (isnan(col(column)) || abs(col(column)) >= maxAbs))
   }
 
+  /** `columns` together form a KEY: violations = rows in excess of one
+    * per distinct non-null-free tuple — the composite analogue of
+    * [[UniqueKey]] for tables keyed by more than one column (lineitem's
+    * `(l_orderkey, l_linenumber)`). Rows with a null in any key column
+    * are not counted against keyness (count(struct) skips them), so add
+    * [[NotNull]] per column when nulls are out of domain too. */
+  final case class CompositeKey(columns: Seq[String]) extends Rule {
+    require(columns.size >= 2, "CompositeKey needs >= 2 columns " +
+      "(use UniqueKey for one)")
+    val ruleName = "composite_key"
+    val column: String = columns.mkString("+")
+    override private[DomainCheck] def inputCols: Seq[String] = columns
+    private[DomainCheck] def agg: Column = {
+      // null-free tuples only, on BOTH sides: a struct with a null
+      // field is itself non-null, so a bare countDistinct would count
+      // tuples the count() side skipped and the difference could go
+      // negative
+      val tuple = when(columns.map(col(_).isNotNull).reduce(_ && _),
+        struct(columns.map(col): _*))
+      (count(tuple) - countDistinct(tuple)).cast("long")
+    }
+  }
+
   /** Non-null timestamps stay in [lo, hi) — the bounded-grid-span
     * domain: one 1970/2100 outlier makes every resample/LOCF spine
     * (q74/q96/q99) generate a ~69M-row minute grid on BOTH engines
@@ -113,15 +139,20 @@ object DomainCheck {
     * tells you how much. */
   final case class ValidJson(column: String) extends Rule {
     val ruleName = "valid_json"
+    // the legal JSON literal `null` probes to NULL like malformed text
+    // does (ADVICE r10) — accept it explicitly so json_valid semantics
+    // hold and requireClean does not fail an actually-clean drop
     private[DomainCheck] def agg: Column = cnt(col(column).isNotNull &&
-      get_json_object(col(column), "$").isNull)
+      get_json_object(col(column), "$").isNull &&
+      trim(col(column)) =!= "null")
   }
 
   /** Run every rule in one aggregation pass: (rule, col_name,
     * violations), one row per rule, rule order preserved. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules to check")
-    val missing = rules.map(_.column).distinct.filterNot(df.columns.contains)
+    val missing =
+      rules.flatMap(_.inputCols).distinct.filterNot(df.columns.contains)
     require(missing.isEmpty, s"rule columns absent: ${missing.mkString(",")}")
     val aggs = rules.zipWithIndex.map { case (r, i) =>
       coalesce(r.agg, lit(0L)).as(s"__v_$i") // empty frame ⇒ 0, not null
@@ -160,8 +191,29 @@ object DomainCheck {
       UniqueKey("vec_id"),
       FixedDim("embedding", 64),
       WellFormedVector("embedding"))
+    // relational presets (VERDICT r10 task 7): the money/key domains
+    // the TPC-H-shaped surface declares — a 100 TB relational ingest
+    // gets the same fail-fast gate the LLM tables have
+    case "orders" => Seq(
+      UniqueKey("o_orderkey"),
+      DecimalCastable("o_totalprice"),
+      BoundedAbs("o_totalprice", 1e14),
+      TimestampBetween("o_orderdate", "1990-01-01", "2040-01-01"))
+    // NOTE: deliberately NO CompositeKey(l_orderkey, l_linenumber) —
+    // unlike real TPC-H, the synthetic lineitem is NOT keyed by it
+    // (measured: linenumber caps at 7 while orders carry up to 13
+    // lines → 1401 duplicate tuples at sf0.001), and no oracle-gated
+    // query leans on line keyness. Declare the rule on a REAL TPC-H
+    // ingest, where it is part of the schema contract.
+    case "lineitem" => Seq(
+      DecimalCastable("l_extendedprice"),
+      BoundedAbs("l_extendedprice", 1e14),
+      TimestampBetween("l_shipdate", "1990-01-01", "2040-01-01"))
+    case "customer" => Seq(
+      UniqueKey("c_custkey"),
+      DecimalCastable("c_acctbal"))
     case other => throw new IllegalArgumentException(
-      s"no declared domain for table '$other' " +
-        "(events / documents / embeddings)")
+      s"no declared domain for table '$other' (events / documents / " +
+        "embeddings / orders / lineitem / customer)")
   }
 }

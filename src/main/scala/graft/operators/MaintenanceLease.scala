@@ -42,6 +42,58 @@ object MaintenanceLease {
     s"$op@$host#pid${ProcessHandle.current.pid}"
   }
 
+  private def readLeaseText(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String =
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](4096)
+        val n = in.read(buf)
+        if (n <= 0) "<empty lease file>"
+        else new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+    } catch { case _: IOException => "<unreadable lease file>" }
+
+  /** Single-winner stale break (ADVICE r10): rename the lease ASIDE to a
+    * breaker-unique tombstone, then verify by mtime that the file we
+    * renamed is STILL the one observed stale — an unconditional
+    * delete-then-create lets two rivals both break the same stale lease
+    * (A deletes, A creates, B deletes A's FRESH lease, B creates; both
+    * proceed — the exact hazard the lease exists to prevent, in its own
+    * recovery path). Rename is atomic on HDFS, so of two rivals racing
+    * the SAME stale file exactly one rename succeeds; and if the rename
+    * instead captured a FRESH lease recreated in the window (mtime ≠
+    * observed), it is renamed back and the break reports failure.
+    * Returns true iff the stale lease is gone and the path is free to
+    * recreate. */
+  private[operators] def breakIfStillStale(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      observedMtime: Long): Boolean = {
+    val tomb = new Path(
+      s"$p.broken.pid${ProcessHandle.current.pid}.${System.nanoTime}")
+    val renamed = try fs.rename(p, tomb)
+                  catch { case _: IOException => false }
+    if (!renamed) {
+      // source vanished: another breaker won, or the holder released.
+      // Either way the path may now be free — let tryCreate decide.
+      true
+    } else {
+      val sameFile =
+        try fs.getFileStatus(tomb).getModificationTime == observedMtime
+        catch { case _: IOException => false }
+      if (sameFile) { fs.delete(tomb, false); true }
+      else {
+        // we captured a lease RECREATED after our staleness check —
+        // restore it and refuse. If the restore loses (a third writer
+        // already recreated the path) the displaced lease is dropped:
+        // its holder's release will then log the holder mismatch.
+        if (!(try fs.rename(tomb, p) catch { case _: IOException => false }))
+          fs.delete(tomb, false)
+        false
+      }
+    }
+  }
+
   /** Run `f` holding the lease on `dir`; released on every exit path (a
     * crashed PROCESS leaves a stale lease for mtime-breaking). Throws
     * `IllegalStateException` naming the current holder when the lease
@@ -61,34 +113,39 @@ object MaintenanceLease {
         true
       } catch { case _: IOException => false }
 
-    def currentHolder(): String =
-      try {
-        val in = fs.open(p)
-        try {
-          val buf = new Array[Byte](4096)
-          val n = in.read(buf)
-          if (n <= 0) "<empty lease file>"
-          else new String(buf, 0, n, "UTF-8")
-        } finally in.close()
-      } catch { case _: IOException => "<unreadable lease file>" }
-
     if (!tryCreate()) {
-      val stale =
-        try {
-          val st = fs.getFileStatus(p)
-          System.currentTimeMillis - st.getModificationTime > staleMs
-        } catch { case _: IOException => true } // holder released mid-check
-      if (stale) fs.delete(p, false)
+      val observed =
+        try Some(fs.getFileStatus(p).getModificationTime)
+        catch { case _: IOException => None } // holder released mid-check
+      val broken = observed match {
+        case Some(mtime)
+            if System.currentTimeMillis - mtime > staleMs =>
+          breakIfStillStale(fs, p, mtime)
+        case Some(_) => false // fresh — refuse below
+        case None => true     // released mid-check; retry create
+      }
       // one retry covers both the stale break and a release race; a
       // second failure means a LIVE competing writer — refuse loudly
-      if (!tryCreate())
+      if (!broken || !tryCreate())
         throw new IllegalStateException(
-          s"maintenance lease on $dir is held by '${currentHolder()}' — " +
-            s"concurrent append/compact refused; a lease untouched for " +
-            s"${staleMs} ms is presumed dead and will be broken")
+          s"maintenance lease on $dir is held by " +
+            s"'${readLeaseText(fs, p)}' — concurrent append/compact " +
+            s"refused; a lease untouched for ${staleMs} ms is presumed " +
+            s"dead and will be broken")
     }
     try f
-    finally fs.delete(p, false)
+    finally {
+      // release only OUR OWN lease (ADVICE r10): a job that outran
+      // staleMs has had its lease broken and replaced — deleting
+      // whatever sits at the path would evict the NEW holder and admit
+      // a third concurrent writer.
+      val text = readLeaseText(fs, p)
+      if (text.startsWith(holder)) fs.delete(p, false)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lease on $dir no longer held by '$holder' at release " +
+          s"(current: '$text') — this job outran staleMs and lost its " +
+          "exclusion; leaving the current holder's lease in place")
+    }
   }
 
   /** Operator override: force-release the lease on `dir` regardless of

@@ -29,11 +29,22 @@ import org.apache.spark.sql.functions._
   * it a metadata-only plan.
   *
   * Only for partition values whose `toString` is the literal dir-name
-  * encoding (ints/longs); string values would need hive escaping.
+  * encoding (ints/longs — enforced with a loud `require`): a string
+  * value containing any character hive escapes (`%2F`-style) would
+  * MISS its directory silently and the rows would vanish from the
+  * read.
   */
 object PrunedRead {
   def partitions(spark: SparkSession, root: String, partCol: String,
       values: Seq[Any]): DataFrame = {
+    values.find {
+      case _: Int | _: Long | _: Short | _: Byte => false
+      case _ => true
+    }.foreach(v => throw new IllegalArgumentException(
+      s"PrunedRead.partitions only supports integral partition values " +
+        s"(got ${v.getClass.getName} '$v'): non-integral values need " +
+        "hive escaping in the directory name and would be missed " +
+        "silently"))
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val want = values.map(v => s"$partCol=$v").toSet

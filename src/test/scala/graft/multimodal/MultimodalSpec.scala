@@ -246,6 +246,50 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       got(4L).media_type == "image/fake")
   }
 
+  test("resize preserves transparency: alpha survives the downscale " +
+      "instead of compositing onto black (ADVICE r10), and opaque " +
+      "sources stay 3-band") {
+    // 64×64 fully-transparent left half, opaque white right half
+    val src = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (x <- 0 until 64; y <- 0 until 64)
+        im.setRGB(x, y, if (x < 32) 0x00000000 else 0xFFFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    val out = Multimodal.Codecs.resizeImage(src, 16, 16)
+    assert(out.isDefined, "transparent PNG failed to resize")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.get))
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    assert(img.getColorModel.hasAlpha,
+      "alpha channel dropped by the resize re-encode")
+    // deep inside the transparent half: alpha must still be 0 — the old
+    // RGB buffer made this pixel OPAQUE BLACK
+    assert(((img.getRGB(2, 8) >>> 24) & 0xFF) == 0,
+      f"transparent pixel became 0x${img.getRGB(2, 8)}%08x")
+    // deep inside the opaque half: still opaque white
+    assert(img.getRGB(13, 8) == 0xFFFFFFFF,
+      f"opaque pixel became 0x${img.getRGB(13, 8)}%08x")
+
+    // opaque source (no alpha): output stays 3-band — the channel
+    // contract downstream stats rely on is unchanged
+    val opaque = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) im.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    val got = Multimodal.Codecs.decodeImage(
+      Multimodal.Codecs.resizeImage(opaque, 16, 16).get)
+    assert(got.exists { case (w, h, c, _) => (w, h, c) == ((16, 16, 3)) },
+      got.toString)
+  }
+
   test("sha2 on binary matches java MessageDigest (stub consistency)") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir).limit(10)

@@ -84,6 +84,63 @@ class DomainCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the JSON literal 'null' is VALID json, not a violation " +
+      "(ADVICE r10: the $-probe returns NULL for it like malformed text)") {
+    import spark.implicits._
+    val df = Seq("null", "  null ", """{"a":1}""", "nope", "nulls")
+      .toDF("props")
+    val got = report(df, Seq(DomainCheck.ValidJson("props")))
+    // 'nope' and 'nulls' are malformed; bare/padded 'null' is legal
+    assert(got == Map(("valid_json", "props") -> 2L), got.toString)
+    DomainCheck.requireClean(
+      Seq("null", """{"a":1}""").toDF("props"),
+      Seq(DomainCheck.ValidJson("props"))) // must not throw
+  }
+
+  test("composite key: excess rows per duplicated tuple counted exactly; " +
+      "null-component tuples don't count against keyness (or go negative)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), 1, "a"), (Some(1L), 2, "b"),   // distinct tuples — clean
+      (Some(2L), 1, "c"), (Some(2L), 1, "d"),
+      (Some(2L), 1, "e"),                       // one tuple ×3 → 2 excess
+      (None, 1, "f"), (None, 1, "g"))           // null keys: skipped
+      .toDF("l_orderkey", "l_linenumber", "payload")
+    val got = report(df,
+      Seq(DomainCheck.CompositeKey(Seq("l_orderkey", "l_linenumber"))))
+    assert(got ==
+      Map(("composite_key", "l_orderkey+l_linenumber") -> 2L), got.toString)
+  }
+
+  test("relational presets: planted key/money/date violations on the " +
+      "orders shape are counted exactly (VERDICT r10 task 7)") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, "O", 100.5, ts("1995-01-01 00:00:00"), "1-URGENT"),
+      (2L, 11L, "F", 3.25, ts("1996-06-01 00:00:00"), "2-HIGH"),
+      (2L, 12L, "F", 4.0, ts("1996-06-02 00:00:00"), "2-HIGH"), // dup key
+      (3L, 13L, "O", Double.NaN, ts("1997-01-01 00:00:00"), "3-MEDIUM"),
+      (4L, 14L, "O", 1e18, ts("1997-01-01 00:00:00"), "3-MEDIUM"),
+      (5L, 15L, "O", 9.0, ts("2100-01-01 00:00:00"), "4-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = report(orders, DomainCheck.rulesFor("orders"))
+    assert(got == Map(
+      ("unique_key", "o_orderkey") -> 1L,
+      ("decimal_castable", "o_totalprice") -> 2L,
+      ("bounded_abs", "o_totalprice") -> 2L,
+      ("ts_between", "o_orderdate") -> 1L), got.toString)
+  }
+
+  test("the real sf0.001 RELATIONAL tables are in their declared " +
+      "domains too (orders/lineitem/customer presets pass)") {
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Seq("orders", "lineitem", "customer")) {
+      val df = graft.Tables(spark, dir, t)
+      DomainCheck.requireClean(df, DomainCheck.rulesFor(t)) // must not throw
+    }
+  }
+
   test("requireClean throws naming each violated rule with its count") {
     import spark.implicits._
     val df = Seq((1L, "x"), (1L, "y"), (2L, "not json"))

@@ -102,6 +102,58 @@ class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(lease), "stale lease not cleaned up after the run")
   }
 
+  test("stale break is single-winner: a breaker whose observed-stale " +
+      "lease was replaced by a FRESH one refuses instead of evicting it " +
+      "(ADVICE r10)") {
+    val dir = tmp("lease_race")
+    val lease = holdLease(dir, "dead-process")
+    val staleMtime = System.currentTimeMillis - 2L * 60 * 60 * 1000
+    fs.setTimes(lease, staleMtime, -1)
+    // rival B observed the stale mtime; before B's break lands, rival A
+    // breaks the stale lease and creates a FRESH one (the interleave the
+    // old delete-then-create turned into a double acquisition)
+    assert(MaintenanceLease.breakIfStillStale(fs, lease, staleMtime),
+      "first breaker must win against the genuinely stale lease")
+    val fresh = holdLease(dir, "rival-A-fresh")
+    // B's break now runs with its STALE observation: must refuse and
+    // leave A's fresh lease untouched, content intact
+    assert(!MaintenanceLease.breakIfStillStale(fs, lease, staleMtime),
+      "second breaker evicted a fresh lease (double-acquisition race)")
+    assert(fs.exists(fresh), "fresh lease deleted by the losing breaker")
+    val in = fs.open(fresh)
+    val buf = new Array[Byte](64)
+    val n = try in.read(buf) finally in.close()
+    assert(new String(buf, 0, n, "UTF-8") == "rival-A-fresh")
+    // and no tombstone litter is left beside the lease
+    val litter = fs.listStatus(new Path(dir).getParent)
+      .map(_.getPath.getName).filter(_.contains("broken"))
+    assert(litter.isEmpty, s"tombstone litter: ${litter.mkString(",")}")
+    fs.delete(fresh, false)
+  }
+
+  test("release deletes only the holder's OWN lease: a job that outran " +
+      "staleMs must not evict its successor's fresh lease (ADVICE r10)") {
+    val dir = tmp("lease_own")
+    NearDupSignatureStore.build(docs(20), dir, threshold = 0.5)
+    val lease = new Path(s"${dir}__lease")
+    // inside the guarded op, simulate the overrun: the lease is broken
+    // and a NEW writer's lease sits at the path when the finally runs
+    MaintenanceLease.withLease(spark, dir, "slow-append") {
+      fs.delete(lease, false)
+      val out = fs.create(lease, false)
+      try out.write("successor-writer@otherhost".getBytes("UTF-8"))
+      finally out.close()
+    }
+    assert(fs.exists(lease),
+      "finally-release deleted the successor's lease (would admit a " +
+        "third concurrent writer)")
+    val in = fs.open(lease)
+    val buf = new Array[Byte](64)
+    val n = try in.read(buf) finally in.close()
+    assert(new String(buf, 0, n, "UTF-8") == "successor-writer@otherhost")
+    fs.delete(lease, false)
+  }
+
   test("the lease releases on a FAILED operation too") {
     val dir = tmp("lease_fail")
     NearDupSignatureStore.build(docs(20), dir, threshold = 0.5)
