@@ -472,6 +472,19 @@ object Graft {
       : DataFrame =
     queries.CorpusPipeline.assemble(docs, cfg)
 
+  /** The INCREMENTAL corpus pipeline: apply one increment to the
+    * persisted pipeline state at `stateDir` (digest ledger + signature
+    * store + top-quota mix state) and return the refreshed full output —
+    * row-for-row equal to [[corpusPipeline]] on the union of every
+    * increment applied so far (hash-gated as q107). Requires
+    * `cfg.evalDocs` (external-benchmark decon) and strictly increasing
+    * ids across increments; see [[queries.CorpusPipelineDelta]] for the
+    * preconditions and the per-stage delta-vs-state shapes. */
+  def corpusPipelineDelta(delta: DataFrame, stateDir: String,
+      cfg: queries.CorpusPipeline.Config, storeCells: Int = 64): DataFrame =
+    queries.CorpusPipelineDelta.applyIncrement(delta, stateDir, cfg,
+      storeCells)
+
   /** Write a [[corpusPipeline]] result as CSV shards renamed through
     * the file-mover commit protocol (`shard_$split_$lang.csv` — one
     * file per (split, lang), FM1–FM9 exercised on real pipeline

@@ -66,7 +66,21 @@ object CorpusPipeline {
         * (dedup's min-id survivor, the pair orientation rule and the
         * quota tiebreak all lean on it). Fail-fast via
         * [[graft.operators.DomainCheck.requireClean]]. */
-      preflight: Boolean = false)
+      preflight: Boolean = false,
+      /** EXTERNAL benchmark suite to decontaminate against (VERDICT r10
+        * task 3): a frame with `textCol`, typically ALSO `idCol` —
+        * benchmark-sized (its distinct grams broadcast, q68's shape).
+        * When set, the decon stage drops every doc sharing ≥1 distinct
+        * word trigram with ANY eval doc; the internal h≥98 rule — the
+        * self-contained-oracle stand-in where the corpus's own
+        * content-hash slice plays the benchmark — is bypassed, and no
+        * corpus docs are h-sliced away (the eval docs were never in the
+        * corpus). This is what a real training-data pipeline does, and
+        * it is the ONLY decon rule the incremental pipeline can honor:
+        * the internal slice GROWS with the corpus, so an eval doc in a
+        * future increment could retroactively contaminate already-
+        * emitted output (see [[CorpusPipelineDelta]]). */
+      evalDocs: Option[DataFrame] = None)
 
   /** q106's mixture slice: quotas over the even-numbered sources (odd
     * sources quota 0 → dropped — the quota-gate path is exercised). */
@@ -117,25 +131,30 @@ object CorpusPipeline {
       .greedyRetain(exact, pairs, cfg.idCol)
       .withColumn("__h",
         graft.functions.RollingHash.rollingHash(col(cfg.textCol), 64) % 100))
-    // 4. decontaminate (q68's rule): the h≥98 content-hash slice is the
-    // held-out eval set; every remaining doc sharing ≥1 distinct word
-    // trigram with ANY eval doc is contaminated and dropped, and the
-    // eval docs themselves leave the training corpus. Eval grams are
-    // benchmark-sized → broadcast; see q68Bloom for the pre-prune that
-    // slots in when they are not.
-    val grams = retained
-      .filter(size(col("__toks")) >= 3)
-      .select(col(cfg.idCol).as("__gid"), col("__h"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(__toks) - 2), " +
-            "i -> concat_ws(' ', slice(__toks, i, 3)))"))).as("ng"))
-    val evalGrams = grams.filter(col("__h") >= 98)
-      .select(col("ng")).distinct()
-    val contaminated = grams.filter(col("__h") < 98)
-      .join(broadcast(evalGrams), "ng")
-      .select(col("__gid").as(cfg.idCol)).distinct()
-    val decon = retained.filter(col("__h") < 98)
-      .join(contaminated, Seq(cfg.idCol), "left_anti")
+    // 4. decontaminate (q68's rule): every remaining doc sharing ≥1
+    // distinct word trigram with ANY eval doc is contaminated and
+    // dropped. Internal mode (evalDocs = None, the q106 contract): the
+    // h≥98 content-hash slice plays the held-out eval set and its docs
+    // leave the training corpus too. External mode: the benchmark frame
+    // supplies the grams and no corpus docs are h-sliced away. Eval
+    // grams are benchmark-sized → broadcast; see q68Bloom for the
+    // pre-prune that slots in when they are not.
+    val decon = cfg.evalDocs match {
+      case None =>
+        val grams = retained
+          .filter(size(col("__toks")) >= 3)
+          .select(col(cfg.idCol).as("__gid"), col("__h"),
+            explode(wordTrigrams("__toks")).as("ng"))
+        val evalGrams = grams.filter(col("__h") >= 98)
+          .select(col("ng")).distinct()
+        val contaminated = grams.filter(col("__h") < 98)
+          .join(broadcast(evalGrams), "ng")
+          .select(col("__gid").as(cfg.idCol)).distinct()
+        retained.filter(col("__h") < 98)
+          .join(contaminated, Seq(cfg.idCol), "left_anti")
+      case Some(ev) =>
+        externalDecon(retained, "__toks", ev, cfg)
+    }
     // 5. mixture sample: per-source quotas, smallest content hash first
     // (q103's RNG-free window)
     // cut again post-quota (the frame is now quota-bounded and cheap to
@@ -144,19 +163,56 @@ object CorpusPipeline {
     val mixed = graft.Hygiene.eagerCut(
       LlmOps6.mixtureSample(decon, cfg.sourceCol, cfg.textCol,
         cfg.idCol, cfg.quotas).drop("rnk"))
-    // 6. leakage-safe split — the REAL component-based operator. After
-    // greedy retention no two surviving docs form a ≥-threshold pair
-    // (any such pair's doc_b was dropped), so every component is a
-    // singleton and the assignment provably equals the per-document
-    // hash rule — which is what lets the whole pipeline keep a single
-    // SQL oracle while still driving the clustering machinery.
+    tailSplitPack(mixed.drop("__toks", "__qs", "__h"), cfg)
+  }
+
+  /** Distinct word trigrams of the token-array column `toksCol` — the
+    * q68 gram rule shared by both decon modes and the delta pipeline.
+    * Apply after a `size(toksCol) >= 3` filter. */
+  private def wordTrigrams(toksCol: String) =
+    array_distinct(expr(
+      s"transform(sequence(1, size($toksCol) - 2), " +
+        s"i -> concat_ws(' ', slice($toksCol, i, 3)))"))
+
+  /** External-benchmark decontamination (VERDICT r10 task 3): drop
+    * every row of `docs` (which carries the token-array `toksCol`)
+    * sharing ≥1 distinct word trigram with any row of `evalDocs`
+    * (needs `cfg.textCol`). Per-doc decision against a FIXED gram set —
+    * the property that makes this the decon rule the incremental
+    * pipeline can honor. Eval grams broadcast (benchmark-sized). */
+  private[graft] def externalDecon(docs: DataFrame, toksCol: String,
+      evalDocs: DataFrame, cfg: Config): DataFrame = {
+    val evalGrams = evalDocs
+      .withColumn("__etoks", split(col(cfg.textCol), " "))
+      .filter(size(col("__etoks")) >= 3)
+      .select(explode(wordTrigrams("__etoks")).as("ng")).distinct()
+    val contaminated = docs
+      .filter(size(col(toksCol)) >= 3)
+      .select(col(cfg.idCol).as("__gid"),
+        explode(wordTrigrams(toksCol)).as("ng"))
+      .join(broadcast(evalGrams), "ng")
+      .select(col("__gid").as(cfg.idCol)).distinct()
+    docs.join(contaminated, Seq(cfg.idCol), "left_anti")
+  }
+
+  /** Stages 6–7, shared with the delta pipeline (which re-materializes
+    * this quota-bounded tail per increment):
+    *
+    * 6. leakage-safe split — the REAL component-based operator. After
+    * greedy retention no two surviving docs form a ≥-threshold pair
+    * (any such pair's doc_b was dropped), so every component is a
+    * singleton and the assignment provably equals the per-document
+    * hash rule — which is what lets the whole pipeline keep a single
+    * SQL oracle while still driving the clustering machinery.
+    *
+    * 7. sequence packing (q64's rule, per (split, shard) so packing
+    * never crosses a split boundary): contiguous fill of
+    * `packBudget`-token bins in doc_id order within content-hash
+    * shards — embarrassingly parallel, no global order. */
+  private[graft] def tailSplitPack(mixed: DataFrame,
+      cfg: Config): DataFrame = {
     val split6 = graft.Graft.leakageSafeSplit(
-      mixed.drop("__toks", "__qs", "__h"),
-      cfg.idCol, cfg.textCol, cfg.nearDupThreshold).drop("label")
-    // 7. sequence packing (q64's rule, per (split, shard) so packing
-    // never crosses a split boundary): contiguous fill of
-    // `packBudget`-token bins in doc_id order within content-hash
-    // shards — embarrassingly parallel, no global order
+      mixed, cfg.idCol, cfg.textCol, cfg.nearDupThreshold).drop("label")
     split6
       .withColumn("n_tokens",
         size(split(col(cfg.textCol), " ")).cast("long"))
