@@ -397,6 +397,66 @@ object ScaleBench {
         s"${round2(tExact)}s ($nExact rows, identical)")
     }
 
+    // ---- 6. incremental pipeline vs per-day batch re-runs -------------
+    // The daily 100 TB question the delta pipeline exists for: after a
+    // one-time genesis fold of the 500k corpus, is applying a 500-doc
+    // day through the persisted state cheaper than re-running the batch
+    // pipeline (LSH mode — the scale-fair batch comparator) over the
+    // grown corpus? Three days, each measured once (state mutates —
+    // an increment can only be applied once), equality REQUIRED against
+    // the day-3 batch answer. Increments share the corpus's generator
+    // seed so their dup bases fall INSIDE the corpus (cross-day
+    // near-dups are real), ids strictly increasing.
+    {
+      val incPs = Seq(
+        gen("pipeInc_d1") { genDocs(spark, 500, 0.2, 100000, 43, 600000) },
+        gen("pipeInc_d2") { genDocs(spark, 500, 0.2, 100000, 43, 610000) },
+        gen("pipeInc_d3") { genDocs(spark, 500, 0.2, 100000, 43, 620000) })
+      val evalP = gen("pipeEval") { genDocs(spark, 50, 0.0, 100000, 78, 900000) }
+      def full(p: String): DataFrame = spark.read.parquet(p)
+        .withColumn("lang", lit("en"))
+        .withColumn("source",
+          concat(lit("src"), (col("doc_id") % 20).cast("string")))
+      val evalDocs = spark.read.parquet(evalP).select($"doc_id", $"text")
+      val cfg = queries.CorpusPipeline.Config(useLsh = true,
+        evalDocs = Some(evalDocs))
+      val stateDir = s"$work/pipe_state"
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir), true) // exactly-once
+      val t0 = System.nanoTime()
+      queries.CorpusPipelineDelta.foldIncrement(full(docs500kP), stateDir,
+        cfg, storeCells = 4096)
+      val tGenesis = (System.nanoTime() - t0) / 1e9
+      var incOut: DataFrame = null
+      val incTimes = incPs.zipWithIndex.map { case (p, i) =>
+        val (t, _, _) = timed(spark, 1) {
+          incOut = queries.CorpusPipelineDelta.applyIncrement(
+            full(p), stateDir, cfg)
+          incOut.count()
+        }
+        t
+      }
+      val batchTimes = (1 to 3).map { day =>
+        val grown = (Seq(docs500kP) ++ incPs.take(day)).map(full)
+          .reduce(_ unionByName _)
+        timed(spark, 1) {
+          queries.CorpusPipeline.assemble(grown, cfg).count() }._1
+      }
+      val batchOut = queries.CorpusPipeline.assemble(
+        (Seq(docs500kP) ++ incPs).map(full).reduce(_ unionByName _), cfg)
+      val a = incOut.collect().map(_.toSeq).toSet
+      val b = batchOut.collect().map(_.toSeq).toSet
+      require(a == b, s"incremental pipeline diverged from batch at " +
+        s"scale: ${(a -- b).take(3)} / ${(b -- a).take(3)}")
+      require(a.nonEmpty)
+      results += "pipe_genesis_s" -> s"${round2(tGenesis)} (one-time)"
+      results += "pipe_inc_days_s" -> incTimes.map(round2).mkString("/")
+      results += "pipe_batch_days_s" -> batchTimes.map(round2).mkString("/")
+      println(s"6. incremental days ${incTimes.map(round2).mkString("/")}s " +
+        s"vs per-day batch ${batchTimes.map(round2).mkString("/")}s " +
+        s"(genesis ${round2(tGenesis)}s one-time; day-3 outputs " +
+        s"identical, ${a.size} rows)")
+    }
+
     println("RESULTS " + results.map { case (k, v) => s"$k=$v" }.mkString(" | "))
     spark.stop()
   }

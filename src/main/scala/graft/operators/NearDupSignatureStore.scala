@@ -167,23 +167,62 @@ object NearDupSignatureStore {
     val m = readMeta(spark, dir)
     val dt = delta.select($"doc_id", $"toks")
     val sigs = sigsFor(dt, m).persist()
-    try {
-      // demote BEFORE the rows land: a crash between the two writes
-      // then leaves the store conservatively generic (slower, correct)
-      // instead of mask-complete with NULL masks (missed pairs)
-      if (m.mask_complete &&
-          sigs.filter($"mask".isNull).limit(1).count() > 0)
-        writeMeta(spark, dir, m.copy(mask_complete = false))
-      // cell-clustered like build: each append adds ≤1 file per cell,
-      // not one per (input partition × cell) — the store's file count
-      // stays O(cells × increments), compactable per cell dir
-      sigs.repartition(m.cells, $"cell")
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/sigs")
-      // same row-group-stats discipline as build (see build's note)
-      dt.sortWithinPartitions("doc_id")
-        .write.mode("append").parquet(s"$dir/toksets")
-    } finally sigs.unpersist()
+    try appendPrepared(spark, dir, m, dt, sigs)
+    finally sigs.unpersist()
   }
+
+  /** The write half of [[append]], over ALREADY-COMPUTED (and
+    * persisted) delta signatures — shared with [[probeThenAppend]] so
+    * the daily loop signs its increment exactly once. An empty
+    * increment writes nothing (no empty sliver files). */
+  private def appendPrepared(spark: SparkSession, dir: String,
+      m: StoreMeta, dt: DataFrame, sigs: DataFrame): Unit = {
+    import spark.implicits._
+    if (dt.isEmpty) return
+    // demote BEFORE the rows land: a crash between the two writes
+    // then leaves the store conservatively generic (slower, correct)
+    // instead of mask-complete with NULL masks (missed pairs)
+    if (m.mask_complete &&
+        sigs.filter($"mask".isNull).limit(1).count() > 0)
+      writeMeta(spark, dir, m.copy(mask_complete = false))
+    // cell-clustered like build: each append adds ≤1 file per cell,
+    // not one per (input partition × cell) — the store's file count
+    // stays O(cells × increments), compactable per cell dir
+    sigs.repartition(m.cells, $"cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/sigs")
+    // same row-group-stats discipline as build (see build's note)
+    dt.sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(s"$dir/toksets")
+  }
+
+  /** The daily-increment loop fused: [[probe]] then [[append]] in one
+    * call, computing the increment's band signatures ONCE (the separate
+    * calls each run the signature job — the increment signed twice for
+    * no reason, at fixture scale ~0.5 s per increment and at 100 TB a
+    * full extra pass over the day's data). The probe result is
+    * MATERIALIZED (eager local checkpoint) before the append mutates
+    * the store, so the returned pairs are strictly pre-increment.
+    *
+    * Crash-semantics trade, stated plainly: the separate-call protocol
+    * lets a pipeline DURABLY WRITE the probe's pairs before appending
+    * (append's scaladoc); this fused form holds them only in executor
+    * memory across the append, so a crash after the append but before
+    * the caller persists the pairs loses them. Use it where the
+    * increment itself is re-runnable into fresh state
+    * ([[graft.queries.CorpusPipelineDelta]]'s exactly-once contract);
+    * keep probe → durable write → append where it is not
+    * ([[graft.streaming.StreamingNearDup]]'s reconcile). */
+  def probeThenAppend(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame =
+    MaintenanceLease.withLease(spark, dir, "probe+append") {
+      val (frame, sigs, dt, m, release) =
+        probeParts(spark, dir, delta, persistDelta = true)
+      try {
+        val out = frame.localCheckpoint(eager = true)
+        appendPrepared(spark, dir, m, dt, sigs)
+        out
+      } finally release()
+    }
 
   /** All near-dup pairs INTRODUCED by `delta` (doc_id, toks) against
     * the store — (doc_a, doc_b, jaccard), exact-verified, id-ordered,
@@ -194,7 +233,8 @@ object NearDupSignatureStore {
     * regime, one pruned scan of `toksets`); signatures are computed
     * over the delta only. */
   def probe(spark: SparkSession, dir: String, delta: DataFrame): DataFrame = {
-    val (frame, release) = probeParts(spark, dir, delta, persistDelta = true)
+    val (frame, _, _, _, release) =
+      probeParts(spark, dir, delta, persistDelta = true)
     try frame.localCheckpoint(true)
     finally release()
   }
@@ -215,6 +255,12 @@ object NearDupSignatureStore {
   private[graft] def probeFrame(spark: SparkSession, dir: String,
       delta: DataFrame, maxInFilterIds: Int = DefaultMaxInFilterIds): DataFrame =
     probeParts(spark, dir, delta, persistDelta = false, maxInFilterIds)._1
+
+  /** Return shape of [[probeParts]]: (pair frame, persisted delta
+    * signatures, delta (doc_id, toks) projection, store meta, release
+    * of every within-call persist). */
+  private type ProbeParts =
+    (DataFrame, DataFrame, DataFrame, StoreMeta, () => Unit)
 
   /** Generic-verify prune-strategy cap: up to this many DISTINCT
     * store-side candidate ids are collected and pushed into the
@@ -250,7 +296,7 @@ object NearDupSignatureStore {
 
   private def probeParts(spark: SparkSession, dir: String,
       delta: DataFrame, persistDelta: Boolean,
-      maxInFilterIds: Int = DefaultMaxInFilterIds): (DataFrame, () => Unit) = {
+      maxInFilterIds: Int = DefaultMaxInFilterIds): ProbeParts = {
     import spark.implicits._
     val m = readMeta(spark, dir)
     val dt = delta.select($"doc_id", $"toks")
@@ -358,7 +404,7 @@ object NearDupSignatureStore {
       .distinct()
       .orderBy($"doc_a", $"doc_b")
     val toRelease = releasables
-    (result,
+    (result, deltaSigs, dt, m,
       () => if (persistDelta) {
         deltaSigs.unpersist()
         toRelease.foreach(_.unpersist())

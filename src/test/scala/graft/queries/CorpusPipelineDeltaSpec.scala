@@ -95,6 +95,20 @@ class CorpusPipelineDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(outs.last) == rows(CorpusPipeline.assemble(corpus, cfg)))
   }
 
+  test("foldIncrement defers the refresh: fold + fold + refreshOutput " +
+      "equals the batch answer (state identical to applyIncrement's)") {
+    import spark.implicits._
+    val state = tmp("cpd_fold")
+    val maxId = corpus.agg(max($"doc_id")).collect().head.getLong(0)
+    CorpusPipelineDelta.foldIncrement(
+      corpus.filter($"doc_id" <= maxId / 2), state, cfg)
+    CorpusPipelineDelta.foldIncrement(
+      corpus.filter($"doc_id" > maxId / 2), state, cfg)
+    val out = CorpusPipelineDelta.refreshOutput(spark, state, cfg)
+    assert(rows(out) == rows(CorpusPipeline.assemble(corpus, cfg)),
+      "fold/refresh diverged from the batch pipeline")
+  }
+
   test("state stays bounded: the mix state holds at most quota rows per " +
       "source; the digest ledger holds exactly the distinct quality-" +
       "passed texts") {
