@@ -116,6 +116,13 @@ object CorpusPipelineDelta {
       graft.operators.DomainCheck.requireClean(delta,
         Seq(graft.operators.DomainCheck.UniqueKey(cfg.idCol)))
     val fs = fsOf(s, stateDir)
+    // single-writer exclusion over the WHOLE state (digests/mix/meta
+    // are not individually leased like the store is): two concurrent
+    // folds would interleave their ledger appends and quota swaps into
+    // a state neither computed. Same lease mechanics as the store's
+    // maintenance surface; nests fine with the store's own lease (a
+    // different file, beside `stateDir` vs beside `stateDir/store`).
+    graft.operators.MaintenanceLease.withLease(s, stateDir, "fold") {
 
     // 0. id-ordering precondition: one delta-scale agg (driver scalar)
     val bounds = delta.agg(min(col(cfg.idCol)).as("lo"),
@@ -198,8 +205,13 @@ object CorpusPipelineDelta {
     // 4. greedy retention, delta side: ids increase, so every pair's
     // doc_b (the GREATER id) is a delta doc — exactly the batch rule
     // "drop b iff ∃ a<b with jac ≥ t" restricted to the rows it can
-    // still affect
-    val retainedDelta = Dedup.greedyRetain(exactNew, pairs, cfg.idCol)
+    // still affect. EAGER-CUT like the batch pipeline's `retained`
+    // (r10 sweep rule): decon reads this twice and the mix once more,
+    // and on the GENESIS path `pairs` is the lazy inline banded
+    // operator — without the cut the full pair job re-runs per
+    // consumer (r11 sweep finding, caught pre-commit)
+    val retainedDelta = graft.Hygiene.eagerCut(
+      Dedup.greedyRetain(exactNew, pairs, cfg.idCol))
 
     // 5. external decon — per-doc decision against the fixed benchmark
     val deconDelta = CorpusPipeline.externalDecon(retainedDelta,
@@ -242,7 +254,7 @@ object CorpusPipelineDelta {
       else require(fs.rename(new Path(metaNext), new Path(metaDir(stateDir))),
         "initial meta rename failed")
     }
-
+    } // fold lease
   }
 
   /** The quota-bounded tail (leakage-safe split + packing), materialized
@@ -256,7 +268,7 @@ object CorpusPipelineDelta {
     graft.Hygiene.eagerCut(
       CorpusPipeline.tailSplitPack(s.read.parquet(mixDir(stateDir)), cfg))
 
-  /** Q107: the 3-increment delta chain on the documents table, hash-
+  /** Q107: the incremental-pipeline chain on the documents table, hash-
     * gated against the BATCH pipeline's DuckDB oracle on the unioned
     * corpus — external-benchmark decon included (the `doc_id % 97 = 0`
     * slice plays the benchmark suite and never enters the corpus). The

@@ -192,6 +192,24 @@ class CorpusPipelineDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(internal.count() <= 3L) // sanity: internal mode still runs
   }
 
+  test("concurrent folds are refused: the state-level lease names the " +
+      "holder (digests/mix/meta have no per-artifact lease)") {
+    import spark.implicits._
+    val state = tmp("cpd_lease")
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"${state}__lease")
+    val out = fs.create(lease, false)
+    try out.write("rival-fold@elsewhere".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      CorpusPipelineDelta.foldIncrement(
+        corpus.limit(5), state, cfg)
+    }
+    assert(e.getMessage.contains("rival-fold@elsewhere"), e.getMessage)
+    fs.delete(lease, false)
+  }
+
   test("q107 is registered with its oracle and returns rows at sf0.001") {
     assert(graft.SparkEntry.queries.contains("q107_pipeline_delta"))
     assert(graft.SparkEntry.oracleSql.contains("q107_pipeline_delta"))
