@@ -38,6 +38,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.weightedSample(docs, "text", "n_chars")        // quality-weighted thin
   * Graft.mixtureSample(docs, "source", "text", "doc_id", quotas)
   * Graft.leakageSafeSplit(docs, "doc_id", "text")       // near-dups co-split
+  * Graft.corpusPipeline(docs)                           // batch: gate→dedup→decon→mix→split→pack
+  * Graft.corpusPipelineDelta(delta, "/state", cfg)      // daily increment vs persisted state
   * }}}
   */
 object Graft {

@@ -150,6 +150,12 @@ object ScaleBench {
       .setRootLevel(org.apache.logging.log4j.Level.WARN)
     val work = if (args.nonEmpty) args(0) else "/tmp/graft_scale10x"
     val runs = if (args.length > 1) args(1).toInt else 3
+    // optional third arg: comma-separated family ids to run (e.g. "6"
+    // or "1,1b,2") — generated inputs are cached under `work`, so a
+    // single family can be re-measured without paying the others
+    val fams: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("1", "1b", "2", "3", "4", "5", "6")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -215,7 +221,7 @@ object ScaleBench {
     // a 20-doc drip touches ≤320 (band,sig) keys → ≤320 of 4096 cells,
     // so ≥92% of the store never leaves disk, while the inline twin
     // re-signs all 500k corpus docs on every call.
-    {
+    if (fams("1")) {
       val storeDir = s"$work/sigstore500k"
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/meta"))) {
         val t0 = System.nanoTime()
@@ -251,7 +257,7 @@ object ScaleBench {
     }
 
     // ---- 1b. the same loop at 2M docs: the corpus-rescan crossover ----
-    {
+    if (fams("1b")) {
       val storeDir = s"$work/sigstore2m"
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/meta"))) {
         val t0 = System.nanoTime()
@@ -279,7 +285,7 @@ object ScaleBench {
     // the index dir is NAMED for its source table: a stale index from an
     // earlier corpus silently destroys recall (first-run lesson — the
     // brute side read 300k vectors while the index held an old 50k set)
-    {
+    if (fams("2")) {
       val idxDir = s"$work/ivf300k"
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/meta"))) {
         val t0 = System.nanoTime()
@@ -316,7 +322,7 @@ object ScaleBench {
     }
 
     // ---- 3. LSH banding vs exact pair join ----------------------------
-    {
+    if (fams("3")) {
       val (tLsh, nLsh, _) = timed(spark, runs) {
         queries.ApproxOps.minhashNearDupPairs(toks(docsP), 0.7, sorted = false)
           .count()
@@ -344,7 +350,7 @@ object ScaleBench {
     // timeline in ONE task (the single-task wall the slice path
     // exists to break); ~1M rows sorts in fractions of a second and
     // demonstrates nothing
-    {
+    if (fams("4")) {
       val (leftDf, rightDf) = genAsof(spark, 20000000L, 20, 10000L, 7)
       val leftP = gen("asof20m_left") { leftDf }
       val rightP = gen("asof20m_right") { rightDf }
@@ -377,7 +383,7 @@ object ScaleBench {
     // pipeline-level twin of measurement 3, asserting the two modes
     // stay row-identical while the LSH stage removes the quadratic
     // wall from the composition
-    {
+    if (fams("5")) {
       def fullDocs = spark.read.parquet(docsP)
         .withColumn("lang", lit("en"))
         .withColumn("source",
@@ -407,7 +413,7 @@ object ScaleBench {
     // the day-3 batch answer. Increments share the corpus's generator
     // seed so their dup bases fall INSIDE the corpus (cross-day
     // near-dups are real), ids strictly increasing.
-    {
+    if (fams("6")) {
       val incPs = Seq(
         gen("pipeInc_d1") { genDocs(spark, 500, 0.2, 100000, 43, 600000) },
         gen("pipeInc_d2") { genDocs(spark, 500, 0.2, 100000, 43, 610000) },
@@ -435,6 +441,12 @@ object ScaleBench {
         }
         t
       }
+      // materialize the day-3 output NOW: the frame is eager-cut
+      // (localCheckpoint-backed), and the next timed() run's
+      // Hygiene.clearAll would unpersist its blocks irrecoverably —
+      // the documented Hygiene contract (materialize retained results
+      // BEFORE clearing)
+      val a = incOut.collect().map(_.toSeq).toSet
       val batchTimes = (1 to 3).map { day =>
         val grown = (Seq(docs500kP) ++ incPs.take(day)).map(full)
           .reduce(_ unionByName _)
@@ -443,7 +455,6 @@ object ScaleBench {
       }
       val batchOut = queries.CorpusPipeline.assemble(
         (Seq(docs500kP) ++ incPs).map(full).reduce(_ unionByName _), cfg)
-      val a = incOut.collect().map(_.toSeq).toSet
       val b = batchOut.collect().map(_.toSeq).toSet
       require(a == b, s"incremental pipeline diverged from batch at " +
         s"scale: ${(a -- b).take(3)} / ${(b -- a).take(3)}")

@@ -52,11 +52,19 @@ import org.apache.spark.sql.functions._
   *     the batch twin's exact mode is `useLsh = false`). The spec
   *     asserts chain == batch on fixtures where banding provably finds
   *     every pair, same regime as the q106 LSH-mode equality.
-  *   - Increments are applied EXACTLY ONCE: state writes are not
-  *     transactional across the four artifacts (store, digests, mix,
-  *     meta), so a mid-increment crash needs the increment re-run into
-  *     a FRESH state rebuilt from the increments' union — same class
-  *     as the store's own documented probe-then-append ordering.
+  *   - Increments are applied EXACTLY ONCE. State writes span four
+  *     artifacts (store, digests, mix, meta) with no native
+  *     transaction; the fold JOURNALS them instead (round 11): a
+  *     pre-mutation snapshot plus write-next / commit-marker / swap
+  *     ordering makes every crash recoverable via [[recoverFold]] — a
+  *     pre-commit crash rolls the partial writes back to exactly the
+  *     pre-increment state (re-run the increment), a post-commit crash
+  *     rolls the staged swaps forward (the increment IS applied; do
+  *     not re-run). A fold arriving over a crashed journal refuses
+  *     loudly rather than guessing.
+  *     [[graft.streaming.StreamingCorpusPipeline]] composes this with
+  *     Structured Streaming's batch replay into an end-to-end
+  *     exactly-once sink.
   *
   * State layout under `stateDir`:
   *   `store/`   — [[NearDupSignatureStore]] over every exact-survivor
@@ -67,7 +75,11 @@ import org.apache.spark.sql.functions._
   *   `mix/`     — the per-source top-quota survivors
   *                (idCol, sourceCol, langCol, textCol; ≤ Σ quotas
   *                rows), swapped atomically per increment;
-  *   `meta/`    — one row: the max id applied so far. */
+  *   `meta/`    — one row: the max id and the last micro-batch tag
+  *                applied so far (both nullable);
+  *   `journal`, `journal.commit`, `journal.storemeta` — present only
+  *                while a fold is in flight (or crashed): the recovery
+  *                snapshot (see [[recoverFold]]). */
 object CorpusPipelineDelta {
   import CorpusPipeline.Config
 
@@ -82,7 +94,27 @@ object CorpusPipelineDelta {
   private def readMaxId(s: SparkSession, stateDir: String): Option[Long] = {
     val p = metaDir(stateDir)
     if (!fsOf(s, p).exists(new Path(p))) None
-    else Some(s.read.parquet(p).collect().head.getLong(0))
+    else {
+      val r = s.read.parquet(p).select("max_id").collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+  }
+
+  /** Last micro-batch tag folded into this state (None before any
+    * tagged fold) — the replay-skip key for
+    * [[graft.streaming.StreamingCorpusPipeline]]'s exactly-once sink. */
+  private[graft] def lastBatch(s: SparkSession,
+      stateDir: String): Option[Long] = {
+    val p = metaDir(stateDir)
+    if (!fsOf(s, p).exists(new Path(p))) None
+    else {
+      val df = s.read.parquet(p)
+      if (!df.columns.contains("last_batch")) None
+      else {
+        val r = df.select("last_batch").collect().head
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    }
   }
 
   /** Apply one increment to the pipeline state at `stateDir` and return
@@ -102,9 +134,13 @@ object CorpusPipelineDelta {
     * refreshed corpus is actually wanted. State after a fold is
     * identical to [[applyIncrement]]'s. `storeCells` sizes the signature
     * store's partition grain at first-increment build time (raise with
-    * corpus size; see [[NearDupSignatureStore.build]]). */
+    * corpus size; see [[NearDupSignatureStore.build]]). `batchTag`
+    * (optional) is recorded in `meta.last_batch` atomically WITH the
+    * increment's commit — the replay-skip key the streaming sink leans
+    * on for exactly-once. */
   def foldIncrement(delta: DataFrame, stateDir: String,
-      cfg: Config = Config(), storeCells: Int = 64): Unit = {
+      cfg: Config = Config(), storeCells: Int = 64,
+      batchTag: Option[Long] = None): Unit = {
     val s = delta.sparkSession
     import s.implicits._
     val evalDocs = cfg.evalDocs.getOrElse(throw new IllegalArgumentException(
@@ -123,6 +159,14 @@ object CorpusPipelineDelta {
     // maintenance surface; nests fine with the store's own lease (a
     // different file, beside `stateDir` vs beside `stateDir/store`).
     graft.operators.MaintenanceLease.withLease(s, stateDir, "fold") {
+
+    val jPath = new Path(journalPath(stateDir))
+    if (fs.exists(jPath))
+      throw new IllegalStateException(
+        s"a crashed fold left its journal at $jPath — run " +
+          "CorpusPipelineDelta.recoverFold(stateDir) first (RolledBack " +
+          "=> re-apply that increment; Completed => it was already " +
+          "applied)")
 
     // 0. id-ordering precondition: one delta-scale agg (driver scalar)
     val bounds = delta.agg(min(col(cfg.idCol)).as("lo"),
@@ -172,6 +216,15 @@ object CorpusPipelineDelta {
     // append) — cut once, like the batch pipeline's `retained`
     val exactNew = graft.Hygiene.eagerCut(exactNew0)
 
+    // ---- JOURNAL: everything below mutates state. Snapshot what the
+    // increment's appends can touch, so [[recoverFold]] can roll a
+    // pre-commit crash back to exactly this point — and roll the staged
+    // swaps forward after the commit marker. ------------------------
+    val token = batchTag.map(b => s"batch_$b").getOrElse(
+      if (bounds.isNullAt(0)) "empty-increment"
+      else s"ids_${bounds.getLong(0)}_${bounds.getLong(1)}")
+    writeJournal(s, stateDir, token)
+
     // 3. near-dup pairs via the signature store. GENESIS (no store
     // yet — typically the big day-0 corpus): within-increment pairs
     // come from the INLINE banded operator (q47's broadcast-free
@@ -201,6 +254,7 @@ object CorpusPipelineDelta {
         }
       } else
         NearDupSignatureStore.probeThenAppend(s, stPath, withToks)
+    maybeCrash(s, "post-store") // the dirtiest recovery window
 
     // 4. greedy retention, delta side: ids increase, so every pair's
     // doc_b (the GREATER id) is a delta doc — exactly the batch rule
@@ -217,43 +271,53 @@ object CorpusPipelineDelta {
     val deconDelta = CorpusPipeline.externalDecon(retainedDelta,
       "__toks", evalDocs, cfg)
 
-    // 6. mixture quotas: merge the delta's survivors into the persisted
+    // 6. digest-ledger append (delta-sized) — BEFORE the commit point:
+    // a pre-commit crash removes the appended files via the journal
+    // snapshot, so the ledger is never half-an-increment ahead of the
+    // mix/meta the commit protocol below swaps in
+    exactNew.select(col("__digest")).distinct()
+      .write.mode("append").parquet(dPath)
+
+    // 7. mixture quotas: merge the delta's survivors into the persisted
     // top-quota state and re-rank (the batch operator over
     // state ∪ delta — ≤ Σ quotas + |delta| rows)
     val candCols =
       Seq(cfg.idCol, cfg.sourceCol, cfg.langCol, cfg.textCol).map(col)
     val mPath = mixDir(stateDir)
-    Compaction.recoverSwap(s, mPath) // a crashed prior swap restores
+    Compaction.recoverSwap(s, mPath) // pre-journal-era crash residue
     val cands =
       if (!fs.exists(new Path(mPath))) deconDelta.select(candCols: _*)
       else s.read.parquet(mPath)
         .unionByName(deconDelta.select(candCols: _*))
     val mixed = LlmOps6.mixtureSample(cands, cfg.sourceCol, cfg.textCol,
       cfg.idCol, cfg.quotas).drop("rnk")
-    // persist state via write-next + atomic swap — NEVER overwrite the
-    // dir the plan is reading (and a crash between the renames is loud
-    // and recoverable, not silent state loss)
+    // stage the new mix + meta as __next dirs — no swap yet (NEVER
+    // overwrite the dir the plan is reading); the swaps land together
+    // after the commit marker below
     val next = s"${mPath}__next"
     fs.delete(new Path(next), true)
     mixed.coalesce(1).write.mode("overwrite").parquet(next)
-    if (fs.exists(new Path(mPath))) Compaction.swapDir(s, mPath, next)
-    else require(fs.rename(new Path(next), new Path(mPath)),
-      s"initial mix-state rename failed: $next -> $mPath")
+    val newMax: Option[Long] =
+      if (!bounds.isNullAt(1))
+        Some(math.max(bounds.getLong(1), prevMax.getOrElse(Long.MinValue)))
+      else prevMax
+    val metaNext = s"${metaDir(stateDir)}__next"
+    fs.delete(new Path(metaNext), true)
+    Seq((newMax, batchTag.orElse(lastBatch(s, stateDir))))
+      .toDF("max_id", "last_batch").coalesce(1)
+      .write.mode("overwrite").parquet(metaNext)
 
-    // 7. ledger + meta updates (delta-sized appends / one-row rewrite)
-    exactNew.select(col("__digest")).distinct()
-      .write.mode("append").parquet(dPath)
-    if (!bounds.isNullAt(1)) {
-      val newMax = math.max(bounds.getLong(1), prevMax.getOrElse(Long.MinValue))
-      val metaNext = s"${metaDir(stateDir)}__next"
-      fs.delete(new Path(metaNext), true)
-      Seq(newMax).toDF("max_id").coalesce(1)
-        .write.mode("overwrite").parquet(metaNext)
-      if (fs.exists(new Path(metaDir(stateDir))))
-        Compaction.swapDir(s, metaDir(stateDir), metaNext)
-      else require(fs.rename(new Path(metaNext), new Path(metaDir(stateDir))),
-        "initial meta rename failed")
-    }
+    maybeCrash(s, "pre-commit")
+    // ---- COMMIT: the marker flips recovery from roll-back to
+    // roll-forward; everything after it is idempotent-completable ----
+    fs.create(new Path(commitMark(stateDir)), false).close()
+    maybeCrash(s, "post-commit")
+    finishSwap(s, mPath)
+    finishSwap(s, metaDir(stateDir))
+    // ---- retire the journal: the increment is fully applied --------
+    fs.delete(new Path(metaCopy(stateDir)), true)
+    fs.delete(new Path(commitMark(stateDir)), false)
+    fs.delete(jPath, false)
     } // fold lease
   }
 
@@ -267,6 +331,246 @@ object CorpusPipelineDelta {
       cfg: Config = Config()): DataFrame =
     graft.Hygiene.eagerCut(
       CorpusPipeline.tailSplitPack(s.read.parquet(mixDir(stateDir)), cfg))
+
+  // ---- crash recovery: the fold journal (round 11) --------------------
+
+  private def journalPath(stateDir: String) = s"$stateDir/journal"
+  private def commitMark(stateDir: String) = s"$stateDir/journal.commit"
+  private def metaCopy(stateDir: String) = s"$stateDir/journal.storemeta"
+
+  /** Crash-injection seam for the recovery specs (the
+    * [[graft.Hygiene.SkipEagerCutConf]] pattern): set this session conf
+    * to "post-store", "pre-commit" or "post-commit" and the next
+    * [[foldIncrement]] throws [[InjectedCrash]] at that point — a REAL
+    * partial state, not a hand-crafted one. An injected crash exits
+    * through the lease's finally (lease released); a hard-killed
+    * process additionally leaves its lease files behind — break those
+    * first ([[graft.operators.MaintenanceLease.break]] on `stateDir`
+    * and `stateDir/store`), then [[recoverFold]]. */
+  private[graft] val CrashPointConf = "spark.graft.delta.crashpoint"
+  private[graft] final class InjectedCrash(point: String)
+      extends RuntimeException(s"injected crash at $point")
+  private def maybeCrash(s: SparkSession, point: String): Unit =
+    if (s.conf.getOption(CrashPointConf).contains(point))
+      throw new InjectedCrash(point)
+
+  /** All file paths under `root`, relative to it (hive leaves included;
+    * `_temporary` staging is skipped — rollback deletes it wholesale). */
+  private def walkFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] = {
+    def go(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = if (rel.isEmpty) st.getPath.getName
+                   else s"$rel/${st.getPath.getName}"
+        if (st.isFile) Seq(name)
+        else if (st.getPath.getName == "_temporary") Seq.empty
+        else go(st.getPath, name)
+      }
+    if (!fs.exists(root)) Seq.empty else go(root, "")
+  }
+
+  /** Journal the pre-increment state: existence flags, the file listing
+    * of every append target (driver metadata — the same O(files) class
+    * as the store's own `stats`; compaction keeps it bounded), and a
+    * byte copy of the store meta (it is OVERWRITTEN on vocabulary
+    * demotion, and rollback must restore it exactly — the appended OOV
+    * rows leave with it, so the pre-demotion flag is again correct). */
+  private def writeJournal(s: SparkSession, stateDir: String,
+      token: String): Unit = {
+    val fs = fsOf(s, stateDir)
+    val sd = storeDir(stateDir)
+    val storeExisted = NearDupSignatureStore.exists(s, sd)
+    val sb = new StringBuilder
+    sb ++= s"token=$token\n"
+    sb ++= s"storeExisted=$storeExisted\n"
+    sb ++= s"digestsExisted=${fs.exists(new Path(digestsDir(stateDir)))}\n"
+    sb ++= s"mixExisted=${fs.exists(new Path(mixDir(stateDir)))}\n"
+    sb ++= s"metaExisted=${fs.exists(new Path(metaDir(stateDir)))}\n"
+    walkFiles(fs, new Path(s"$sd/sigs")).foreach(f => sb ++= s"sig:$f\n")
+    walkFiles(fs, new Path(s"$sd/toksets")).foreach(f => sb ++= s"tok:$f\n")
+    walkFiles(fs, new Path(digestsDir(stateDir)))
+      .foreach(f => sb ++= s"dig:$f\n")
+    fs.delete(new Path(metaCopy(stateDir)), true)
+    if (storeExisted)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$sd/meta"),
+        fs, new Path(metaCopy(stateDir)), false,
+        s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(journalPath(stateDir)), false)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readText(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Complete a staged `__next` swap — idempotent: a torn prior swap is
+    * restored first, an existing `__next` swaps (or, for a first-ever
+    * state, renames) into place, a missing `__next` means the swap
+    * already completed (a lingering `__old` from a crash after the
+    * swap's delete is tidied). */
+  private def finishSwap(s: SparkSession, live: String): Unit = {
+    val fs = fsOf(s, live)
+    Compaction.recoverSwap(s, live)
+    val next = new Path(s"${live}__next")
+    val livP = new Path(live)
+    if (fs.exists(next)) {
+      if (fs.exists(livP)) Compaction.swapDir(s, live, s"${live}__next")
+      else require(fs.rename(next, livP),
+        s"staged-state rename failed: $next -> $live")
+    } else {
+      val oldP = new Path(s"${live}__old")
+      if (fs.exists(livP) && fs.exists(oldP)) fs.delete(oldP, true)
+    }
+  }
+
+  /** Delete everything under `root` that is NOT in the journal
+    * snapshot: the crashed increment's appended part files, any
+    * `_temporary` write staging, and directories it created (now
+    * empty — a pre-existing empty hive leaf is also dropped, which
+    * partition discovery cannot observe). */
+  private def rollbackDir(fs: org.apache.hadoop.fs.FileSystem,
+      rootStr: String, knownFiles: Set[String]): Unit = {
+    val root = new Path(rootStr)
+    if (!fs.exists(root)) return
+    def go(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = if (rel.isEmpty) st.getPath.getName
+                   else s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) {
+          if (st.getPath.getName == "_temporary") fs.delete(st.getPath, true)
+          else {
+            go(st.getPath, name)
+            if (fs.listStatus(st.getPath).isEmpty)
+              fs.delete(st.getPath, false)
+          }
+        } else if (!knownFiles.contains(name)) fs.delete(st.getPath, false)
+      }
+    go(root, "")
+  }
+
+  /** Outcome of [[recoverFold]]. */
+  sealed trait Recovery
+  /** No crashed fold — the state is consistent. */
+  case object Clean extends Recovery
+  /** The crashed fold had NOT committed: every partial write was rolled
+    * back and the state is exactly pre-increment — RE-RUN that
+    * increment. */
+  final case class RolledBack(token: String) extends Recovery
+  /** The crashed fold HAD committed: its staged swaps were completed —
+    * the increment IS applied; do not re-run it. */
+  final case class Completed(token: String) extends Recovery
+
+  /** Recover the state at `stateDir` after a crashed [[foldIncrement]].
+    * Reads the journal the fold wrote before its first mutation: with
+    * no commit marker, every partial write is rolled back (appended
+    * files deleted via the snapshot, store meta restored byte-for-byte,
+    * staged `__next` dirs dropped) and the state is exactly
+    * pre-increment; with the marker, the staged mix/meta swaps are
+    * completed. Holds the fold lease — a concurrent fold is refused;
+    * safe to call on a healthy state (returns [[Clean]]). A hard-killed
+    * fold also leaves its LEASE files fresh: break them first
+    * ([[graft.operators.MaintenanceLease.break]]) or wait out the stale
+    * window. This turns the 100 TB crash story from "rebuild all state
+    * from the increments' union" into "re-run at most one increment". */
+  def recoverFold(s: SparkSession, stateDir: String): Recovery =
+    graft.operators.MaintenanceLease.withLease(s, stateDir, "recover") {
+      val fs = fsOf(s, stateDir)
+      val jp = new Path(journalPath(stateDir))
+      if (!fs.exists(jp)) {
+        // nothing journaled; tidy pre-journal-era swap residue
+        Compaction.recoverSwap(s, mixDir(stateDir))
+        Compaction.recoverSwap(s, metaDir(stateDir))
+        Clean
+      } else {
+        val lines = readText(fs, jp).split("\n").toSeq
+        val token = lines.collectFirst {
+          case l if l.startsWith("token=") => l.stripPrefix("token=")
+        }.getOrElse("<unknown>")
+        def existed(k: String) = lines.contains(s"$k=true")
+        def known(p: String) = lines.collect {
+          case l if l.startsWith(p) => l.stripPrefix(p)
+        }.toSet
+        val committed = fs.exists(new Path(commitMark(stateDir)))
+        if (committed) {
+          finishSwap(s, mixDir(stateDir))
+          finishSwap(s, metaDir(stateDir))
+        } else {
+          val sd = storeDir(stateDir)
+          if (!existed("storeExisted")) fs.delete(new Path(sd), true)
+          else {
+            rollbackDir(fs, s"$sd/sigs", known("sig:"))
+            rollbackDir(fs, s"$sd/toksets", known("tok:"))
+            if (fs.exists(new Path(metaCopy(stateDir)))) {
+              fs.delete(new Path(s"$sd/meta"), true)
+              require(fs.rename(new Path(metaCopy(stateDir)),
+                new Path(s"$sd/meta")), "store-meta restore failed")
+            }
+          }
+          if (!existed("digestsExisted"))
+            fs.delete(new Path(digestsDir(stateDir)), true)
+          else rollbackDir(fs, digestsDir(stateDir), known("dig:"))
+          Seq(mixDir(stateDir), metaDir(stateDir)).foreach { live =>
+            fs.delete(new Path(s"${live}__next"), true)
+            Compaction.recoverSwap(s, live)
+          }
+          if (!existed("mixExisted"))
+            fs.delete(new Path(mixDir(stateDir)), true)
+          if (!existed("metaExisted"))
+            fs.delete(new Path(metaDir(stateDir)), true)
+        }
+        fs.delete(new Path(metaCopy(stateDir)), true)
+        fs.delete(new Path(commitMark(stateDir)), false)
+        fs.delete(jp, false)
+        if (committed) Completed(token) else RolledBack(token)
+      }
+    }
+
+  /** File-growth maintenance for the pipeline state: the signature
+    * store's [[NearDupSignatureStore.compact]] plus the append-only
+    * digest ledger (which gains one file set per increment — a year of
+    * daily folds is ~365 ledger slivers). Contents untouched,
+    * atomically swapped, file counts drop to ~⌈bytes/targetBytes⌉.
+    * Refuses a crashed state (journal present) — recover first. Holds
+    * the fold lease, so a concurrent fold is refused loudly. */
+  final case class StateCompactStats(digestFilesBefore: Int,
+      digestFilesAfter: Int,
+      store: Option[NearDupSignatureStore.CompactStats])
+
+  def compactState(s: SparkSession, stateDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): StateCompactStats =
+    graft.operators.MaintenanceLease.withLease(s, stateDir,
+        "compact-state") {
+      val fs = fsOf(s, stateDir)
+      require(!fs.exists(new Path(journalPath(stateDir))),
+        s"crashed fold at $stateDir — run recoverFold before compacting")
+      val storeStats =
+        if (NearDupSignatureStore.exists(s, storeDir(stateDir)))
+          Some(NearDupSignatureStore.compact(s, storeDir(stateDir),
+            targetBytes))
+        else None
+      val dPath = digestsDir(stateDir)
+      Compaction.recoverSwap(s, dPath)
+      if (!fs.exists(new Path(dPath)))
+        StateCompactStats(0, 0, storeStats)
+      else {
+        def parts() = fs.listStatus(new Path(dPath))
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        val before = parts()
+        val tmp = s"${dPath}__compacting"
+        if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+        Compaction.compact(s, dPath, tmp, targetBytes)
+        Compaction.swapDir(s, dPath, tmp)
+        StateCompactStats(before, parts(), storeStats)
+      }
+    }
 
   /** Q107: the incremental-pipeline chain on the documents table, hash-
     * gated against the BATCH pipeline's DuckDB oracle on the unioned

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.queries.{CorpusPipeline, CorpusPipelineDelta}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** E10: the Structured-Streaming twin of the incremental corpus
+  * pipeline — micro-batches of arriving documents fold into the
+  * persisted pipeline state ([[CorpusPipelineDelta]]) through a
+  * `foreachBatch` sink with END-TO-END EXACTLY-ONCE semantics.
+  *
+  * Why this composes correctly: Structured Streaming does not commit a
+  * batch's offsets until `foreachBatch` returns, so after ANY crash the
+  * restarted stream REPLAYS the in-flight batch — always the same
+  * `batchId` with the same rows. The fold, for its part, journals every
+  * state mutation ([[CorpusPipelineDelta.recoverFold]]) and records the
+  * batch tag in `meta.last_batch` atomically WITH the increment's
+  * commit marker. The two compose into a complete case split over the
+  * crash windows:
+  *
+  *   - crash BEFORE the fold's commit marker → `recoverFold` rolls the
+  *     partial writes back ([[CorpusPipelineDelta.RolledBack]]); the
+  *     replayed batch re-applies them — nothing lost, nothing doubled;
+  *   - crash AFTER the marker but before the stream commits its offsets
+  *     → `recoverFold` completes the staged swaps
+  *     ([[CorpusPipelineDelta.Completed]]) and the replayed batch's id
+  *     now equals `meta.last_batch` — the sink SKIPS it (re-folding
+  *     would throw the strictly-increasing-id precondition; the skip is
+  *     the exactly-once path, not an optimization);
+  *   - crash after the offset commit → the batch is never redelivered
+  *     and `meta.last_batch` already records it.
+  *
+  * Contract inherited from the fold (scaladoc there): ids strictly
+  * increase ACROSS micro-batches (the natural ingest-sequence shape),
+  * external `cfg.evalDocs` required. Cadence guidance: each fold is a
+  * full pipeline day (~25 jobs at fixture scale), so trigger in
+  * MINUTES-to-hours, or `Trigger.AvailableNow` for a scheduled daily
+  * drain — not sub-second micro-batches. Output shards are published
+  * by calling [[CorpusPipelineDelta.refreshOutput]] on whatever slower
+  * cadence the corpus is actually consumed (the fold/refresh split). */
+object StreamingCorpusPipeline {
+
+  /** The sink body, exposed for direct use (and for the specs to drive
+    * the crash/replay seams without a running stream): recover any
+    * crashed fold, skip an already-applied batch, fold otherwise. */
+  def foldBatch(stateDir: String, cfg: CorpusPipeline.Config,
+      storeCells: Int = 64)(delta: DataFrame, batchId: Long): Unit = {
+    val s = delta.sparkSession
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    CorpusPipelineDelta.recoverFold(s, stateDir) match {
+      case CorpusPipelineDelta.RolledBack(tok) =>
+        log.warn(s"rolled back crashed fold '$tok' at $stateDir; the " +
+          "replayed batch re-applies it")
+      case CorpusPipelineDelta.Completed(tok) =>
+        log.warn(s"completed crashed fold '$tok' at $stateDir")
+      case CorpusPipelineDelta.Clean => ()
+    }
+    if (CorpusPipelineDelta.lastBatch(s, stateDir).exists(_ >= batchId))
+      log.info(s"batch $batchId already folded into $stateDir — " +
+        "replay skipped (exactly-once)")
+    else
+      CorpusPipelineDelta.foldIncrement(delta, stateDir, cfg, storeCells,
+        batchTag = Some(batchId))
+  }
+
+  /** Start the exactly-once corpus-fold sink over `increments` (a
+    * streaming frame with the pipeline's idCol/textCol/langCol/
+    * sourceCol). The stream's checkpoint and the pipeline state are
+    * separate dirs with separate roles: the checkpoint replays, the
+    * journal recovers — see the class doc for why that pair is
+    * exactly-once. */
+  def sink(increments: DataFrame, stateDir: String, checkpointDir: String,
+      cfg: CorpusPipeline.Config, storeCells: Int = 64): StreamingQuery =
+    increments.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(foldBatch(stateDir, cfg, storeCells) _)
+      .start()
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fold journal (round 11): a crash at ANY point of a fold must be
+  * recoverable — pre-commit crashes roll back to byte-exactly the
+  * pre-increment state (re-run the increment), post-commit crashes
+  * roll the staged swaps forward (the increment is applied). The
+  * injected crashes are REAL partial states: the fold itself throws at
+  * the configured point, with whatever files it had actually written.
+  * Plus the state-compaction maintenance surface. */
+class CorpusPipelineRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.delete()
+    p.toString
+  }
+
+  private def fs = new Path("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Recursive (relative path -> length) snapshot of a state dir via
+    * the same Hadoop listing the rollback uses. */
+  private def snapshot(dir: String): Map[String, Long] = {
+    def go(p: Path, rel: String): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = if (rel.isEmpty) st.getPath.getName
+                   else s"$rel/${st.getPath.getName}"
+        if (st.isFile) Seq(name -> st.getLen) else go(st.getPath, name)
+      }
+    if (!fs.exists(new Path(dir))) Map.empty else go(new Path(dir), "").toMap
+  }
+
+  // ---- fixture: tiny deterministic corpus exercising every stage ----
+  // (30 distinct filler tokens pass the quality gate; the near-dup
+  // pairs share 30/31 tokens so the store's banding finds them with
+  // certainty; all decisions are content-hash deterministic)
+  private def txt(seed: Int, extra: String = ""): String = {
+    val base = (0 until 30).map(i => s"w${seed}_$i").mkString(" ")
+    if (extra.isEmpty) base else base + " " + extra
+  }
+
+  private def df(rows: Seq[(Long, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  private lazy val inc1 = df(Seq(
+    (1L, txt(1), "en", "src0"),
+    (2L, txt(2), "en", "src0"),
+    (3L, txt(3), "en", "src2"),
+    (4L, txt(4), "en", "src2"),
+    (5L, txt(5), "en", "src0")))
+  private lazy val inc2 = df(Seq(
+    (10L, txt(2), "en", "src0"), // exact dup of id 2 across increments
+    (11L, txt(4, "x1"), "en", "src2"), // near-dup of id 4 (jac 30/31)
+    (12L, txt(12, "alpha beta gamma"), "en", "src0"), // decon vs eval
+    (13L, txt(13), "en", "src2"),
+    (14L, txt(14), "en", "src0")))
+  private lazy val inc3 = df(Seq(
+    (20L, txt(20), "en", "src0"),
+    (21L, txt(4, "y1"), "en", "src2"))) // near-dup of id 4, 2 incs back
+  private lazy val eval = {
+    import spark.implicits._
+    Seq((900L, "alpha beta gamma benchmark suite text"))
+      .toDF("doc_id", "text")
+  }
+  private def cfg = CorpusPipeline.Config(evalDocs = Some(eval))
+
+  private def rows(d: DataFrame): Set[String] =
+    d.collect().map(_.mkString("|")).toSet
+
+  private def crashAt[A](point: String)(f: => A): Unit = {
+    spark.conf.set(CorpusPipelineDelta.CrashPointConf, point)
+    try intercept[CorpusPipelineDelta.InjectedCrash](f)
+    finally spark.conf.unset(CorpusPipelineDelta.CrashPointConf)
+  }
+
+  test("fixture sanity: the batch pipeline drops the cross-increment " +
+      "exact dup, near-dup and contaminated doc") {
+    val batch = CorpusPipeline.assemble(
+      inc1.unionByName(inc2), cfg)
+    val ids = batch.collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(10L) && !ids.contains(11L) && !ids.contains(12L),
+      s"fixture does not exercise dedup/near-dup/decon: $ids")
+    assert(ids.contains(13L) && ids.contains(14L))
+  }
+
+  test("pre-commit crashes roll back to EXACTLY the pre-increment " +
+      "state (file-for-file), a fold over the unrecovered journal " +
+      "refuses, and the re-run increment lands on the batch answer") {
+    for (point <- Seq("post-store", "pre-commit")) {
+      val state = tmp(s"rec_${point.replace("-", "")}")
+      CorpusPipelineDelta.foldIncrement(inc1, state, cfg)
+      val before = snapshot(state)
+      crashAt(point)(
+        CorpusPipelineDelta.foldIncrement(inc2, state, cfg))
+      assert(fs.exists(new Path(s"$state/journal")),
+        s"[$point] crashed fold left no journal")
+      val refusal = intercept[IllegalStateException](
+        CorpusPipelineDelta.foldIncrement(inc2, state, cfg))
+      assert(refusal.getMessage.contains("recoverFold"), refusal.getMessage)
+      val r = CorpusPipelineDelta.recoverFold(spark, state)
+      assert(r == CorpusPipelineDelta.RolledBack("ids_10_14"), s"[$point] $r")
+      assert(snapshot(state) == before,
+        s"[$point] rollback did not restore the pre-increment state: " +
+          s"extra=${(snapshot(state).keySet -- before.keySet).take(5)} " +
+          s"missing=${(before.keySet -- snapshot(state).keySet).take(5)}")
+      CorpusPipelineDelta.foldIncrement(inc2, state, cfg)
+      assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)) ==
+        rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)),
+        s"[$point] re-run after rollback diverged from batch")
+    }
+  }
+
+  test("a post-commit crash rolls FORWARD: recoverFold completes the " +
+      "staged swaps, the increment is applied, and re-folding it is " +
+      "refused by the id precondition") {
+    val state = tmp("rec_fwd")
+    CorpusPipelineDelta.foldIncrement(inc1, state, cfg)
+    crashAt("post-commit")(
+      CorpusPipelineDelta.foldIncrement(inc2, state, cfg))
+    val r = CorpusPipelineDelta.recoverFold(spark, state)
+    assert(r == CorpusPipelineDelta.Completed("ids_10_14"), s"$r")
+    // applied WITHOUT re-running the increment
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)) ==
+      rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)),
+      "roll-forward did not complete the increment")
+    val e = intercept[IllegalArgumentException](
+      CorpusPipelineDelta.foldIncrement(inc2, state, cfg))
+    assert(e.getMessage.contains("strictly greater"), e.getMessage)
+  }
+
+  test("a crashed GENESIS fold rolls back to an empty state dir, and " +
+      "a healthy state recovers as Clean with nothing changed") {
+    val state = tmp("rec_gen")
+    crashAt("pre-commit")(
+      CorpusPipelineDelta.foldIncrement(inc1, state, cfg))
+    val r = CorpusPipelineDelta.recoverFold(spark, state)
+    assert(r == CorpusPipelineDelta.RolledBack("ids_1_5"), s"$r")
+    Seq("store", "digests", "mix", "meta", "journal").foreach { d =>
+      assert(!fs.exists(new Path(s"$state/$d")),
+        s"genesis rollback left $d behind")
+    }
+    CorpusPipelineDelta.foldIncrement(inc1, state, cfg)
+    val before = snapshot(state)
+    assert(CorpusPipelineDelta.recoverFold(spark, state) ==
+      CorpusPipelineDelta.Clean)
+    assert(snapshot(state) == before, "Clean recovery mutated the state")
+    CorpusPipelineDelta.foldIncrement(inc2, state, cfg)
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)) ==
+      rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)))
+  }
+
+  test("compactState shrinks the digest ledger and store files with " +
+      "contents untouched; it refuses a crashed state; the chain " +
+      "continues to the batch answer post-compact") {
+    val state = tmp("rec_cmp")
+    CorpusPipelineDelta.foldIncrement(inc1, state, cfg)
+    CorpusPipelineDelta.foldIncrement(inc2, state, cfg)
+    val digestsBefore = spark.read.parquet(s"$state/digests")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val st = CorpusPipelineDelta.compactState(spark, state)
+    assert(st.digestFilesBefore >= 2 &&
+      st.digestFilesAfter < st.digestFilesBefore,
+      s"no ledger shrink: $st")
+    assert(st.store.isDefined, "store was not compacted")
+    val digestsAfter = spark.read.parquet(s"$state/digests")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(digestsAfter == digestsBefore, "compaction changed the ledger")
+    // refuses a crashed state
+    val out = fs.create(new Path(s"$state/journal"), false)
+    out.write("token=fake\n".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException](
+      CorpusPipelineDelta.compactState(spark, state))
+    assert(e.getMessage.contains("recoverFold"), e.getMessage)
+    fs.delete(new Path(s"$state/journal"), false)
+    // the compacted state keeps folding correctly
+    CorpusPipelineDelta.foldIncrement(inc3, state, cfg)
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)) ==
+      rows(CorpusPipeline.assemble(
+        inc1.unionByName(inc2).unionByName(inc3), cfg)),
+      "post-compact fold diverged from batch")
+  }
+}
