@@ -70,27 +70,27 @@ object Bench {
     // standalone re-measure needed to adjudicate.
     val canaryMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // MIN of 3 back-to-back runs: a single shot also measures the
+    // bench's own transient state (GC debt from the query that just
+    // finished — a quiet-box session showed 93→361 ms single-shot
+    // swings), and the point is AMBIENT contention, which persists
+    // across three consecutive sub-second runs where an in-JVM GC
+    // hiccup does not
+    def canarySample(): Long = Seq.fill(3) {
+      val t0 = System.nanoTime()
+      // pmod keeps the running sum < n·1e9 — no ANSI long overflow
+      spark.range(256L * 1000 * 1000)
+        .selectExpr("sum(pmod(id * 2654435761, 1000000007))").collect()
+      (System.nanoTime() - t0) / 1000000
+    }.min
     def canary(): Unit = {
       loads += loadAvg()
-      // MIN of 3 back-to-back runs: a single shot also measures the
-      // bench's own transient state (GC debt from the query that just
-      // finished — a quiet-box session showed 93→361 ms single-shot
-      // swings), and the point is AMBIENT contention, which persists
-      // across three consecutive sub-second runs where an in-JVM GC
-      // hiccup does not
-      canaryMs += Seq.fill(3) {
-        val t0 = System.nanoTime()
-        // pmod keeps the running sum < n·1e9 — no ANSI long overflow
-        spark.range(256L * 1000 * 1000)
-          .selectExpr("sum(pmod(id * 2654435761, 1000000007))").collect()
-        (System.nanoTime() - t0) / 1000000
-      }.min
+      canaryMs += canarySample()
       ()
     }
     canary() // discarded warm canary: JIT + codegen for the probe itself
     canaryMs.clear(); loads.clear()
-    val results = names.zipWithIndex.map { case (name, qi) =>
-      if (qi % 10 == 0) canary()
+    def timeQuery(name: String): (String, Double, Double, Seq[Double]) = {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         Hygiene.clearAll(spark)
@@ -114,7 +114,43 @@ object Bench {
       val min = if (bad) -1.0 else runs.min
       (name, med, min, runs)
     }
+    val results0 = names.zipWithIndex.map { case (name, qi) =>
+      if (qi % 10 == 0) canary()
+      timeQuery(name)
+    }
     canary() // closing sample: contention that arrived mid-final-block
+    // ---- act on the canaries (VERDICT r11 task 3): re-run inflated
+    // blocks. Detection alone still committed three ambient-inflated
+    // BENCH_r*.json artifacts, each costing a re-adjudication session —
+    // so a block whose bracket canaries inflated is RE-MEASURED once,
+    // bracketed by fresh canaries, and the retry replaces the block's
+    // numbers only if BOTH its brackets come back quiet (a retry under
+    // the same contention proves nothing and the original flagged
+    // numbers stand). Bounded at 4 blocks so a genuinely busy box adds
+    // minutes, not a second full pass.
+    val nBlocks = (names.length + 9) / 10
+    def inflatedBlock(b: Int, floor: Long): Boolean = {
+      val thresh = floor + math.max(floor / 2, 100)
+      Seq(canaryMs.lift(b), canaryMs.lift(b + 1)).flatten.exists(_ >= thresh)
+    }
+    val results = results0.toArray
+    val quietRetried = scala.collection.mutable.Set.empty[Int]
+    var rerunsTried = 0
+    for (b <- 0 until nBlocks
+         if rerunsTried < 4 && inflatedBlock(b, canaryMs.min)) {
+      rerunsTried += 1
+      val cBefore = canarySample()
+      val lo = b * 10
+      val blockNames = names.slice(lo, math.min(lo + 10, names.length))
+      val retried = blockNames.map(timeQuery)
+      val cAfter = canarySample()
+      val floor = math.min(canaryMs.min, math.min(cBefore, cAfter))
+      val thresh = floor + math.max(floor / 2, 100)
+      if (cBefore < thresh && cAfter < thresh) {
+        retried.zipWithIndex.foreach { case (r, i) => results(lo + i) = r }
+        quietRetried += b
+      }
+    }
     // Self-defending artifact (VERDICT r7 task 3): three rounds of
     // ambient-inflated BENCH_r*.json each cost a re-adjudication
     // session, so the stdout line now carries (a) the box's 1-min load
@@ -147,6 +183,7 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""canary_ms":$canaryJson,"loads":$loadsJson,""" +
+      s""""reruns_tried":$rerunsTried,"reruns_kept":${quietRetried.size},""" +
       s""""queries_med_min_runs":$fullQs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
@@ -180,11 +217,13 @@ object Bench {
     // (ADVICE r9).
     val minCanary = if (canaryMs.isEmpty) 0L else canaryMs.min
     val canaryThresh = minCanary + math.max(minCanary / 2, 100)
-    val nBlocks = (names.length + 9) / 10
     val spans = (0 until nBlocks).flatMap { b =>
       val worst = Seq(canaryMs.lift(b), canaryMs.lift(b + 1)).flatten
         .foldLeft(0L)(math.max)
-      if (worst >= canaryThresh) {
+      // a block successfully re-measured under quiet brackets carries
+      // its retry numbers — its original inflation is no longer in the
+      // artifact's data, so it must not be flagged either
+      if (worst >= canaryThresh && !quietRetried.contains(b)) {
         val lo = b * 10
         val label = key(names(lo)) + "-" +
           key(names(math.min(lo + 9, names.length - 1)))
@@ -210,7 +249,9 @@ object Bench {
         (if (withCanary)
           s""""canary_ms":$canaryJson,""" +
             (if (withLoads) s""""loads":$loadsJson,""" else "") +
-            s""""inflated_spans":$spans,"""
+            s""""inflated_spans":$spans,""" +
+            s""""reruns_tried":$rerunsTried,""" +
+            s""""reruns_kept":${quietRetried.size},"""
         else "") +
         s""""queries":$qs,""" +
         (if (withMins) s""""mins_ms":$mins,""" else "") +

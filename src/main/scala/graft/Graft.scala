@@ -40,6 +40,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.leakageSafeSplit(docs, "doc_id", "text")       // near-dups co-split
   * Graft.corpusPipeline(docs)                           // batch: gate→dedup→decon→mix→split→pack
   * Graft.corpusPipelineDelta(delta, "/state", cfg)      // daily increment vs persisted state
+  *
+  * // 6. the streaming twin (exactly-once foreachBatch sink; folds are
+  * //    pipeline DAYS — drain on a schedule, don't micro-trigger):
+  * Graft.streamingCorpusPipeline(stream, "/state", "/ckpt", cfg,
+  *   trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
   * }}}
   */
 object Graft {
@@ -486,6 +491,23 @@ object Graft {
       cfg: queries.CorpusPipeline.Config, storeCells: Int = 64): DataFrame =
     queries.CorpusPipelineDelta.applyIncrement(delta, stateDir, cfg,
       storeCells)
+
+  /** The STREAMING corpus pipeline (E10): an exactly-once
+    * `foreachBatch` sink folding micro-batches of arriving documents
+    * into the persisted pipeline state — Structured Streaming's batch
+    * replay composed with the fold journal's crash recovery; see
+    * [[streaming.StreamingCorpusPipeline]] for the case split. Each
+    * fold is a full pipeline day: trigger in minutes-to-hours, or drain
+    * on a schedule with `Trigger.AvailableNow()` (the class-doc
+    * example). Publish output shards on their own cadence via
+    * [[queries.CorpusPipelineDelta.refreshOutput]]. */
+  def streamingCorpusPipeline(increments: DataFrame, stateDir: String,
+      checkpointDir: String, cfg: queries.CorpusPipeline.Config,
+      storeCells: Int = 64,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingCorpusPipeline.sink(increments, stateDir,
+      checkpointDir, cfg, storeCells, trigger)
 
   /** Write a [[corpusPipeline]] result as CSV shards renamed through
     * the file-mover commit protocol (`shard_$split_$lang.csv` — one

@@ -155,7 +155,7 @@ object ScaleBench {
     // single family can be re-measured without paying the others
     val fams: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
-      else Set("1", "1b", "2", "3", "4", "5", "6")
+      else Set("1", "1b", "2", "3", "4", "5", "6", "7")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -466,6 +466,72 @@ object ScaleBench {
         s"vs per-day batch ${batchTimes.map(round2).mkString("/")}s " +
         s"(genesis ${round2(tGenesis)}s one-time; day-3 outputs " +
         s"identical, ${a.size} rows)")
+    }
+
+    // ---- 7. digest-ledger prefix pruning (VERDICT r11 task 6) ---------
+    // The fold's exact-dedup probe full-scans the digest ledger every
+    // increment (CorpusPipelineDelta step 2 — broadcast join, zero
+    // shuffle, but every record decoded). Would hive-bucketing the
+    // ledger by digest prefix let a delta prune the scan? SHA-256
+    // uniformity predicts NO at batch-sized deltas: k delta digests
+    // touch ~256·(1−(1−1/256)^k) of 256 buckets — 86% at k=500, 7.5%
+    // at k=20 — so pruning only bites at drip-sized deltas, where the
+    // full scan is already cheap. This family measures both layouts at
+    // both delta sizes and both ledger scales so the reject is a
+    // number, not an argument.
+    if (fams("7")) {
+      val delta2mP = gen("delta2m") {
+        genDocs(spark, 500, 0.2, 100000, 44, idOffset = 2100000) }
+      for ((label, corpusP, dPaths) <- Seq(
+          ("500k", docs500kP, Seq("drip20" -> dripP, "delta500" -> deltaP)),
+          ("2m", docs2mP,
+            Seq("drip20" -> drip2mP, "delta500" -> delta2mP)))) {
+        val ledgerP = gen(s"digledger_$label") {
+          spark.read.parquet(corpusP)
+            .select(sha2($"text", 256).as("__digest")).distinct()
+        }
+        // the bucketed rival: 256 hive partitions on the first hex byte
+        val bucketedP = s"$work/digledger_b_$label"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(bucketedP))) {
+          val t0 = System.nanoTime()
+          spark.read.parquet(ledgerP)
+            .withColumn("b",
+              conv(substring($"__digest", 1, 2), 16, 10).cast("int"))
+            .repartition(256, $"b")
+            .write.partitionBy("b").parquet(bucketedP)
+          println(f"GEN digledger_b_$label%-4s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        for ((dlabel, dPath) <- dPaths) {
+          val deltaDig = spark.read.parquet(dPath)
+            .select(sha2($"text", 256).as("__digest")).distinct()
+          // A: the fold's current shape — full ledger scan, broadcast
+          // semi-probe (records read == ledger size)
+          val (tFull, nFull, rFull) = timed(spark, runs) {
+            spark.read.parquet(ledgerP)
+              .join(broadcast(deltaDig), "__digest")
+              .select($"__digest").distinct().count()
+          }
+          // B: prefix-pruned scan of the bucketed layout, same probe
+          val (tPruned, nPruned, rPruned) = timed(spark, runs) {
+            val bs = deltaDig
+              .select(conv(substring($"__digest", 1, 2), 16, 10)
+                .cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            operators.PrunedRead.partitions(spark, bucketedP, "b", bs)
+              .join(broadcast(deltaDig), "__digest")
+              .select($"__digest").distinct().count()
+          }
+          require(nFull == nPruned,
+            s"pruned ledger probe lost hits: $nFull vs $nPruned")
+          results += s"dig_${label}_${dlabel}_full_s" ->
+            s"${round2(tFull)} ($rFull recs)"
+          results += s"dig_${label}_${dlabel}_pruned_s" ->
+            s"${round2(tPruned)} ($rPruned recs)"
+          println(s"7. [$label/$dlabel] ledger probe full " +
+            s"${round2(tFull)}s ($rFull recs) vs prefix-pruned " +
+            s"${round2(tPruned)}s ($rPruned recs), $nFull hits")
+        }
+      }
     }
 
     println("RESULTS " + results.map { case (k, v) => s"$k=$v" }.mkString(" | "))

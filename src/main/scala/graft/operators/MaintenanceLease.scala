@@ -22,15 +22,24 @@ import org.apache.spark.sql.SparkSession
   * the acquisition time, so a refused caller's error says WHO holds it.
   * A crash leaves the file behind — a lease older than `staleMs` (by
   * filesystem mtime) is presumed dead and broken by the next acquirer.
-  * Size `staleMs` ABOVE your longest append/compact: a live job that
-  * outruns it loses its exclusion.
+  * A LIVE holder re-touches its lease's mtime every `staleMs / 3` from
+  * a daemon heartbeat thread (VERDICT r11 task 2), so staleness means
+  * DEAD, not SLOW: a fold/compact that outruns `staleMs` keeps its
+  * exclusion — at 100 TB a genesis fold's wall clock is unknowable in
+  * advance, and "size staleMs above your longest job" was not an
+  * operable contract. `staleMs` now only bounds how long a CRASHED
+  * holder blocks its successors.
   *
   * Readers (probe/query/stats) take no lease — the swap protocol
   * already makes a torn read loud (no live dir), never silent. */
 object MaintenanceLease {
 
-  /** Presumed-dead threshold: 1 h covers any fixture-to-sf0.1 job by
-    * orders of magnitude; raise it for cluster-scale maintenance. */
+  /** Presumed-dead threshold. With the holder heartbeat this no longer
+    * needs to exceed the longest job — it is purely the
+    * crashed-holder-blocks-successors window (heartbeats keep a live
+    * holder's mtime fresh indefinitely). 1 h is conservative; lower it
+    * where faster takeover after a hard kill matters more than
+    * tolerance for heartbeat hiccups. */
   val DefaultStaleMs: Long = 60L * 60 * 1000
 
   private def leasePath(dir: String): Path = new Path(s"${dir}__lease")
@@ -39,7 +48,13 @@ object MaintenanceLease {
     val host =
       try java.net.InetAddress.getLocalHost.getHostName
       catch { case _: Exception => "unknown-host" }
-    s"$op@$host#pid${ProcessHandle.current.pid}"
+    // per-ACQUISITION nonce (ADVICE r11): op@host#pid alone repeats when
+    // the same JVM re-acquires after outrunning staleMs — the overrun
+    // job's own-lease release match (startsWith) would then hit the
+    // SAME-OP successor's lease and evict it, the exact hazard the
+    // own-lease rule exists to prevent
+    s"$op@$host#pid${ProcessHandle.current.pid}" +
+      s".t${Thread.currentThread.getId}.n${java.lang.System.nanoTime}"
   }
 
   private def readLeaseText(fs: org.apache.hadoop.fs.FileSystem,
@@ -133,8 +148,36 @@ object MaintenanceLease {
             s"refused; a lease untouched for ${staleMs} ms is presumed " +
             s"dead and will be broken")
     }
+    // heartbeat (VERDICT r11 task 2): re-touch the lease's mtime every
+    // staleMs/3 while the file still names THIS holder, so a rival's
+    // staleness check always observes a fresh lease on a live job. The
+    // thread stops itself if the lease stops being ours (a force-break):
+    // touching a successor's lease would mask the successor's own death.
+    val beat = new Thread(() => {
+      try {
+        var mine = true
+        while (mine) {
+          Thread.sleep(math.max(staleMs / 3, 10))
+          if (readLeaseText(fs, p).startsWith(holder))
+            try fs.setTimes(p, System.currentTimeMillis, -1)
+            catch { case _: IOException => () } // transient; retry next tick
+          else {
+            mine = false
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"lease on $dir no longer names '$holder' — heartbeat " +
+                "stopped (force-broken? exclusion is lost)")
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$op")
+    beat.setDaemon(true)
+    beat.start()
     try f
     finally {
+      // stop the heartbeat BEFORE releasing: a beat landing after the
+      // delete could touch a successor's freshly created lease
+      beat.interrupt()
+      try beat.join(2000) catch { case _: InterruptedException => () }
       // release only OUR OWN lease (ADVICE r10): a job that outran
       // staleMs has had its lease broken and replaced — deleting
       // whatever sits at the path would evict the NEW holder and admit

@@ -168,9 +168,12 @@ object CorpusPipelineDelta {
           "=> re-apply that increment; Completed => it was already " +
           "applied)")
 
-    // 0. id-ordering precondition: one delta-scale agg (driver scalar)
-    val bounds = delta.agg(min(col(cfg.idCol)).as("lo"),
-      max(col(cfg.idCol)).as("hi")).collect().head
+    // 0. id-ordering precondition: one delta-scale agg (driver scalar).
+    // Cast to long so any integral id width works — the batch twin is
+    // type-generic, and an IntegerType id would otherwise die in
+    // getLong with an unhelpful ClassCastException (ADVICE r11)
+    val bounds = delta.agg(min(col(cfg.idCol).cast("long")).as("lo"),
+      max(col(cfg.idCol).cast("long")).as("hi")).collect().head
     val prevMax = readMaxId(s, stateDir)
     if (!bounds.isNullAt(0))
       prevMax.filter(_ >= bounds.getLong(0)).foreach(m =>
@@ -314,10 +317,18 @@ object CorpusPipelineDelta {
     maybeCrash(s, "post-commit")
     finishSwap(s, mPath)
     finishSwap(s, metaDir(stateDir))
-    // ---- retire the journal: the increment is fully applied --------
-    fs.delete(new Path(metaCopy(stateDir)), true)
-    fs.delete(new Path(commitMark(stateDir)), false)
+    // ---- retire the journal: the increment is fully applied. The
+    // deletion ORDER is load-bearing (ADVICE r11): the journal goes
+    // FIRST — journal absence means "fully applied" — so a crash
+    // mid-retirement can only leave the marker/meta-copy behind as
+    // orphans (tidied by recoverFold's no-journal branch and by the
+    // next fold's writeJournal), never a journal WITHOUT its commit
+    // marker, which recovery would misread as pre-commit and roll an
+    // applied increment's appends back under the already-swapped mix.
     fs.delete(jPath, false)
+    maybeCrash(s, "mid-retire")
+    fs.delete(new Path(commitMark(stateDir)), false)
+    fs.delete(new Path(metaCopy(stateDir)), true)
     } // fold lease
   }
 
@@ -340,7 +351,7 @@ object CorpusPipelineDelta {
 
   /** Crash-injection seam for the recovery specs (the
     * [[graft.Hygiene.SkipEagerCutConf]] pattern): set this session conf
-    * to "post-store", "pre-commit" or "post-commit" and the next
+    * to "post-store", "pre-commit", "post-commit" or "mid-retire" and the next
     * [[foldIncrement]] throws [[InjectedCrash]] at that point — a REAL
     * partial state, not a hand-crafted one. An injected crash exits
     * through the lease's finally (lease released); a hard-killed
@@ -378,6 +389,13 @@ object CorpusPipelineDelta {
   private def writeJournal(s: SparkSession, stateDir: String,
       token: String): Unit = {
     val fs = fsOf(s, stateDir)
+    // retirement residue (ADVICE r11): a commit marker or meta copy
+    // found here — with no journal (the caller just checked) — is a
+    // crash between a PRIOR retirement's deletes; that increment was
+    // fully applied. Tidy before creating this fold's journal: a stale
+    // marker would flip this increment's recovery to roll-forward, and
+    // fs.create(marker, false) would throw at the commit point.
+    fs.delete(new Path(commitMark(stateDir)), false)
     val sd = storeDir(stateDir)
     val storeExisted = NearDupSignatureStore.exists(s, sd)
     val sb = new StringBuilder
@@ -485,7 +503,12 @@ object CorpusPipelineDelta {
       val fs = fsOf(s, stateDir)
       val jp = new Path(journalPath(stateDir))
       if (!fs.exists(jp)) {
-        // nothing journaled; tidy pre-journal-era swap residue
+        // nothing journaled; tidy pre-journal-era swap residue and
+        // retirement residue (a marker/meta-copy without a journal is a
+        // crash between the retirement deletes of a fully APPLIED
+        // increment — the journal is always deleted first; ADVICE r11)
+        fs.delete(new Path(commitMark(stateDir)), false)
+        fs.delete(new Path(metaCopy(stateDir)), true)
         Compaction.recoverSwap(s, mixDir(stateDir))
         Compaction.recoverSwap(s, metaDir(stateDir))
         Clean
@@ -526,9 +549,10 @@ object CorpusPipelineDelta {
           if (!existed("metaExisted"))
             fs.delete(new Path(metaDir(stateDir)), true)
         }
-        fs.delete(new Path(metaCopy(stateDir)), true)
-        fs.delete(new Path(commitMark(stateDir)), false)
+        // same retirement order as the fold: journal first (ADVICE r11)
         fs.delete(jp, false)
+        fs.delete(new Path(commitMark(stateDir)), false)
+        fs.delete(new Path(metaCopy(stateDir)), true)
         if (committed) Completed(token) else RolledBack(token)
       }
     }

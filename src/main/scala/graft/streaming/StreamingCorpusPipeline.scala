@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.queries.{CorpusPipeline, CorpusPipelineDelta}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** E10: the Structured-Streaming twin of the incremental corpus
   * pipeline — micro-batches of arriving documents fold into the
@@ -42,11 +42,19 @@ object StreamingCorpusPipeline {
 
   /** The sink body, exposed for direct use (and for the specs to drive
     * the crash/replay seams without a running stream): recover any
-    * crashed fold, skip an already-applied batch, fold otherwise. */
+    * crashed fold, skip an already-applied batch, fold otherwise.
+    * `triggerIntervalMs` (when [[sink]] was given a processing-time
+    * trigger) arms the cadence guard: a fold is a full pipeline day, and
+    * one that runs LONGER than the trigger interval means every interval
+    * accrues more work than it retires — the backlog grows without
+    * bound. That misconfiguration is loud (a WARN per lagging batch),
+    * not silent. */
   def foldBatch(stateDir: String, cfg: CorpusPipeline.Config,
-      storeCells: Int = 64)(delta: DataFrame, batchId: Long): Unit = {
+      storeCells: Int = 64, triggerIntervalMs: Option[Long] = None)(
+      delta: DataFrame, batchId: Long): Unit = {
     val s = delta.sparkSession
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val t0 = System.nanoTime()
     CorpusPipelineDelta.recoverFold(s, stateDir) match {
       case CorpusPipelineDelta.RolledBack(tok) =>
         log.warn(s"rolled back crashed fold '$tok' at $stateDir; the " +
@@ -61,6 +69,14 @@ object StreamingCorpusPipeline {
     else
       CorpusPipelineDelta.foldIncrement(delta, stateDir, cfg, storeCells,
         batchTag = Some(batchId))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    triggerIntervalMs.filter(_ < elapsedMs).foreach { iv =>
+      log.warn(s"fold of batch $batchId took $elapsedMs ms — longer " +
+        s"than the $iv ms trigger interval; the backlog grows every " +
+        "trigger. Raise the interval (folds are pipeline DAYS — trigger " +
+        "in minutes-to-hours) or drain on a schedule with " +
+        "Trigger.AvailableNow.")
+    }
   }
 
   /** Start the exactly-once corpus-fold sink over `increments` (a
@@ -68,11 +84,28 @@ object StreamingCorpusPipeline {
     * sourceCol). The stream's checkpoint and the pipeline state are
     * separate dirs with separate roles: the checkpoint replays, the
     * journal recovers — see the class doc for why that pair is
+    * exactly-once.
+    *
+    * `trigger` (optional) is applied to the stream; a
+    * `Trigger.ProcessingTime` interval also arms [[foldBatch]]'s
+    * cadence guard. For the scheduled-daily-drain shape prefer
+    * {{{
+    * StreamingCorpusPipeline.sink(increments, state, ckpt, cfg,
+    *   trigger = Some(Trigger.AvailableNow()))
+    * }}}
+    * — process everything available, then stop, rerun on tomorrow's
+    * schedule; the checkpoint + journal pair keeps the restarts
     * exactly-once. */
   def sink(increments: DataFrame, stateDir: String, checkpointDir: String,
-      cfg: CorpusPipeline.Config, storeCells: Int = 64): StreamingQuery =
-    increments.writeStream
+      cfg: CorpusPipeline.Config, storeCells: Int = 64,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val intervalMs = trigger.collect {
+      case t: org.apache.spark.sql.execution.streaming.ProcessingTimeTrigger =>
+        t.intervalMs
+    }
+    val w = increments.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(foldBatch(stateDir, cfg, storeCells) _)
-      .start()
+      .foreachBatch(foldBatch(stateDir, cfg, storeCells, intervalMs) _)
+    trigger.fold(w)(w.trigger).start()
+  }
 }

@@ -154,6 +154,60 @@ class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.delete(lease, false)
   }
 
+  private def leaseText(p: Path): String = {
+    val in = fs.open(p)
+    val buf = new Array[Byte](256)
+    val n = try in.read(buf) finally in.close()
+    new String(buf, 0, n, "UTF-8")
+  }
+
+  test("heartbeat: a holder that outruns staleMs KEEPS its exclusion — " +
+      "a rival's acquisition mid-hold refuses on the fresh mtime " +
+      "(VERDICT r11 task 2)") {
+    val dir = tmp("lease_beat")
+    val lease = new Path(s"${dir}__lease")
+    MaintenanceLease.withLease(spark, dir, "slow-fold", staleMs = 3000) {
+      Thread.sleep(7000) // > 2× staleMs; heartbeat re-touches every 1 s
+      val e = intercept[IllegalStateException] {
+        MaintenanceLease.withLease(spark, dir, "rival", staleMs = 3000)(())
+      }
+      assert(e.getMessage.contains("slow-fold"), e.getMessage)
+      assert(fs.exists(lease), "rival's refused attempt removed the lease")
+    }
+    assert(!fs.exists(lease), "lease not released after the long hold")
+    // the crashed-holder path stays green: a lease NOBODY heartbeats
+    // (dead process) still goes stale and is broken by the successor
+    val dead = holdLease(dir, "dead-process")
+    fs.setTimes(dead, System.currentTimeMillis - 60000, -1)
+    MaintenanceLease.withLease(spark, dir, "successor", staleMs = 3000)(())
+    assert(!fs.exists(lease), "stale dead lease survived the successor")
+  }
+
+  test("holder identity carries a per-acquisition nonce: an overrun " +
+      "job's release must not match a SAME-OP successor's lease in the " +
+      "same JVM (ADVICE r11)") {
+    val dir = tmp("lease_nonce")
+    val lease = new Path(s"${dir}__lease")
+    var successorText: String = null
+    MaintenanceLease.withLease(spark, dir, "fold") { // the overrun job
+      // simulate: this job outran staleMs, a rival broke its lease, and
+      // a SAME-OP retry in the SAME JVM re-acquired
+      fs.delete(lease, false)
+      MaintenanceLease.withLease(spark, dir, "fold") {
+        successorText = leaseText(lease)
+      }
+      // the nested call had to release to exit; put the successor's
+      // lease back as it would still sit at the path mid-run
+      val out = fs.create(lease, false)
+      try out.write(successorText.getBytes("UTF-8")) finally out.close()
+    } // the overrun job's release runs HERE
+    assert(fs.exists(lease),
+      "overrun job's release evicted the same-op successor's lease " +
+        "(holder text not unique per acquisition)")
+    assert(leaseText(lease) == successorText)
+    fs.delete(lease, false)
+  }
+
   test("the lease releases on a FAILED operation too") {
     val dir = tmp("lease_fail")
     NearDupSignatureStore.build(docs(20), dir, threshold = 0.5)

@@ -102,6 +102,36 @@ class NearDupSignatureStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("probeThenAppend under an EMPTY delta (everything died at the " +
+      "quality gate upstream): no pairs, no store mutation, no " +
+      "demotion — and the next real increment probes exactly as if the " +
+      "empty one never happened (r12 sweep)") {
+    val dir = tmp("sigstore_empty")
+    val c0 = corpus(11, 60)
+    NearDupSignatureStore.build(df(c0), dir, threshold = 0.5)
+    val statsBefore = NearDupSignatureStore.stats(spark, dir)
+    val got = NearDupSignatureStore.probeThenAppend(spark, dir,
+      df(Seq.empty))
+    assert(got.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"),
+      "empty-delta probe lost the pair schema")
+    assert(got.count() == 0, "empty delta produced pairs")
+    val statsAfter = NearDupSignatureStore.stats(spark, dir)
+    assert(statsAfter == statsBefore,
+      s"empty delta mutated the store: $statsBefore -> $statsAfter")
+    // the lease is released and the store probes on: next increment ==
+    // the inline operator against the UNCHANGED corpus
+    val d1 = corpus(13, 20, from = 1000L)
+    val got1 = pairs(NearDupSignatureStore.probeThenAppend(spark, dir,
+      df(d1)))
+    val want1 = pairs(graft.queries.ApproxOps
+      .minhashNearDupPairsDelta(df(c0), df(d1), 0.5))
+    assert(want1.nonEmpty, "degenerate fixture")
+    assert(got1 == want1, s"post-empty probe diverged: " +
+      s"${(got1.keySet -- want1.keySet).take(5)} / " +
+      s"${(want1.keySet -- got1.keySet).take(5)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("probe scans only the increment's cells: static PartitionFilters " +
       "on the store, records read ≪ the stored signature table") {
     import spark.implicits._

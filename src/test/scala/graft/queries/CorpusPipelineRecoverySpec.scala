@@ -165,6 +165,115 @@ class CorpusPipelineRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)))
   }
 
+  test("a crash MID-RETIREMENT (journal deleted first; marker/meta-copy " +
+      "orphaned) is an APPLIED increment: recoverFold reports Clean and " +
+      "tidies the residue — never a rollback of applied appends " +
+      "(ADVICE r11)") {
+    val state = tmp("rec_retire")
+    CorpusPipelineDelta.foldIncrement(inc1, state, cfg)
+    crashAt("mid-retire")(
+      CorpusPipelineDelta.foldIncrement(inc2, state, cfg))
+    // the journal is already gone (deleted FIRST); the commit marker —
+    // and, non-genesis, the store-meta copy — are the orphans
+    assert(!fs.exists(new Path(s"$state/journal")),
+      "retirement crash left the journal (order regression)")
+    assert(fs.exists(new Path(s"$state/journal.commit")))
+    val r = CorpusPipelineDelta.recoverFold(spark, state)
+    assert(r == CorpusPipelineDelta.Clean, s"$r")
+    assert(!fs.exists(new Path(s"$state/journal.commit")) &&
+      !fs.exists(new Path(s"$state/journal.storemeta")),
+      "recoverFold left retirement residue")
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)) ==
+      rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)),
+      "mid-retirement crash lost the applied increment")
+    // and the NEXT fold tidies the residue itself (no recoverFold run):
+    // a stale marker would otherwise flip its recovery semantics and
+    // crash its own commit-marker create
+    val state2 = tmp("rec_retire2")
+    CorpusPipelineDelta.foldIncrement(inc1, state2, cfg)
+    crashAt("mid-retire")(
+      CorpusPipelineDelta.foldIncrement(inc2, state2, cfg))
+    CorpusPipelineDelta.foldIncrement(inc3, state2, cfg)
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state2, cfg)) ==
+      rows(CorpusPipeline.assemble(
+        inc1.unionByName(inc2).unionByName(inc3), cfg)),
+      "fold over retirement residue diverged from batch")
+  }
+
+  test("recover-of-recover: a recovery that died mid-rollback (store " +
+      "meta already restored, staged mix dropped, journal still present) " +
+      "is completed by the next recoverFold — the rollback steps are " +
+      "idempotent (r12 sweep)") {
+    val state = tmp("rec_rr")
+    CorpusPipelineDelta.foldIncrement(inc1, state, cfg)
+    val before = snapshot(state)
+    crashAt("pre-commit")(
+      CorpusPipelineDelta.foldIncrement(inc2, state, cfg))
+    // simulate a first recovery crashing partway: it restored the store
+    // meta from the journal copy and dropped the staged mix __next,
+    // then died with the journal still in place
+    val sd = s"$state/store"
+    fs.delete(new Path(s"$sd/meta"), true)
+    assert(fs.rename(new Path(s"$state/journal.storemeta"),
+      new Path(s"$sd/meta")), "fixture: simulated partial restore failed")
+    fs.delete(new Path(s"$state/mix__next"), true)
+    val r = CorpusPipelineDelta.recoverFold(spark, state)
+    assert(r == CorpusPipelineDelta.RolledBack("ids_10_14"), s"$r")
+    assert(snapshot(state) == before,
+      "second recovery did not land on the pre-increment state: " +
+        s"extra=${(snapshot(state).keySet -- before.keySet).take(5)} " +
+        s"missing=${(before.keySet -- snapshot(state).keySet).take(5)}")
+    CorpusPipelineDelta.foldIncrement(inc2, state, cfg)
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)) ==
+      rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)))
+  }
+
+  test("torn swaps inside the committed window: a crash between " +
+      "swapDir's two renames (live aside, __next staged) and one after " +
+      "its second rename (__old residue) are both completed by " +
+      "recoverFold's roll-forward (r12 sweep)") {
+    // case 1: mix renamed aside, __next still staged — the window
+    // between swapDir's rename pair
+    val state = tmp("rec_torn1")
+    CorpusPipelineDelta.foldIncrement(inc1, state, cfg)
+    crashAt("post-commit")(
+      CorpusPipelineDelta.foldIncrement(inc2, state, cfg))
+    assert(fs.rename(new Path(s"$state/mix"), new Path(s"$state/mix__old")),
+      "fixture: simulated first swap rename failed")
+    val r1 = CorpusPipelineDelta.recoverFold(spark, state)
+    assert(r1 == CorpusPipelineDelta.Completed("ids_10_14"), s"$r1")
+    assert(!fs.exists(new Path(s"$state/mix__old")) &&
+      !fs.exists(new Path(s"$state/mix__next")), "swap residue left")
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)) ==
+      rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)))
+    // case 2: swap fully renamed but __old not yet deleted
+    val state2 = tmp("rec_torn2")
+    CorpusPipelineDelta.foldIncrement(inc1, state2, cfg)
+    crashAt("post-commit")(
+      CorpusPipelineDelta.foldIncrement(inc2, state2, cfg))
+    assert(fs.rename(new Path(s"$state2/mix"), new Path(s"$state2/mix__old")))
+    assert(fs.rename(new Path(s"$state2/mix__next"), new Path(s"$state2/mix")))
+    val r2 = CorpusPipelineDelta.recoverFold(spark, state2)
+    assert(r2 == CorpusPipelineDelta.Completed("ids_10_14"), s"$r2")
+    assert(!fs.exists(new Path(s"$state2/mix__old")), "__old residue left")
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state2, cfg)) ==
+      rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)))
+  }
+
+  test("an IntegerType id column folds — ids are cast to long for the " +
+      "driver-side bounds — and the chain equals the type-generic batch " +
+      "answer (ADVICE r11)") {
+    import org.apache.spark.sql.functions.col
+    val state = tmp("rec_int")
+    val i1 = inc1.withColumn("doc_id", col("doc_id").cast("int"))
+    val i2 = inc2.withColumn("doc_id", col("doc_id").cast("int"))
+    CorpusPipelineDelta.foldIncrement(i1, state, cfg)
+    CorpusPipelineDelta.foldIncrement(i2, state, cfg)
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)) ==
+      rows(CorpusPipeline.assemble(i1.unionByName(i2), cfg)),
+      "int-id incremental chain diverged from the batch answer")
+  }
+
   test("compactState shrinks the digest ledger and store files with " +
       "contents untouched; it refuses a crashed state; the chain " +
       "continues to the batch answer post-compact") {

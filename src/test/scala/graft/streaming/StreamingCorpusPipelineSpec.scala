@@ -1,0 +1,214 @@
+package graft.streaming
+
+import graft.queries.{CorpusPipeline, CorpusPipelineDelta}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Top-level (not nested in the suite): Spark's bean/product encoder
+  * cannot reach an inner class's outer scope. */
+case class PipeDoc(doc_id: Long, text: String, lang: String, source: String)
+
+/** E10: the streaming corpus-pipeline sink's END-TO-END exactly-once
+  * claim, driven through a REAL stream — a MemoryStream source, a real
+  * checkpoint, real query restarts. The claim is a composition of two
+  * verified pieces (Structured Streaming's batch replay and the fold
+  * journal); these specs execute the composition itself at both crash
+  * windows it case-splits on:
+  *
+  *   - crash BEFORE the fold's commit marker → the restarted stream
+  *     replays the batch, `recoverFold` rolls the partial writes back,
+  *     and the replay RE-APPLIES the increment;
+  *   - crash AFTER the marker → recovery completes the staged swaps,
+  *     `meta.last_batch` now records the batch, and the replayed batch
+  *     is SKIPPED (re-folding would violate the strictly-increasing-id
+  *     precondition — the skip is the exactly-once path).
+  *
+  * Every test's final check is the same oracle the rest of the pipeline
+  * family leans on: the refreshed state equals the BATCH pipeline on
+  * the union of every micro-batch delivered. */
+class StreamingCorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fs = new Path("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmp(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.delete()
+    p.toString
+  }
+
+  // same deterministic fixture family as CorpusPipelineRecoverySpec:
+  // 30 distinct filler tokens pass the quality gate, near-dups share
+  // 30/31 tokens (banding recall 1 at that density), decon hits the
+  // fixed eval grams
+  private def txt(seed: Int, extra: String = ""): String = {
+    val base = (0 until 30).map(i => s"w${seed}_$i").mkString(" ")
+    if (extra.isEmpty) base else base + " " + extra
+  }
+
+  
+
+  private val batch0 = Seq(
+    PipeDoc(1L, txt(1), "en", "src0"),
+    PipeDoc(2L, txt(2), "en", "src0"),
+    PipeDoc(3L, txt(3), "en", "src2"),
+    PipeDoc(4L, txt(4), "en", "src2"),
+    PipeDoc(5L, txt(5), "en", "src0"))
+  private val batch1 = Seq(
+    PipeDoc(10L, txt(2), "en", "src0"), // exact dup of id 2, across batches
+    PipeDoc(11L, txt(4, "x1"), "en", "src2"), // near-dup of id 4 (jac 30/31)
+    PipeDoc(12L, txt(12, "alpha beta gamma"), "en", "src0"), // decon hit
+    PipeDoc(13L, txt(13), "en", "src2"),
+    PipeDoc(14L, txt(14), "en", "src0"))
+  private val batch2 = Seq(
+    PipeDoc(20L, txt(20), "en", "src0"),
+    PipeDoc(21L, txt(4, "y1"), "en", "src2")) // near-dup of id 4, 2 batches back
+
+  private lazy val eval = {
+    import spark.implicits._
+    Seq((900L, "alpha beta gamma benchmark suite text"))
+      .toDF("doc_id", "text")
+  }
+  private def cfg = CorpusPipeline.Config(evalDocs = Some(eval))
+
+  private def batchDf(bs: Seq[PipeDoc]*): DataFrame = {
+    import spark.implicits._
+    bs.flatten.toDF()
+  }
+
+  private def rows(d: DataFrame): Set[String] =
+    d.collect().map(_.mkString("|")).toSet
+
+  private def assertEqualsBatch(state: String, bs: Seq[PipeDoc]*): Unit =
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)) ==
+      rows(CorpusPipeline.assemble(batchDf(bs: _*), cfg)),
+      "stream-folded state diverged from the batch pipeline on the " +
+        "unioned micro-batches")
+
+  private def hasInjectedCrash(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(_.isInstanceOf[CorpusPipelineDelta.InjectedCrash])
+
+  test("sink: micro-batches fold through a real stream; final state == " +
+      "batch pipeline on the union; last_batch advances") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e10_clean")
+    val ckpt = tmp("e10_clean_ckpt")
+    val mem = MemoryStream[PipeDoc]
+    val q = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    Seq(batch0, batch1, batch2).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    assertEqualsBatch(state, batch0, batch1, batch2)
+    assert(CorpusPipelineDelta.lastBatch(spark, state).exists(_ >= 2L),
+      "last_batch did not advance with the stream")
+    assert(CorpusPipelineDelta.recoverFold(spark, state) ==
+      CorpusPipelineDelta.Clean, "a healthy stream left a crashed state")
+  }
+
+  test("pre-commit crash mid-batch: the restarted stream REPLAYS the " +
+      "batch, recovery rolls back, the replay re-applies — nothing " +
+      "lost, nothing doubled") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e10_pre")
+    val ckpt = tmp("e10_pre_ckpt")
+    val mem = MemoryStream[PipeDoc]
+    val q1 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    mem.addData(batch0); q1.processAllAvailable()
+    q1.stop()
+    // arm the crash, restart: batch 1 dies inside the fold BEFORE its
+    // commit marker — offsets uncommitted, journal left behind
+    spark.conf.set(CorpusPipelineDelta.CrashPointConf, "pre-commit")
+    val q2 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    mem.addData(batch1)
+    val e = intercept[StreamingQueryException](q2.processAllAvailable())
+    assert(hasInjectedCrash(e), s"query died of something else: $e")
+    spark.conf.unset(CorpusPipelineDelta.CrashPointConf)
+    assert(fs.exists(new Path(s"$state/journal")),
+      "pre-commit crash left no journal (fixture broken)")
+    // restart from the checkpoint: the SAME batch id replays with the
+    // SAME rows; foldBatch recovers (RolledBack) then re-applies it
+    val q3 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    q3.processAllAvailable()
+    assert(!fs.exists(new Path(s"$state/journal")),
+      "replayed batch did not retire the recovered journal")
+    assertEqualsBatch(state, batch0, batch1)
+    // the stream keeps going: a fresh batch folds on top of the replay
+    mem.addData(batch2); q3.processAllAvailable()
+    q3.stop()
+    assertEqualsBatch(state, batch0, batch1, batch2)
+  }
+
+  test("post-commit crash mid-batch: recovery rolls FORWARD, the " +
+      "replayed batch is SKIPPED via meta.last_batch — applied exactly " +
+      "once (re-folding would throw the id precondition)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e10_post")
+    val ckpt = tmp("e10_post_ckpt")
+    val mem = MemoryStream[PipeDoc]
+    val q1 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    mem.addData(batch0); q1.processAllAvailable()
+    q1.stop()
+    // crash AFTER the fold's commit marker: the increment is applied,
+    // but the stream never commits its offsets — the batch WILL replay
+    spark.conf.set(CorpusPipelineDelta.CrashPointConf, "post-commit")
+    val q2 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    mem.addData(batch1)
+    val e = intercept[StreamingQueryException](q2.processAllAvailable())
+    assert(hasInjectedCrash(e), s"query died of something else: $e")
+    spark.conf.unset(CorpusPipelineDelta.CrashPointConf)
+    // restart: the replayed batch must be recognized as applied and
+    // skipped — if the skip failed, foldIncrement would throw the
+    // strictly-increasing-id precondition and this drain would die
+    val q3 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    q3.processAllAvailable()
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(1L),
+      "roll-forward did not record the batch tag")
+    assertEqualsBatch(state, batch0, batch1)
+    // and the NEXT batch folds normally after the skip
+    mem.addData(batch2); q3.processAllAvailable()
+    q3.stop()
+    assertEqualsBatch(state, batch0, batch1, batch2)
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(2L))
+  }
+
+  test("Trigger.AvailableNow: the scheduled-daily-drain shape processes " +
+      "everything then stops; a rerun drains only the new arrivals " +
+      "(cadence guidance from the class doc, compiled and executed)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e10_avail")
+    val ckpt = tmp("e10_avail_ckpt")
+    val mem = MemoryStream[PipeDoc]
+    mem.addData(batch0)
+    val q1 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg,
+      trigger = Some(Trigger.AvailableNow()))
+    q1.awaitTermination(120000)
+    assert(!q1.isActive, "AvailableNow drain did not stop on its own")
+    assertEqualsBatch(state, batch0)
+    // tomorrow's scheduled run: only the new increment folds
+    mem.addData(batch1)
+    val q2 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg,
+      trigger = Some(Trigger.AvailableNow()))
+    q2.awaitTermination(120000)
+    assert(!q2.isActive)
+    assertEqualsBatch(state, batch0, batch1)
+  }
+}
