@@ -63,7 +63,22 @@ object StreamingCorpusPipeline {
         log.warn(s"completed crashed fold '$tok' at $stateDir")
       case CorpusPipelineDelta.Clean => ()
     }
-    if (CorpusPipelineDelta.lastBatch(s, stateDir).exists(_ >= batchId))
+    val last = CorpusPipelineDelta.lastBatch(s, stateDir)
+    if (last.exists(_ > batchId))
+      // a correct replay only ever redelivers batchId == last_batch (the
+      // one in-flight batch whose offsets never committed). batchId <
+      // last_batch means the checkpoint does not belong to this state —
+      // a fresh or foreign checkpoint restarts ids at 0, and treating
+      // that as "already folded" would silently SKIP every arriving
+      // batch until its ids catch up: the worst failure mode is data
+      // loss that looks like success (r12 sweep)
+      throw new IllegalStateException(
+        s"micro-batch $batchId arrived at $stateDir whose last_batch is " +
+          s"${last.get} — this checkpoint does not belong to this state " +
+          "dir. Pair the checkpoint and state dir for life; a new " +
+          "checkpoint needs a new state dir (or fold the backlog " +
+          "non-streaming via CorpusPipelineDelta.foldIncrement)")
+    else if (last.contains(batchId))
       log.info(s"batch $batchId already folded into $stateDir — " +
         "replay skipped (exactly-once)")
     else

@@ -189,6 +189,32 @@ class StreamingCorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CorpusPipelineDelta.lastBatch(spark, state).contains(2L))
   }
 
+  test("a FOREIGN checkpoint against an advanced state dir fails LOUDLY " +
+      "instead of silently skipping arriving batches (batchId < " +
+      "last_batch can never be a legitimate replay) (r12 sweep)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e10_foreign")
+    val mem = MemoryStream[PipeDoc]
+    val q1 = StreamingCorpusPipeline.sink(mem.toDF(), state,
+      tmp("e10_foreign_ckpt1"), cfg)
+    Seq(batch0, batch1).foreach { b => mem.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(1L))
+    // a FRESH checkpoint restarts batch ids at 0; its batch 0 must not
+    // be mistaken for a replay of the state's batch 0
+    val mem2 = MemoryStream[PipeDoc]
+    val q2 = StreamingCorpusPipeline.sink(mem2.toDF(), state,
+      tmp("e10_foreign_ckpt2"), cfg)
+    mem2.addData(batch2)
+    val e = intercept[StreamingQueryException](q2.processAllAvailable())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("does not belong"), s"wrong failure: $msgs")
+    // the state survives untouched for a correctly-paired restart
+    assertEqualsBatch(state, batch0, batch1)
+  }
+
   test("Trigger.AvailableNow: the scheduled-daily-drain shape processes " +
       "everything then stops; a rerun drains only the new arrivals " +
       "(cadence guidance from the class doc, compiled and executed)") {
