@@ -81,9 +81,21 @@ object StreamingCorpusPipeline {
     else if (last.contains(batchId))
       log.info(s"batch $batchId already folded into $stateDir — " +
         "replay skipped (exactly-once)")
-    else
+    else {
+      if (last.isEmpty && batchId > 0)
+        // the mirror image of the mismatch above: an EXISTING checkpoint
+        // pointed at a fresh state dir — this checkpoint's batches
+        // 0..batchId-1 were committed somewhere that is not here. Not a
+        // hard error only because an engine path that skips a no-data
+        // batch 0 can legitimately deliver its first rows under a later
+        // id; anything else is silent under-ingestion, so say it loudly
+        log.warn(s"state $stateDir is at genesis but the stream's first " +
+          s"delivered batch is $batchId — if this checkpoint previously " +
+          "committed batches into a different state dir, those batches " +
+          "are NOT in this corpus")
       CorpusPipelineDelta.foldIncrement(delta, stateDir, cfg, storeCells,
         batchTag = Some(batchId))
+    }
     val elapsedMs = (System.nanoTime() - t0) / 1000000
     triggerIntervalMs.filter(_ < elapsedMs).foreach { iv =>
       log.warn(s"fold of batch $batchId took $elapsedMs ms — longer " +

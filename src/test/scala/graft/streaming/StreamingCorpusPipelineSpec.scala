@@ -189,6 +189,32 @@ class StreamingCorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CorpusPipelineDelta.lastBatch(spark, state).contains(2L))
   }
 
+  test("an EMPTY micro-batch mid-stream is a no-op fold that still " +
+      "advances last_batch (sources DO deliver empty batches); the " +
+      "chain stays equal to batch on the non-empty union") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e10_empty")
+    val ckpt = tmp("e10_empty_ckpt")
+    val mem = MemoryStream[PipeDoc]
+    val q = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    mem.addData(batch0); q.processAllAvailable()
+    mem.addData(Seq.empty[PipeDoc]); q.processAllAvailable()
+    val afterEmpty = CorpusPipelineDelta.lastBatch(spark, state)
+    mem.addData(batch1); q.processAllAvailable()
+    q.stop()
+    // the empty batch may or may not get its own batchId depending on
+    // the engine's no-data handling; what must hold: no wedged state,
+    // monotone last_batch, and the final answer == batch on the
+    // non-empty union
+    assert(CorpusPipelineDelta.recoverFold(spark, state) ==
+      CorpusPipelineDelta.Clean)
+    assert(afterEmpty.exists(_ >= 0L))
+    assert(CorpusPipelineDelta.lastBatch(spark, state).get >=
+      afterEmpty.get, "last_batch went backwards")
+    assertEqualsBatch(state, batch0, batch1)
+  }
+
   test("a FOREIGN checkpoint against an advanced state dir fails LOUDLY " +
       "instead of silently skipping arriving batches (batchId < " +
       "last_batch can never be a legitimate replay) (r12 sweep)") {
