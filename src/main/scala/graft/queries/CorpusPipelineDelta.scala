@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   *     retention both keep the MIN id, so "first arrival survives"
   *     only coincides with the batch answer when arrival order is id
   *     order — the natural shape for ingest sequence numbers.
+  *   - The STATE-SHAPING config fields must be identical across folds
+  *     (fingerprinted in `meta.cfg_fp`, checked per fold, throws on
+  *     mismatch): a mid-chain quota/gate/threshold/column change
+  *     cannot be honored from bounded state — rows already dropped
+  *     under the old config are gone, and the signature store keeps
+  *     its build threshold. Tail-only fields (packBudget, packShards)
+  *     and procedural flags may change freely. `evalDocs` is NOT
+  *     fingerprinted: decon decisions are arrival-time-final, so a
+  *     grown benchmark legitimately applies to future increments only
+  *     — but then the output equals the batch pipeline under the
+  *     PER-ARRIVAL eval sets, not under the latest one.
   *   - Decontamination must be against an EXTERNAL benchmark
   *     (`cfg.evalDocs` required; throws otherwise): the internal h≥98
   *     self-slice GROWS with the corpus, so a future increment's eval
@@ -75,8 +86,10 @@ import org.apache.spark.sql.functions._
   *   `mix/`     — the per-source top-quota survivors
   *                (idCol, sourceCol, langCol, textCol; ≤ Σ quotas
   *                rows), swapped atomically per increment;
-  *   `meta/`    — one row: the max id and the last micro-batch tag
-  *                applied so far (both nullable);
+  *   `meta/`    — one row: the max id, the last micro-batch tag
+  *                applied so far (both nullable), and the config
+  *                fingerprint the state was shaped under (see
+  *                [[cfgFingerprint]]);
   *   `journal`, `journal.commit`, `journal.storemeta` — present only
   *                while a fold is in flight (or crashed): the recovery
   *                snapshot (see [[recoverFold]]). */
@@ -91,12 +104,28 @@ object CorpusPipelineDelta {
   private def fsOf(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def readMaxId(s: SparkSession, stateDir: String): Option[Long] = {
+  /** The 1-row meta state, read in ONE driver-side job (max id, last
+    * micro-batch tag, config fingerprint — each nullable, and the
+    * latter two columns absent entirely in states written by earlier
+    * rounds). */
+  private final case class MetaState(maxId: Option[Long],
+      lastBatch: Option[Long], cfgFp: Option[String])
+
+  private def readMetaState(s: SparkSession,
+      stateDir: String): MetaState = {
     val p = metaDir(stateDir)
-    if (!fsOf(s, p).exists(new Path(p))) None
+    if (!fsOf(s, p).exists(new Path(p))) MetaState(None, None, None)
     else {
-      val r = s.read.parquet(p).select("max_id").collect().head
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+      val df = s.read.parquet(p)
+      val cols = df.columns.toSet
+      def opt(name: String, tpe: String) =
+        if (cols(name)) col(name) else lit(null).cast(tpe).as(name)
+      val r = df.select(col("max_id"), opt("last_batch", "long"),
+        opt("cfg_fp", "string")).collect().head
+      MetaState(
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))
     }
   }
 
@@ -104,18 +133,30 @@ object CorpusPipelineDelta {
     * tagged fold) — the replay-skip key for
     * [[graft.streaming.StreamingCorpusPipeline]]'s exactly-once sink. */
   private[graft] def lastBatch(s: SparkSession,
-      stateDir: String): Option[Long] = {
-    val p = metaDir(stateDir)
-    if (!fsOf(s, p).exists(new Path(p))) None
-    else {
-      val df = s.read.parquet(p)
-      if (!df.columns.contains("last_batch")) None
-      else {
-        val r = df.select("last_batch").collect().head
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
-      }
-    }
-  }
+      stateDir: String): Option[Long] = readMetaState(s, stateDir).lastBatch
+
+  /** Canonical rendering of the STATE-SHAPING config fields — the ones
+    * whose mid-chain change silently breaks the batch-equality
+    * contract: rows already dropped under the old quality gate /
+    * languages / threshold / quotas cannot be resurrected from bounded
+    * state, and the signature store keeps its BUILD threshold
+    * regardless of what a later cfg says. Persisted in `meta.cfg_fp` at
+    * every fold and REQUIRED identical on the next one. Deliberately
+    * excluded: packBudget/packShards (the tail is re-materialized from
+    * the mix state each refresh — changing them is legitimate),
+    * useLsh (the delta path always runs the store's banding; useLsh
+    * only selects the batch comparator's plan), preflight (procedural),
+    * and evalDocs (decon decisions are arrival-time-FINAL by design —
+    * a grown benchmark applies to future increments only, and the
+    * output's equality with a batch run under the NEW set no longer
+    * holds for rows admitted earlier; see the class doc). */
+  private[graft] def cfgFingerprint(cfg: Config): String = Seq(
+    s"id=${cfg.idCol}", s"text=${cfg.textCol}", s"lang=${cfg.langCol}",
+    s"source=${cfg.sourceCol}", s"minQuality=${cfg.minQuality}",
+    s"keepLangs=${cfg.keepLangs.mkString(",")}",
+    s"threshold=${cfg.nearDupThreshold}",
+    s"quotas=${cfg.quotas.toSeq.sorted.map { case (k, v) => s"$k:$v" }
+      .mkString(",")}").mkString("|")
 
   /** Apply one increment to the pipeline state at `stateDir` and return
     * the refreshed full output ([[foldIncrement]] + [[refreshOutput]]).
@@ -168,13 +209,33 @@ object CorpusPipelineDelta {
           "=> re-apply that increment; Completed => it was already " +
           "applied)")
 
-    // 0. id-ordering precondition: one delta-scale agg (driver scalar).
+    // 0a. config-stability precondition (r12 sweep): the state's
+    // fingerprint must match this fold's — a mid-chain change to a
+    // state-shaping field (quotas, gates, threshold, columns) cannot be
+    // honored from bounded state and would otherwise diverge from the
+    // batch answer SILENTLY. States from before the fingerprint simply
+    // gain one on their next fold.
+    val meta0 = readMetaState(s, stateDir)
+    val fp = cfgFingerprint(cfg)
+    meta0.cfgFp.filter(_ != fp).foreach(old =>
+      throw new IllegalArgumentException(
+        s"this state was built under a different Config.\n  stored:  " +
+          s"$old\n  offered: $fp\nThe chain's batch-equality contract " +
+          "requires the state-shaping fields (id/text/lang/source " +
+          "columns, quality gate, languages, near-dup threshold, " +
+          "quotas) to be identical across folds — rows already dropped " +
+          "under the old config cannot be resurrected, and the " +
+          "signature store keeps its build threshold. Tail-only fields " +
+          "(packBudget, packShards) and procedural flags (preflight, " +
+          "useLsh) may change freely and are not fingerprinted."))
+
+    // 0b. id-ordering precondition: one delta-scale agg (driver scalar).
     // Cast to long so any integral id width works — the batch twin is
     // type-generic, and an IntegerType id would otherwise die in
     // getLong with an unhelpful ClassCastException (ADVICE r11)
     val bounds = delta.agg(min(col(cfg.idCol).cast("long")).as("lo"),
       max(col(cfg.idCol).cast("long")).as("hi")).collect().head
-    val prevMax = readMaxId(s, stateDir)
+    val prevMax = meta0.maxId
     if (!bounds.isNullAt(0))
       prevMax.filter(_ >= bounds.getLong(0)).foreach(m =>
         throw new IllegalArgumentException(
@@ -306,8 +367,8 @@ object CorpusPipelineDelta {
       else prevMax
     val metaNext = s"${metaDir(stateDir)}__next"
     fs.delete(new Path(metaNext), true)
-    Seq((newMax, batchTag.orElse(lastBatch(s, stateDir))))
-      .toDF("max_id", "last_batch").coalesce(1)
+    Seq((newMax, batchTag.orElse(meta0.lastBatch), fp))
+      .toDF("max_id", "last_batch", "cfg_fp").coalesce(1)
       .write.mode("overwrite").parquet(metaNext)
 
     maybeCrash(s, "pre-commit")

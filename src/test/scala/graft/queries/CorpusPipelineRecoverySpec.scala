@@ -274,6 +274,51 @@ class CorpusPipelineRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       "int-id incremental chain diverged from the batch answer")
   }
 
+  test("config stability: a mid-chain change to a STATE-SHAPING field " +
+      "is refused naming both fingerprints; tail-only fields change " +
+      "freely (output == batch under the NEW tail params); " +
+      "pre-fingerprint states gain a fingerprint on their next fold " +
+      "(r12 sweep)") {
+    val state = tmp("rec_cfg")
+    CorpusPipelineDelta.foldIncrement(inc1, state, cfg)
+    // state-shaping: quotas and threshold both refuse loudly
+    val e1 = intercept[IllegalArgumentException](
+      CorpusPipelineDelta.foldIncrement(inc2, state,
+        cfg.copy(quotas = Map("src0" -> 3))))
+    assert(e1.getMessage.contains("different Config"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      CorpusPipelineDelta.foldIncrement(inc2, state,
+        cfg.copy(nearDupThreshold = 0.9)))
+    assert(e2.getMessage.contains("different Config"), e2.getMessage)
+    // the refusals mutated nothing: the chain continues under the
+    // original config — with a TAIL-ONLY change, which is legitimate
+    // (the split+pack tail is re-materialized from the mix each
+    // refresh), and the output equals the batch pipeline run entirely
+    // under the NEW tail params
+    val cfg2 = cfg.copy(packBudget = 64)
+    CorpusPipelineDelta.foldIncrement(inc2, state, cfg2)
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg2)) ==
+      rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg2)),
+      "tail-param change diverged from batch under the same params")
+    // upgrade path: a pre-fingerprint meta (no cfg_fp column, the
+    // r11-era layout) folds normally and gains the fingerprint
+    val state2 = tmp("rec_cfg2")
+    CorpusPipelineDelta.foldIncrement(inc1, state2, cfg)
+    val legacy = spark.read.parquet(s"$state2/meta")
+      .select("max_id", "last_batch").collect().head
+    fs.delete(new Path(s"$state2/meta"), true)
+    import spark.implicits._
+    Seq((if (legacy.isNullAt(0)) None else Some(legacy.getLong(0)),
+        if (legacy.isNullAt(1)) None else Some(legacy.getLong(1))))
+      .toDF("max_id", "last_batch").coalesce(1)
+      .write.parquet(s"$state2/meta")
+    CorpusPipelineDelta.foldIncrement(inc2, state2, cfg)
+    assert(spark.read.parquet(s"$state2/meta").columns.contains("cfg_fp"),
+      "legacy state did not gain a fingerprint")
+    assert(rows(CorpusPipelineDelta.refreshOutput(spark, state2, cfg)) ==
+      rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)))
+  }
+
   test("compactState shrinks the digest ledger and store files with " +
       "contents untouched; it refuses a crashed state; the chain " +
       "continues to the batch answer post-compact") {
