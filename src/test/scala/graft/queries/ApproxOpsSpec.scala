@@ -207,6 +207,34 @@ class ApproxOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "corpus no longer demonstrates the fixed-banding recall gap")
   }
 
+  test("threshold 1.0 degenerates to exact token-SET equality: only " +
+      "identical distinct-token sets pair, with certainty (r12 edge)") {
+    import spark.implicits._
+    // 3 planted identical-set groups (one with permuted order and a
+    // duplicated token — set semantics must still pair them), plus
+    // near-identical decoys at jaccard 30/31 and 9/10 that must NOT
+    // pair at t=1.0 though they would at the 0.7 default
+    val base = (0 until 30).map(i => s"t$i")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.reverse),                       // same set, permuted
+      (3L, base :+ "t0"),                       // same set, duplicate token
+      (4L, base :+ "extra"),                    // jac 30/31 decoy
+      (10L, Seq("a", "b", "c")),
+      (11L, Seq("c", "b", "a")),                // same set
+      (20L, (0 until 9).map(i => s"u$i")),
+      (21L, (0 until 10).map(i => s"u$i")))     // jac 9/10 decoy
+      .toDF("doc_id", "toks")
+    val got = ApproxOps.minhashNearDupPairs(docs, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+    assert(got == want, s"t=1.0 pairs: got $got want $want")
+    // sanity: the decoys DO pair at the default threshold
+    val loose = ApproxOps.minhashNearDupPairs(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 4L)) && loose.contains((20L, 21L)))
+  }
+
   test("Q48 IVF ANN recalls a usable share of the exact top-10") {
     val exact = LlmOps.q37(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

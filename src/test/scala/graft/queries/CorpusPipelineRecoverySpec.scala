@@ -319,6 +319,28 @@ class CorpusPipelineRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg)))
   }
 
+  test("quotas naming only ABSENT sources: the chain folds, the mix " +
+      "state is empty, output == batch (both empty) — the misconfigured" +
+      "-quota-map shape fails soft and consistently; the fingerprint " +
+      "still guards a later re-quota (r12 edge)") {
+    val state = tmp("rec_ghost")
+    val cfgG = cfg.copy(quotas = Map("ghost_source" -> 5))
+    CorpusPipelineDelta.foldIncrement(inc1, state, cfgG)
+    CorpusPipelineDelta.foldIncrement(inc2, state, cfgG)
+    val out = CorpusPipelineDelta.refreshOutput(spark, state, cfgG)
+    val batch = CorpusPipeline.assemble(inc1.unionByName(inc2), cfgG)
+    assert(out.count() == 0 && batch.count() == 0,
+      "ghost quotas admitted rows somewhere")
+    assert(rows(out) == rows(batch))
+    // the non-mix state is REAL (digest ledger holds the exact
+    // survivors), so fixing the quota map mid-chain is refused by the
+    // fingerprint rather than silently wrong
+    assert(spark.read.parquet(s"$state/digests").count() > 0)
+    val e = intercept[IllegalArgumentException](
+      CorpusPipelineDelta.foldIncrement(inc3, state, cfg))
+    assert(e.getMessage.contains("different Config"), e.getMessage)
+  }
+
   test("compactState shrinks the digest ledger and store files with " +
       "contents untouched; it refuses a crashed state; the chain " +
       "continues to the batch answer post-compact") {
