@@ -95,12 +95,16 @@ object Bench {
       def once(): Double = {
         Hygiene.clearAll(spark)
         // reclaim the previous run's checkpoint/cache heap BEFORE the
-        // timer starts: 125 sequential queries in one JVM accrete GC
+        // timer starts: 127 sequential queries in one JVM accrete GC
         // debt that otherwise lands inside the NEXT query's timed
         // window — the systematic in-bench-over-standalone inflation
-        // NOTES r7/r8 had to adjudicate per query (experiment gated by
-        // env for A/B)
-        if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
+        // NOTES r7/r8 had to adjudicate per query. DEFAULT ON since the
+        // r12 A/B settled it on the heaviest queries (same box, quiet
+        // canaries, minutes apart): q107 26.7→11.2 s, q80 10.1→4.2,
+        // q106 7.5→5.6 — each landing on its standalone-TimeQuery
+        // class, where the no-gc run sat 1.8–2.4× above it. The gc is
+        // OUTSIDE the timed window; opt out with SPARK_GRAFT_BENCH_GC=0.
+        if (!sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")) System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
