@@ -28,7 +28,12 @@ import org.apache.spark.sql.SparkSession
   * exclusion — at 100 TB a genesis fold's wall clock is unknowable in
   * advance, and "size staleMs above your longest job" was not an
   * operable contract. `staleMs` now only bounds how long a CRASHED
-  * holder blocks its successors.
+  * holder blocks its successors. Caveat for filesystems whose
+  * `setTimes` is unsupported or a no-op (some object-store adapters):
+  * heartbeats then fail quietly (each tick's IOException is swallowed
+  * and retried) and a live holder CAN still be observed stale — on
+  * such a store, fall back to the old contract and size `staleMs`
+  * above the longest job.
   *
   * Readers (probe/query/stats) take no lease — the swap protocol
   * already makes a torn read loud (no live dir), never silent. */
