@@ -20,20 +20,32 @@ import org.apache.spark.sql.SparkSession
   * check-then-create on the local filesystem — the usual
   * metastore-less-table compromise); the file body names the holder and
   * the acquisition time, so a refused caller's error says WHO holds it.
-  * A crash leaves the file behind — a lease older than `staleMs` (by
-  * filesystem mtime) is presumed dead and broken by the next acquirer.
-  * A LIVE holder re-touches its lease's mtime every `staleMs / 3` from
-  * a daemon heartbeat thread (VERDICT r11 task 2), so staleness means
-  * DEAD, not SLOW: a fold/compact that outruns `staleMs` keeps its
-  * exclusion — at 100 TB a genesis fold's wall clock is unknowable in
-  * advance, and "size staleMs above your longest job" was not an
-  * operable contract. `staleMs` now only bounds how long a CRASHED
-  * holder blocks its successors. Caveat for filesystems whose
-  * `setTimes` is unsupported or a no-op (some object-store adapters):
-  * heartbeats then fail quietly (each tick's IOException is swallowed
-  * and retried) and a live holder CAN still be observed stale — on
-  * such a store, fall back to the old contract and size `staleMs`
-  * above the longest job.
+  * A crash leaves the file behind — a lease older than `staleMs` is
+  * presumed dead and broken by the next acquirer. A LIVE holder beats
+  * every `staleMs / 3` from a daemon heartbeat thread (VERDICT r11
+  * task 2), so staleness means DEAD, not SLOW: a fold/compact that
+  * outruns `staleMs` keeps its exclusion — at 100 TB a genesis fold's
+  * wall clock is unknowable in advance, and "size staleMs above your
+  * longest job" was not an operable contract. `staleMs` now only
+  * bounds how long a CRASHED holder blocks its successors.
+  *
+  * The beat is OBJECT-STORE-SAFE (VERDICT r12 task 1): each tick
+  * re-CREATES a sidecar file (`<dir>__lease.beat`) naming the holder
+  * with a monotone counter — file creation refreshes the mtime on
+  * every filesystem, where the previous mtime-only `fs.setTimes`
+  * touch is unsupported or a no-op on common object-store adapters
+  * (a live holder was then observed stale at exactly the scale where
+  * object stores are the norm). `setTimes` on the lease file itself
+  * is still attempted as a best-effort secondary so mtime-only
+  * observers stay accurate, but nothing depends on it. Staleness is
+  * judged on the FRESHEST of the lease's mtime and its matching
+  * beat's evidence, and the single-winner break re-checks the beat
+  * after capturing the lease: a beat that changed (or appeared)
+  * since the staleness observation means a live holder raced the
+  * window — the break restores and refuses. The beat body names the
+  * holder, so a beat landing beside a successor's lease is
+  * detectable (holder mismatch) instead of silently masking the
+  * successor's own death.
   *
   * Readers (probe/query/stats) take no lease — the swap protocol
   * already makes a torn read loud (no live dir), never silent. */
@@ -49,6 +61,31 @@ object MaintenanceLease {
 
   private def leasePath(dir: String): Path = new Path(s"${dir}__lease")
 
+  /** Sidecar the heartbeat re-creates per tick; BESIDE the lease so a
+    * break's rename of the lease never moves the beat with it. */
+  private[operators] def beatPath(lease: Path): Path =
+    new Path(s"$lease.beat")
+
+  /** The holder token of a lease body (`"<holder> acquired_ms=…"`);
+    * hand-written lease files (tests, operator tooling) carry no
+    * timestamp and are their own holder token. */
+  private def holderOf(leaseText: String): String = {
+    val i = leaseText.indexOf(" acquired_ms=")
+    if (i < 0) leaseText else leaseText.substring(0, i)
+  }
+
+  /** The beat sidecar's (mtime, body) iff it exists, is readable AND
+    * names `holder` — a residue beat from a different holder is not
+    * liveness evidence for this lease. */
+  private def readBeat(fs: org.apache.hadoop.fs.FileSystem, lease: Path,
+      holder: String): Option[(Long, String)] = {
+    val bp = beatPath(lease)
+    try {
+      val mtime = fs.getFileStatus(bp).getModificationTime
+      readLeaseOpt(fs, bp).filter(_.startsWith(holder)).map((mtime, _))
+    } catch { case _: IOException => None }
+  }
+
   private def defaultHolder(op: String): String = {
     val host =
       try java.net.InetAddress.getLocalHost.getHostName
@@ -62,17 +99,26 @@ object MaintenanceLease {
       s".t${Thread.currentThread.getId}.n${java.lang.System.nanoTime}"
   }
 
-  private def readLeaseText(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): String =
+  /** None on ANY read failure (missing file included) — callers must
+    * distinguish "could not read" from "reads as someone else"
+    * (ADVICE r12: the heartbeat treated the unreadable-sentinel as a
+    * holder mismatch and permanently stopped on one transient read
+    * hiccup, silently dropping the exclusion it existed to keep). */
+  private def readLeaseOpt(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] =
     try {
       val in = fs.open(p)
       try {
         val buf = new Array[Byte](4096)
         val n = in.read(buf)
-        if (n <= 0) "<empty lease file>"
-        else new String(buf, 0, n, "UTF-8")
+        Some(if (n <= 0) "<empty lease file>"
+             else new String(buf, 0, n, "UTF-8"))
       } finally in.close()
-    } catch { case _: IOException => "<unreadable lease file>" }
+    } catch { case _: IOException => None }
+
+  private def readLeaseText(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String =
+    readLeaseOpt(fs, p).getOrElse("<unreadable lease file>")
 
   /** Single-winner stale break (ADVICE r10): rename the lease ASIDE to a
     * breaker-unique tombstone, then verify by mtime that the file we
@@ -84,11 +130,19 @@ object MaintenanceLease {
     * the SAME stale file exactly one rename succeeds; and if the rename
     * instead captured a FRESH lease recreated in the window (mtime ≠
     * observed), it is renamed back and the break reports failure.
-    * Returns true iff the stale lease is gone and the path is free to
-    * recreate. */
+    * `observedBeat` is the beat sidecar's (mtime, body) as seen at the
+    * staleness observation (None = absent/foreign): after capturing the
+    * lease, the beat is RE-read, and any change — a new body (the
+    * counter makes every tick distinct, covering coarse-mtime
+    * filesystems) or a fresh appearance — proves a live heartbeat
+    * raced the window, so the break restores and refuses. This is the
+    * object-store analogue of the mtime-identity check, which a
+    * `setTimes`-less holder can never refresh. Returns true iff the
+    * stale lease is gone and the path is free to recreate. */
   private[operators] def breakIfStillStale(
       fs: org.apache.hadoop.fs.FileSystem, p: Path,
-      observedMtime: Long): Boolean = {
+      observedMtime: Long,
+      observedBeat: Option[(Long, String)] = None): Boolean = {
     val tomb = new Path(
       s"$p.broken.pid${ProcessHandle.current.pid}.${System.nanoTime}")
     val renamed = try fs.rename(p, tomb)
@@ -98,11 +152,32 @@ object MaintenanceLease {
       // Either way the path may now be free — let tryCreate decide.
       true
     } else {
-      val sameFile =
+      val leaseUnmoved =
         try fs.getFileStatus(tomb).getModificationTime == observedMtime
         catch { case _: IOException => false }
-      if (sameFile) { fs.delete(tomb, false); true }
-      else {
+      // beat unmoved = absent now and at observation, or byte-identical
+      // body (counter + ms make every real tick distinct); holder
+      // matching happened at observation — a beat READ failure here is
+      // treated as changed (refuse): breaking on missing evidence would
+      // re-admit the double-writer hazard the lease exists to prevent
+      val beatNow =
+        try {
+          val bp = beatPath(p)
+          if (!fs.exists(bp)) None
+          else readLeaseOpt(fs, bp).map(t => (0L, t)).orElse(
+            Some((-1L, "<unreadable beat file>")))
+        } catch { case _: IOException => Some((-1L, "<unreadable beat file>")) }
+      val beatUnmoved = (observedBeat, beatNow) match {
+        case (None, None) => true
+        case (Some((_, was)), Some((_, is))) => was == is
+        case _ => false
+      }
+      val sameFile = leaseUnmoved && beatUnmoved
+      if (sameFile) {
+        fs.delete(tomb, false)
+        try fs.delete(beatPath(p), false) catch { case _: IOException => () }
+        true
+      } else {
         // we captured a lease RECREATED after our staleness check —
         // restore it and refuse. If the restore loses (a third writer
         // already recreated the path) the displaced lease is dropped:
@@ -130,6 +205,13 @@ object MaintenanceLease {
         try out.write(
           s"$holder acquired_ms=${System.currentTimeMillis}".getBytes("UTF-8"))
         finally out.close()
+        // clear a residue beat from a PREVIOUS holder (crash between a
+        // release's lease-delete and beat-delete) so it can never read
+        // as liveness evidence against a later stale lease
+        try {
+          if (readLeaseOpt(fs, beatPath(p)).exists(!_.startsWith(holder)))
+            fs.delete(beatPath(p), false)
+        } catch { case _: IOException => () }
         true
       } catch { case _: IOException => false }
 
@@ -137,10 +219,21 @@ object MaintenanceLease {
       val observed =
         try Some(fs.getFileStatus(p).getModificationTime)
         catch { case _: IOException => None } // holder released mid-check
+      // the lease's beat sidecar, matched to the lease's own holder —
+      // on a setTimes-less filesystem the beat's mtime is the ONLY
+      // freshness a live holder can produce. An unreadable lease body
+      // matches ANY beat: refusing on unconfirmable evidence is the
+      // safe direction (a wrong refusal retries later; a wrong break
+      // admits a second writer).
+      val obsBeat = readLeaseOpt(fs, p) match {
+        case Some(txt) => readBeat(fs, p, holderOf(txt))
+        case None => readBeat(fs, p, "")
+      }
       val broken = observed match {
         case Some(mtime)
-            if System.currentTimeMillis - mtime > staleMs =>
-          breakIfStillStale(fs, p, mtime)
+            if System.currentTimeMillis - math.max(mtime,
+              obsBeat.map(_._1).getOrElse(Long.MinValue)) > staleMs =>
+          breakIfStillStale(fs, p, mtime, obsBeat)
         case Some(_) => false // fresh — refuse below
         case None => true     // released mid-check; retry create
       }
@@ -153,24 +246,45 @@ object MaintenanceLease {
             s"refused; a lease untouched for ${staleMs} ms is presumed " +
             s"dead and will be broken")
     }
-    // heartbeat (VERDICT r11 task 2): re-touch the lease's mtime every
-    // staleMs/3 while the file still names THIS holder, so a rival's
-    // staleness check always observes a fresh lease on a live job. The
-    // thread stops itself if the lease stops being ours (a force-break):
-    // touching a successor's lease would mask the successor's own death.
+    // heartbeat (VERDICT r11 task 2, object-store-safe since r13):
+    // every staleMs/3, while the lease still names THIS holder,
+    // re-CREATE the beat sidecar (fresh mtime on every filesystem —
+    // `setTimes` is unsupported/no-op on common object-store adapters)
+    // naming the holder + a monotone counter, then best-effort touch
+    // the lease's own mtime for mtime-only observers. The thread stops
+    // itself only when the lease READS as someone else's (a
+    // force-break): beating on would mask the successor's own death.
+    // An UNREADABLE lease (transient store hiccup, or a breaker's
+    // rename window) is NOT a mismatch — skip the tick and retry
+    // (ADVICE r12: treating the unreadable sentinel as a mismatch
+    // permanently dropped the heartbeat on one read hiccup).
     val beat = new Thread(() => {
       try {
         var mine = true
+        var ticks = 0L
         while (mine) {
           Thread.sleep(math.max(staleMs / 3, 10))
-          if (readLeaseText(fs, p).startsWith(holder))
-            try fs.setTimes(p, System.currentTimeMillis, -1)
-            catch { case _: IOException => () } // transient; retry next tick
-          else {
-            mine = false
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"lease on $dir no longer names '$holder' — heartbeat " +
-                "stopped (force-broken? exclusion is lost)")
+          readLeaseOpt(fs, p) match {
+            case Some(txt) if txt.startsWith(holder) =>
+              ticks += 1
+              try {
+                val out = fs.create(beatPath(p), true)
+                try out.write(
+                  s"$holder beat=$ticks ms=${System.currentTimeMillis}"
+                    .getBytes("UTF-8"))
+                finally out.close()
+              } catch { case _: IOException => () } // transient; retry next tick
+              try fs.setTimes(p, System.currentTimeMillis, -1)
+              catch {
+                case _: IOException => ()
+                case _: UnsupportedOperationException => ()
+              }
+            case Some(_) =>
+              mine = false
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"lease on $dir no longer names '$holder' — heartbeat " +
+                  "stopped (force-broken? exclusion is lost)")
+            case None => () // can't read — no evidence either way; retry
           }
         }
       } catch { case _: InterruptedException => () }
@@ -188,7 +302,10 @@ object MaintenanceLease {
       // whatever sits at the path would evict the NEW holder and admit
       // a third concurrent writer.
       val text = readLeaseText(fs, p)
-      if (text.startsWith(holder)) fs.delete(p, false)
+      if (text.startsWith(holder)) {
+        fs.delete(p, false)
+        try fs.delete(beatPath(p), false) catch { case _: IOException => () }
+      }
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"lease on $dir no longer held by '$holder' at release " +
           s"(current: '$text') — this job outran staleMs and lost its " +
@@ -213,6 +330,7 @@ object MaintenanceLease {
           if (n <= 0) "<empty lease file>" else new String(buf, 0, n, "UTF-8")
         } finally in.close()
       fs.delete(p, false)
+      try fs.delete(beatPath(p), false) catch { case _: IOException => () }
       Some(text)
     } catch { case _: IOException => None }
   }

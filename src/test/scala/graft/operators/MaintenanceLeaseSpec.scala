@@ -5,6 +5,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Local filesystem under an object-store-shaped contract: `setTimes`
+  * is unsupported (S3A historically no-ops it; other adapters throw).
+  * Reuses [[graft.filemover.FakeHdfsFileSystem]]'s eager-permission
+  * statuses so non-`file` schemes survive the lazy permission loader. */
+class NoSetTimesFileSystem extends graft.filemover.FakeHdfsFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("notimes://nn")
+  override def getScheme: String = "notimes"
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+    throw new UnsupportedOperationException("setTimes is not supported")
+}
+
+object FlakyReads { @volatile var fail = false }
+
+/** Local filesystem whose reads fail on demand — the transient
+  * open/read hiccup (object store throttle, NN failover) of ADVICE
+  * r12: the heartbeat must skip the tick and retry, not stop. */
+class FlakyReadFileSystem extends graft.filemover.FakeHdfsFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flaky://nn")
+  override def getScheme: String = "flaky"
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream =
+    if (FlakyReads.fail)
+      throw new java.io.IOException("injected transient read failure")
+    else super.open(f, bufferSize)
+}
+
 /** The maintenance concurrency lease (VERDICT r9 task 3) plus the r9
   * ADVICE hardening of the compaction/stats machinery: a writer racing
   * another writer is refused LOUDLY (naming the holder) instead of
@@ -206,6 +232,106 @@ class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
         "(holder text not unique per acquisition)")
     assert(leaseText(lease) == successorText)
     fs.delete(lease, false)
+  }
+
+  test("object-store-safe heartbeat: on a filesystem whose setTimes " +
+      "THROWS, a live holder outrunning staleMs still keeps its " +
+      "exclusion via the beat sidecar, and a dead holder is still " +
+      "broken (VERDICT r12 task 1)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.notimes.impl", classOf[NoSetTimesFileSystem].getName)
+    val localDir = tmp("lease_os")
+    val dir = s"notimes://nn$localDir/guarded"
+    val osFs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    intercept[UnsupportedOperationException] {
+      osFs.setTimes(new Path(dir), System.currentTimeMillis, -1)
+    } // precondition: this REALLY is a setTimes-less filesystem
+    val lease = new Path(s"${dir}__lease")
+    MaintenanceLease.withLease(spark, dir, "slow-fold-os", staleMs = 3000) {
+      Thread.sleep(7000) // > 2× staleMs; only the beat can prove liveness
+      val e = intercept[IllegalStateException] {
+        MaintenanceLease.withLease(spark, dir, "rival-os", staleMs = 3000)(())
+      }
+      assert(e.getMessage.contains("slow-fold-os"), e.getMessage)
+      assert(osFs.exists(lease), "rival's refused attempt removed the lease")
+    }
+    assert(!osFs.exists(lease), "lease not released after the long hold")
+    assert(!osFs.exists(new Path(s"${dir}__lease.beat")),
+      "beat sidecar not cleaned up at release")
+    // dead-process path unchanged: a lease NOBODY beats goes stale and
+    // is broken (aged via the raw local file — the wrapper can't)
+    val out = osFs.create(lease, false)
+    try out.write("dead-process-os".getBytes("UTF-8")) finally out.close()
+    assert(new java.io.File(s"$localDir/guarded__lease")
+      .setLastModified(System.currentTimeMillis - 60000))
+    MaintenanceLease.withLease(spark, dir, "successor-os", staleMs = 3000)(())
+    assert(!osFs.exists(lease), "stale dead lease survived the successor")
+  }
+
+  test("heartbeat survives TRANSIENT lease-read failures: a flaky-read " +
+      "window must skip ticks and retry, not permanently stop the " +
+      "heartbeat and forfeit the exclusion (ADVICE r12)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyReadFileSystem].getName)
+    val localDir = tmp("lease_flaky")
+    val dir = s"flaky://nn$localDir/guarded"
+    val flakyFs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new Path(s"${dir}__lease")
+    FlakyReads.fail = false
+    try {
+      MaintenanceLease.withLease(spark, dir, "flaky-hold", staleMs = 3000) {
+        Thread.sleep(1400)      // first tick beats cleanly
+        FlakyReads.fail = true  // reads fail across ~2 ticks
+        Thread.sleep(2200)
+        FlakyReads.fail = false // store recovers; beats must RESUME
+        Thread.sleep(2000)
+        // by now the acquisition is >5.5 s old — far past staleMs. If
+        // the flaky window had stopped the heartbeat (the r12
+        // behavior), the last liveness evidence would be >4 s old and
+        // this rival would break the lease and take over mid-hold.
+        val e = intercept[IllegalStateException] {
+          MaintenanceLease.withLease(spark, dir, "rival-flaky",
+            staleMs = 3000)(())
+        }
+        assert(e.getMessage.contains("flaky-hold"), e.getMessage)
+      }
+    } finally FlakyReads.fail = false
+    assert(!flakyFs.exists(lease), "lease not released after the hold")
+  }
+
+  test("break re-checks the beat: a beat that CHANGED or APPEARED " +
+      "between the staleness observation and the rename refuses the " +
+      "break — the object-store analogue of the mtime-identity check") {
+    val dir = tmp("lease_beatrace")
+    val lease = holdLease(dir, "os-holder")
+    val staleM = System.currentTimeMillis - 2L * 60 * 60 * 1000
+    fs.setTimes(lease, staleM, -1)
+    val beatP = new Path(s"${dir}__lease.beat")
+    def writeBeat(s: String): Unit = {
+      val out = fs.create(beatP, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    writeBeat("os-holder beat=7 ms=123")
+    val observed = Some((staleM, "os-holder beat=7 ms=123"))
+    // a live holder's tick lands in the window: the body changes (the
+    // monotone counter makes every tick distinct even under coarse
+    // mtime granularity)
+    writeBeat("os-holder beat=8 ms=456")
+    assert(!MaintenanceLease.breakIfStillStale(fs, lease, staleM, observed),
+      "break proceeded over a beat that changed in the window")
+    assert(fs.exists(lease), "lease evicted under a live beat")
+    assert(leaseText(lease) == "os-holder", "lease body not restored")
+    // beat APPEARED where none was observed: same refusal
+    assert(!MaintenanceLease.breakIfStillStale(fs, lease, staleM, None),
+      "break proceeded over a beat that appeared in the window")
+    assert(fs.exists(lease))
+    // with the beat UNCHANGED since observation the break proceeds and
+    // clears both the lease and its beat residue
+    assert(MaintenanceLease.breakIfStillStale(fs, lease, staleM,
+      Some((staleM, "os-holder beat=8 ms=456"))))
+    assert(!fs.exists(lease) && !fs.exists(beatP))
   }
 
   test("the lease releases on a FAILED operation too") {
