@@ -151,7 +151,12 @@ object Bench {
       val floor = math.min(canaryMs.min, math.min(cBefore, cAfter))
       val thresh = floor + math.max(floor / 2, 100)
       if (cBefore < thresh && cAfter < thresh) {
-        retried.zipWithIndex.foreach { case (r, i) => results(lo + i) = r }
+        retried.zipWithIndex.foreach { case (r, i) =>
+          // a retry that flaked to -1.0 must not replace a valid
+          // original (ADVICE r12): the retry exists to fix ambience,
+          // not to convert a measured query into a failure marker
+          if (!(r._2 < 0 && results(lo + i)._2 > 0)) results(lo + i) = r
+        }
         quietRetried += b
       }
     }

@@ -153,7 +153,9 @@ object CorpusPipelineDelta {
   private[graft] def cfgFingerprint(cfg: Config): String = Seq(
     s"id=${cfg.idCol}", s"text=${cfg.textCol}", s"lang=${cfg.langCol}",
     s"source=${cfg.sourceCol}", s"minQuality=${cfg.minQuality}",
-    s"keepLangs=${cfg.keepLangs.mkString(",")}",
+    // sorted like quotas (ADVICE r12): membership is an isin test, so
+    // the same language SET in a different Seq order is the same config
+    s"keepLangs=${cfg.keepLangs.sorted.mkString(",")}",
     s"threshold=${cfg.nearDupThreshold}",
     s"quotas=${cfg.quotas.toSeq.sorted.map { case (k, v) => s"$k:$v" }
       .mkString(",")}").mkString("|")

@@ -294,8 +294,13 @@ class CorpusPipelineRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     // original config — with a TAIL-ONLY change, which is legitimate
     // (the split+pack tail is re-materialized from the mix each
     // refresh), and the output equals the batch pipeline run entirely
-    // under the NEW tail params
-    val cfg2 = cfg.copy(packBudget = 64)
+    // under the NEW tail params. keepLangs is also REORDERED here:
+    // membership is an isin test, so the same language SET in a
+    // different Seq order is the same config — the fingerprint
+    // canonicalizes by sorting, like quotas (ADVICE r12), and this
+    // fold would be refused if it did not
+    val cfg2 = cfg.copy(packBudget = 64, keepLangs = cfg.keepLangs.reverse)
+    assert(cfg2.keepLangs != cfg.keepLangs) // order really differs
     CorpusPipelineDelta.foldIncrement(inc2, state, cfg2)
     assert(rows(CorpusPipelineDelta.refreshOutput(spark, state, cfg2)) ==
       rows(CorpusPipeline.assemble(inc1.unionByName(inc2), cfg2)),
