@@ -241,6 +241,140 @@ class StreamingCorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertEqualsBatch(state, batch0, batch1)
   }
 
+  // ---- E10 over a REAL FileStreamSource (VERDICT r12 task 2): the
+  // production shape named in the class doc — a directory of arriving
+  // increment files drained by Trigger.AvailableNow — exercises the
+  // engine's OWN batch-id/offset-log behavior (file listing order,
+  // multi-batch drains, checkpoint-filtered reruns), which MemoryStream
+  // cannot. One file per increment (coalesce(1) + rename) because the
+  // fold's contract is ids-strictly-increase ACROSS micro-batches and
+  // maxFilesPerTrigger=1 makes each file its own batch.
+
+  private def writeIncrement(srcDir: String, name: String,
+      docs: Seq[PipeDoc]): Unit = {
+    import spark.implicits._
+    val staging = tmp(s"e10stage_$name")
+    docs.toDF().coalesce(1).write.parquet(staging)
+    val part = fs.listStatus(new Path(staging)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new Path(srcDir))
+    fs.rename(part, new Path(s"$srcDir/$name.parquet"))
+    // distinct mtimes keep the source's age-ordered listing (and so the
+    // batch order the id contract leans on) deterministic
+    Thread.sleep(100)
+  }
+
+  private def fileSource(srcDir: String): DataFrame = spark.readStream
+    .schema(org.apache.spark.sql.Encoders.product[PipeDoc].schema)
+    .option("maxFilesPerTrigger", "1")
+    .parquet(srcDir)
+
+  test("E10 over a real file source: an increment-file directory drains " +
+      "under Trigger.AvailableNow (one file per micro-batch), state == " +
+      "batch pipeline on the union; tomorrow's rerun folds ONLY the new " +
+      "arrival (the checkpoint's file log filters seen files)") {
+    val srcDir = tmp("e10f_src")
+    val state = tmp("e10f_state")
+    val ckpt = tmp("e10f_ckpt")
+    writeIncrement(srcDir, "day0", batch0)
+    writeIncrement(srcDir, "day1", batch1)
+    val q1 = StreamingCorpusPipeline.sink(fileSource(srcDir), state, ckpt,
+      cfg, trigger = Some(Trigger.AvailableNow()))
+    q1.awaitTermination(180000)
+    assert(!q1.isActive, "AvailableNow drain did not stop on its own")
+    assertEqualsBatch(state, batch0, batch1)
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(1L),
+      "two files under maxFilesPerTrigger=1 must arrive as two batches")
+    // tomorrow: one new file lands; the rerun must fold it and nothing else
+    writeIncrement(srcDir, "day2", batch2)
+    val q2 = StreamingCorpusPipeline.sink(fileSource(srcDir), state, ckpt,
+      cfg, trigger = Some(Trigger.AvailableNow()))
+    q2.awaitTermination(180000)
+    assert(!q2.isActive)
+    assertEqualsBatch(state, batch0, batch1, batch2)
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(2L))
+    assert(CorpusPipelineDelta.recoverFold(spark, state) ==
+      CorpusPipelineDelta.Clean)
+  }
+
+  test("E10 file source, crash-restart mid-drain: a post-commit crash " +
+      "replays the file batch and SKIPS it; a pre-commit crash replays " +
+      "and RE-APPLIES it — exactly-once against the engine's own " +
+      "offset log, not MemoryStream's") {
+    val srcDir = tmp("e10fc_src")
+    val state = tmp("e10fc_state")
+    val ckpt = tmp("e10fc_ckpt")
+    def drain(): Unit = {
+      val q = StreamingCorpusPipeline.sink(fileSource(srcDir), state, ckpt,
+        cfg, trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(180000)
+      assert(!q.isActive)
+    }
+    def crashDrain(point: String): Unit = {
+      spark.conf.set(CorpusPipelineDelta.CrashPointConf, point)
+      try {
+        val q = StreamingCorpusPipeline.sink(fileSource(srcDir), state,
+          ckpt, cfg, trigger = Some(Trigger.AvailableNow()))
+        val e = intercept[StreamingQueryException](q.awaitTermination(180000))
+        assert(hasInjectedCrash(e), s"query died of something else: $e")
+      } finally spark.conf.unset(CorpusPipelineDelta.CrashPointConf)
+    }
+    writeIncrement(srcDir, "day0", batch0)
+    drain() // clean batch 0
+    // post-commit: the fold applied, the offsets did not commit — the
+    // restarted drain must redeliver the SAME file under the SAME
+    // batch id and skip it via meta.last_batch
+    writeIncrement(srcDir, "day1", batch1)
+    crashDrain("post-commit")
+    drain()
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(1L),
+      "roll-forward did not record the file batch's tag")
+    assertEqualsBatch(state, batch0, batch1)
+    // pre-commit: the fold died mid-mutation — the journal survives the
+    // crash, the replayed file batch rolls it back and re-applies
+    writeIncrement(srcDir, "day2", batch2)
+    crashDrain("pre-commit")
+    assert(fs.exists(new Path(s"$state/journal")),
+      "pre-commit crash left no journal (fixture broken)")
+    drain()
+    assert(!fs.exists(new Path(s"$state/journal")),
+      "replayed file batch did not retire the recovered journal")
+    assertEqualsBatch(state, batch0, batch1, batch2)
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(2L))
+    assert(CorpusPipelineDelta.recoverFold(spark, state) ==
+      CorpusPipelineDelta.Clean)
+  }
+
+  test("E10 file source, genesis WARN for real: an ADVANCED checkpoint " +
+      "re-pointed at a FRESH state dir folds its next batch under a " +
+      "non-zero id (warned, not refused) — the engine can legitimately " +
+      "deliver first rows under a later id, and only this checkpoint's " +
+      "EARLIER batches are missing from the new corpus") {
+    val srcDir = tmp("e10g_src")
+    val state1 = tmp("e10g_state1")
+    val ckpt = tmp("e10g_ckpt")
+    writeIncrement(srcDir, "day0", batch0)
+    writeIncrement(srcDir, "day1", batch1)
+    val q1 = StreamingCorpusPipeline.sink(fileSource(srcDir), state1, ckpt,
+      cfg, trigger = Some(Trigger.AvailableNow()))
+    q1.awaitTermination(180000)
+    assert(CorpusPipelineDelta.lastBatch(spark, state1).contains(1L))
+    // operator re-points the SAME checkpoint at a new, empty state dir;
+    // the next arrival is delivered under batch id 2 against genesis
+    val state2 = tmp("e10g_state2")
+    writeIncrement(srcDir, "day2", batch2)
+    val q2 = StreamingCorpusPipeline.sink(fileSource(srcDir), state2, ckpt,
+      cfg, trigger = Some(Trigger.AvailableNow()))
+    q2.awaitTermination(180000)
+    assert(!q2.isActive)
+    // the new state holds ONLY the post-repoint arrivals — under the
+    // checkpoint's continued numbering, not a restarted one
+    assertEqualsBatch(state2, batch2)
+    assert(CorpusPipelineDelta.lastBatch(spark, state2).contains(2L))
+    // the original state is untouched by the re-point
+    assertEqualsBatch(state1, batch0, batch1)
+  }
+
   test("Trigger.AvailableNow: the scheduled-daily-drain shape processes " +
       "everything then stops; a rerun drains only the new arrivals " +
       "(cadence guidance from the class doc, compiled and executed)") {
