@@ -25,6 +25,16 @@ import org.apache.spark.sql.SparkSession
 object Compaction {
   final case class Stats(inFiles: Int, inBytes: Long, outFiles: Int)
 
+  /** Test seam (VERDICT r12 task 3): the racing-reader specs must hold
+    * a swap INSIDE each of its two windows while a probe runs from a
+    * second thread — a sleep cannot pin that interleave. Fires with
+    * `"swap-mid"` between the two renames (the no-live-dir window) and
+    * `"swap-pre-clean"` after the new tree is live but before the
+    * `__old` copy is deleted. None (a no-op) in production — same
+    * spirit as [[graft.queries.CorpusPipelineDelta]]'s CrashPointConf. */
+  @volatile private[graft] var pauseHook: Option[String => Unit] = None
+  private def pause(point: String): Unit = pauseHook.foreach(_(point))
+
   /** Un-crash a half-finished [[swapDir]]: if `live` is missing but its
     * `…__old` sibling exists, a previous swap died between its two
     * renames — put the original back. Safe to call unconditionally
@@ -51,8 +61,10 @@ object Compaction {
     val oldP = new Path(s"${live}__old")
     if (fs.exists(oldP)) fs.delete(oldP, true)
     require(fs.rename(livP, oldP), s"swap: rename $live aside failed")
+    pause("swap-mid")
     require(fs.rename(new Path(tmp), livP),
       s"swap: rename $tmp into place failed ($live is at $oldP)")
+    pause("swap-pre-clean")
     fs.delete(oldP, true)
     ()
   }
