@@ -155,7 +155,7 @@ object ScaleBench {
     // single family can be re-measured without paying the others
     val fams: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
-      else Set("1", "1b", "2", "3", "4", "5", "6", "7")
+      else Set("1", "1b", "2", "3", "4", "5", "6", "7", "8")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -532,6 +532,92 @@ object ScaleBench {
             s"${round2(tPruned)}s ($rPruned recs), $nFull hits")
         }
       }
+    }
+
+    // ---- 8. streaming-sink overhead at scale (VERDICT r12 task 4) ----
+    // Family 6 measures the batch fold chain at 500k docs; E10's
+    // per-micro-batch overhead — recoverFold's journal check + the
+    // consolidated meta read + the engine's own offset/commit-log I/O
+    // and planning per batch — had no measured number. Same genesis +
+    // 3 daily increments, folded twice: directly (foldIncrement) and
+    // through StreamingCorpusPipeline.sink draining a file-source
+    // directory under Trigger.AvailableNow (the scheduled-daily-drain
+    // production shape). The streamed day is timed start→termination,
+    // so it INCLUDES the engine's machinery — that delta is the object
+    // of the measurement. Day-3 states are required row-identical.
+    if (fams("8")) {
+      val incPs = Seq(
+        gen("pipeInc_d1") { genDocs(spark, 500, 0.2, 100000, 43, 600000) },
+        gen("pipeInc_d2") { genDocs(spark, 500, 0.2, 100000, 43, 610000) },
+        gen("pipeInc_d3") { genDocs(spark, 500, 0.2, 100000, 43, 620000) })
+      val evalP = gen("pipeEval") { genDocs(spark, 50, 0.0, 100000, 78, 900000) }
+      def full(p: String): DataFrame = spark.read.parquet(p)
+        .withColumn("lang", lit("en"))
+        .withColumn("source",
+          concat(lit("src"), (col("doc_id") % 20).cast("string")))
+      val evalDocs = spark.read.parquet(evalP).select($"doc_id", $"text")
+      val cfg = queries.CorpusPipeline.Config(useLsh = true,
+        evalDocs = Some(evalDocs))
+      def foldWall(state: String, p: String): Double = {
+        Hygiene.clearAll(spark)
+        val t0 = System.nanoTime()
+        queries.CorpusPipelineDelta.foldIncrement(full(p), state, cfg,
+          storeCells = 4096)
+        (System.nanoTime() - t0) / 1e9
+      }
+      // A: the direct chain (fold only — refresh cadence is the
+      // consumer's, and the sink does not refresh either)
+      val dirState = s"$work/pipe_state_dir8"
+      fs.delete(new org.apache.hadoop.fs.Path(dirState), true)
+      val directTimes = (docs500kP +: incPs).map(foldWall(dirState, _))
+      // B: the streamed chain — each day one file lands, one
+      // AvailableNow drain folds it through the exactly-once sink
+      val stState = s"$work/pipe_state_str8"
+      val ckpt = s"$work/pipe_ckpt8"
+      val srcDir = s"$work/pipe_src8"
+      Seq(stState, ckpt, srcDir).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      val srcSchema = full(docs500kP).schema
+      def ship(name: String, p: String): Unit = {
+        val staging = s"$work/pipe_ship8_$name"
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        full(p).coalesce(1).write.parquet(staging)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      }
+      def drainWall(): Double = {
+        Hygiene.clearAll(spark)
+        val t0 = System.nanoTime()
+        val q = streaming.StreamingCorpusPipeline.sink(
+          spark.readStream.schema(srcSchema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir),
+          stState, ckpt, cfg, storeCells = 4096,
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        q.awaitTermination(1800000)
+        require(!q.isActive, "AvailableNow drain did not stop")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val streamTimes = (("genesis", docs500kP) +:
+        incPs.zipWithIndex.map { case (p, i) => (s"day${i + 1}", p) })
+        .map { case (name, p) => ship(name, p); drainWall() }
+      // the two chains must agree row-for-row at day 3
+      val aD = queries.CorpusPipelineDelta.refreshOutput(spark, dirState, cfg)
+        .collect().map(_.toSeq).toSet
+      val aS = queries.CorpusPipelineDelta.refreshOutput(spark, stState, cfg)
+        .collect().map(_.toSeq).toSet
+      require(aD == aS, s"streamed chain diverged from direct folds: " +
+        s"${(aD -- aS).take(3)} / ${(aS -- aD).take(3)}")
+      require(aD.nonEmpty)
+      results += "stream_fold_direct_s" ->
+        directTimes.map(round2).mkString("/")
+      results += "stream_fold_sink_s" -> streamTimes.map(round2).mkString("/")
+      println(s"8. fold wall genesis+3 days: direct " +
+        s"${directTimes.map(round2).mkString("/")}s vs streamed sink " +
+        s"${streamTimes.map(round2).mkString("/")}s (day-3 outputs " +
+        s"identical, ${aD.size} rows)")
     }
 
     println("RESULTS " + results.map { case (k, v) => s"$k=$v" }.mkString(" | "))

@@ -109,23 +109,24 @@ object CorpusPipelineDelta {
     * latter two columns absent entirely in states written by earlier
     * rounds). */
   private final case class MetaState(maxId: Option[Long],
-      lastBatch: Option[Long], cfgFp: Option[String])
+      lastBatch: Option[Long], cfgFp: Option[String],
+      batchLo: Option[Long], batchHi: Option[Long])
 
   private def readMetaState(s: SparkSession,
       stateDir: String): MetaState = {
     val p = metaDir(stateDir)
-    if (!fsOf(s, p).exists(new Path(p))) MetaState(None, None, None)
+    if (!fsOf(s, p).exists(new Path(p))) MetaState(None, None, None, None, None)
     else {
       val df = s.read.parquet(p)
       val cols = df.columns.toSet
       def opt(name: String, tpe: String) =
         if (cols(name)) col(name) else lit(null).cast(tpe).as(name)
       val r = df.select(col("max_id"), opt("last_batch", "long"),
-        opt("cfg_fp", "string")).collect().head
-      MetaState(
-        if (r.isNullAt(0)) None else Some(r.getLong(0)),
-        if (r.isNullAt(1)) None else Some(r.getLong(1)),
-        if (r.isNullAt(2)) None else Some(r.getString(2)))
+        opt("cfg_fp", "string"), opt("batch_lo", "long"),
+        opt("batch_hi", "long")).collect().head
+      def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      MetaState(l(0), l(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)), l(3), l(4))
     }
   }
 
@@ -134,6 +135,24 @@ object CorpusPipelineDelta {
     * [[graft.streaming.StreamingCorpusPipeline]]'s exactly-once sink. */
   private[graft] def lastBatch(s: SparkSession,
       stateDir: String): Option[Long] = readMetaState(s, stateDir).lastBatch
+
+  /** The replay-skip key PLUS the tagged batch's delta id bounds (r13):
+    * a foreign checkpoint whose batch id happens to EQUAL `last_batch`
+    * is indistinguishable from a legitimate replay by ids alone — the
+    * skip path would silently drop its rows, the same
+    * loss-that-looks-like-success family the r12 `<` guard closed. A
+    * true replay redelivers the SAME rows (the replayable-source
+    * contract), so the recorded bounds let the sink verify the skip.
+    * `lo`/`hi` are None for states written before r13, after an empty
+    * tagged batch, or before any tagged fold — unverifiable, skip
+    * proceeds as before. */
+  private[graft] final case class LastBatchInfo(batch: Option[Long],
+      lo: Option[Long], hi: Option[Long])
+  private[graft] def lastBatchInfo(s: SparkSession,
+      stateDir: String): LastBatchInfo = {
+    val m = readMetaState(s, stateDir)
+    LastBatchInfo(m.lastBatch, m.batchLo, m.batchHi)
+  }
 
   /** Canonical rendering of the STATE-SHAPING config fields — the ones
     * whose mid-chain change silently breaks the batch-equality
@@ -369,9 +388,19 @@ object CorpusPipelineDelta {
       else prevMax
     val metaNext = s"${metaDir(stateDir)}__next"
     fs.delete(new Path(metaNext), true)
-    Seq((newMax, batchTag.orElse(meta0.lastBatch), fp))
-      .toDF("max_id", "last_batch", "cfg_fp").coalesce(1)
-      .write.mode("overwrite").parquet(metaNext)
+    // the TAGGED batch's delta id bounds ride along for the streaming
+    // sink's skip verification (see LastBatchInfo); an untagged manual
+    // fold carries the previous record through, paired with the carried
+    // last_batch — dropping it would blind the verification for exactly
+    // the interleaved-mixed-mode replays that need it
+    val (bLo, bHi) =
+      if (batchTag.isDefined)
+        (if (bounds.isNullAt(0)) None else Some(bounds.getLong(0)),
+         if (bounds.isNullAt(1)) None else Some(bounds.getLong(1)))
+      else (meta0.batchLo, meta0.batchHi)
+    Seq((newMax, batchTag.orElse(meta0.lastBatch), fp, bLo, bHi))
+      .toDF("max_id", "last_batch", "cfg_fp", "batch_lo", "batch_hi")
+      .coalesce(1).write.mode("overwrite").parquet(metaNext)
 
     maybeCrash(s, "pre-commit")
     // ---- COMMIT: the marker flips recovery from roll-back to

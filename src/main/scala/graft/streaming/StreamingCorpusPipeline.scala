@@ -26,7 +26,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     ([[CorpusPipelineDelta.Completed]]) and the replayed batch's id
   *     now equals `meta.last_batch` — the sink SKIPS it (re-folding
   *     would throw the strictly-increasing-id precondition; the skip is
-  *     the exactly-once path, not an optimization);
+  *     the exactly-once path, not an optimization). The skip first
+  *     verifies the replay's id bounds against the recorded fold's
+  *     (`meta.batch_lo/hi`) — a foreign checkpoint colliding at
+  *     exactly `last_batch` must fail loudly, not lose its rows;
   *   - crash after the offset commit → the batch is never redelivered
   *     and `meta.last_batch` already records it.
   *
@@ -63,7 +66,8 @@ object StreamingCorpusPipeline {
         log.warn(s"completed crashed fold '$tok' at $stateDir")
       case CorpusPipelineDelta.Clean => ()
     }
-    val last = CorpusPipelineDelta.lastBatch(s, stateDir)
+    val info = CorpusPipelineDelta.lastBatchInfo(s, stateDir)
+    val last = info.batch
     if (last.exists(_ > batchId))
       // a correct replay only ever redelivers batchId == last_batch (the
       // one in-flight batch whose offsets never committed). batchId <
@@ -78,10 +82,35 @@ object StreamingCorpusPipeline {
           "dir. Pair the checkpoint and state dir for life; a new " +
           "checkpoint needs a new state dir (or fold the backlog " +
           "non-streaming via CorpusPipelineDelta.foldIncrement)")
-    else if (last.contains(batchId))
+    else if (last.contains(batchId)) {
+      // verify the replay IS the recorded batch before skipping (r13):
+      // batchId == last_batch is the legitimate-replay signature, but a
+      // FOREIGN checkpoint colliding at exactly last_batch would wear
+      // it too, and skipping would drop its rows silently. A true
+      // replay redelivers the same rows (the replayable-source
+      // contract), so the recorded fold's delta id bounds must match.
+      // Unverifiable records (pre-r13 state, empty tagged batch) skip
+      // as before.
+      (info.lo, info.hi) match {
+        case (Some(lo), Some(hi)) =>
+          import org.apache.spark.sql.functions.{col, max, min}
+          val b = delta.agg(min(col(cfg.idCol).cast("long")).as("lo"),
+            max(col(cfg.idCol).cast("long")).as("hi")).collect().head
+          if (b.isNullAt(0) || b.getLong(0) != lo || b.getLong(1) != hi)
+            throw new IllegalStateException(
+              s"micro-batch $batchId claims to be a replay of the " +
+                s"already-folded batch $batchId at $stateDir, but its id " +
+                s"bounds [${if (b.isNullAt(0)) "∅" else b.getLong(0)}, " +
+                s"${if (b.isNullAt(1)) "∅" else b.getLong(1)}] do not " +
+                s"match the recorded fold's [$lo, $hi] — this checkpoint " +
+                "does not belong to this state dir. Pair the checkpoint " +
+                "and state dir for life; a new checkpoint needs a new " +
+                "state dir")
+        case _ => ()
+      }
       log.info(s"batch $batchId already folded into $stateDir — " +
         "replay skipped (exactly-once)")
-    else {
+    } else {
       if (last.isEmpty && batchId > 0)
         // the mirror image of the mismatch above: an EXISTING checkpoint
         // pointed at a fresh state dir — this checkpoint's batches

@@ -375,6 +375,124 @@ class StreamingCorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertEqualsBatch(state1, batch0, batch1)
   }
 
+  // ---- mixed-mode folds (VERDICT r12 task 5): manual foldIncrement
+  // calls (no batchTag) interleaved with streamed micro-batches on ONE
+  // state dir. The load-bearing detail is the meta write's
+  // `batchTag.orElse(meta0.lastBatch)`: an untagged manual fold must
+  // CARRY the last streamed batch id forward, or the next streamed
+  // replay would be misread as a first delivery.
+
+  test("mixed-mode: a manual untagged fold between streamed batches " +
+      "carries last_batch forward; the resumed stream folds its next " +
+      "batch normally and the chain equals batch on everything folded") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e10m_state")
+    val ckpt = tmp("e10m_ckpt")
+    val manual = Seq(
+      PipeDoc(15L, txt(15), "en", "src0"),
+      PipeDoc(16L, txt(16), "en", "src2"))
+    val mem = MemoryStream[PipeDoc]
+    val q1 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    mem.addData(batch0); q1.processAllAvailable()
+    mem.addData(batch1); q1.processAllAvailable()
+    q1.stop()
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(1L))
+    // the nightly operator folds a hand-delivered increment, untagged
+    CorpusPipelineDelta.foldIncrement(batchDf(manual), state, cfg)
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(1L),
+      "an untagged manual fold must PRESERVE last_batch, not drop it")
+    // the stream resumes on the same checkpoint: next batch id is 2
+    val q2 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    mem.addData(batch2); q2.processAllAvailable()
+    q2.stop()
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(2L))
+    assertEqualsBatch(state, batch0, batch1, manual, batch2)
+  }
+
+  test("mixed-mode replay: a manual fold lands BETWEEN a post-commit " +
+      "crash and the stream's replay — the replay is still recognized " +
+      "as applied and skipped, because the manual fold carried the " +
+      "crashed batch's tag through (exactly-once across the interleave)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e10mr_state")
+    val ckpt = tmp("e10mr_ckpt")
+    val manual = Seq(
+      PipeDoc(15L, txt(15), "en", "src0"),
+      PipeDoc(16L, txt(16), "en", "src2"))
+    val mem = MemoryStream[PipeDoc]
+    val q1 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    mem.addData(batch0); q1.processAllAvailable()
+    q1.stop()
+    // batch 1 applies but its offsets never commit
+    spark.conf.set(CorpusPipelineDelta.CrashPointConf, "post-commit")
+    val q2 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    mem.addData(batch1)
+    val e = intercept[StreamingQueryException](q2.processAllAvailable())
+    assert(hasInjectedCrash(e), s"query died of something else: $e")
+    spark.conf.unset(CorpusPipelineDelta.CrashPointConf)
+    // before anyone restarts the stream, the operator manually folds an
+    // increment. A blind fold REFUSES on the crashed journal (spec'd in
+    // CorpusPipelineRecoverySpec); following the error's instruction,
+    // recoverFold completes the crashed swap — Completed, recording the
+    // batch tag — and the untagged fold then carries it through
+    assert(CorpusPipelineDelta.recoverFold(spark, state)
+      .isInstanceOf[CorpusPipelineDelta.Completed],
+      "post-commit crash must recover as Completed")
+    CorpusPipelineDelta.foldIncrement(batchDf(manual), state, cfg)
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(1L),
+      "manual fold lost the crashed batch's tag — the replay below " +
+        "would re-fold it")
+    // the restarted stream replays batch 1: must SKIP it (it is
+    // applied), then fold fresh arrivals on top of the manual increment
+    val q3 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg)
+    q3.processAllAvailable()
+    mem.addData(batch2); q3.processAllAvailable()
+    q3.stop()
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(2L))
+    assertEqualsBatch(state, batch0, batch1, manual, batch2)
+  }
+
+  test("adopting streaming on a MANUALLY-built state: a fresh checkpoint " +
+      "with higher ids folds (genesis, last_batch never set); a second " +
+      "foreign checkpoint COLLIDING at batchId == last_batch with " +
+      "different rows is refused by the skip path's recorded-bounds " +
+      "verification (r13) — by ids alone it would wear the legitimate-" +
+      "replay signature and its rows would vanish silently") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e10a_state")
+    CorpusPipelineDelta.foldIncrement(batchDf(batch0), state, cfg)
+    CorpusPipelineDelta.foldIncrement(batchDf(batch1), state, cfg)
+    assert(CorpusPipelineDelta.lastBatch(spark, state).isEmpty,
+      "manual-only chain must have no last_batch")
+    // legitimate adoption: new checkpoint, new higher-id arrivals
+    val mem = MemoryStream[PipeDoc]
+    val q1 = StreamingCorpusPipeline.sink(mem.toDF(), state,
+      tmp("e10a_ckpt1"), cfg)
+    mem.addData(batch2); q1.processAllAvailable()
+    q1.stop()
+    assert(CorpusPipelineDelta.lastBatch(spark, state).contains(0L))
+    assertEqualsBatch(state, batch0, batch1, batch2)
+    // foreign checkpoint COLLIDING at batchId == last_batch (= 0) with
+    // DIFFERENT rows: undetectable by batch id alone (it looks exactly
+    // like a legitimate replay) — the recorded fold bounds [20, 21]
+    // catch the mismatch and fail the drain loudly instead of silently
+    // dropping the arriving rows in the skip
+    val mem2 = MemoryStream[PipeDoc]
+    val q2 = StreamingCorpusPipeline.sink(mem2.toDF(), state,
+      tmp("e10a_ckpt2"), cfg)
+    mem2.addData(batch1) // ids 10..14 — not the recorded batch 0's 20..21
+    val e = intercept[StreamingQueryException](q2.processAllAvailable())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("does not belong"), s"wrong failure: $msgs")
+    assert(msgs.contains("[20, 21]"), s"bounds not named: $msgs")
+    // nothing was double-ingested by the refused drain
+    assertEqualsBatch(state, batch0, batch1, batch2)
+  }
+
   test("Trigger.AvailableNow: the scheduled-daily-drain shape processes " +
       "everything then stops; a rerun drains only the new arrivals " +
       "(cadence guidance from the class doc, compiled and executed)") {
@@ -386,14 +504,14 @@ class StreamingCorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     mem.addData(batch0)
     val q1 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg,
       trigger = Some(Trigger.AvailableNow()))
-    q1.awaitTermination(120000)
+    q1.awaitTermination(240000)
     assert(!q1.isActive, "AvailableNow drain did not stop on its own")
     assertEqualsBatch(state, batch0)
     // tomorrow's scheduled run: only the new increment folds
     mem.addData(batch1)
     val q2 = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg,
       trigger = Some(Trigger.AvailableNow()))
-    q2.awaitTermination(120000)
+    q2.awaitTermination(240000)
     assert(!q2.isActive)
     assertEqualsBatch(state, batch0, batch1)
   }
