@@ -45,7 +45,14 @@ import org.apache.spark.sql.SparkSession
   * window — the break restores and refuses. The beat body names the
   * holder, so a beat landing beside a successor's lease is
   * detectable (holder mismatch) instead of silently masking the
-  * successor's own death.
+  * successor's own death. Residual check-then-touch race (ADVICE r12):
+  * between a tick's ownership read and its best-effort `setTimes`, a
+  * rival can break and recreate the lease, and the stray touch then
+  * refreshes the RIVAL's lease mtime once — at most one extension of
+  * perceived liveness, bounded by `staleMs`. The beat sidecar is
+  * immune (its body names the beating holder, so a stray beat reads
+  * as a mismatch and is ignored), and the holder's next tick sees the
+  * rival's lease and stops.
   *
   * Readers (probe/query/stats) take no lease — the swap protocol
   * already makes a torn read loud (no live dir), never silent. */
@@ -82,7 +89,13 @@ object MaintenanceLease {
     val bp = beatPath(lease)
     try {
       val mtime = fs.getFileStatus(bp).getModificationTime
-      readLeaseOpt(fs, bp).filter(_.startsWith(holder)).map((mtime, _))
+      // anchored on the trailing space: a holder string that is a strict
+      // PREFIX of another (nanotime suffixes vary in length) must not
+      // claim its beats. The empty holder (unreadable lease) matches any
+      // beat — refusing on unconfirmable evidence is the safe direction.
+      readLeaseOpt(fs, bp)
+        .filter(t => holder.isEmpty || t.startsWith(holder + " "))
+        .map((mtime, _))
     } catch { case _: IOException => None }
   }
 
@@ -209,7 +222,8 @@ object MaintenanceLease {
         // release's lease-delete and beat-delete) so it can never read
         // as liveness evidence against a later stale lease
         try {
-          if (readLeaseOpt(fs, beatPath(p)).exists(!_.startsWith(holder)))
+          if (readLeaseOpt(fs, beatPath(p))
+              .exists(!_.startsWith(holder + " ")))
             fs.delete(beatPath(p), false)
         } catch { case _: IOException => () }
         true
@@ -265,7 +279,7 @@ object MaintenanceLease {
         while (mine) {
           Thread.sleep(math.max(staleMs / 3, 10))
           readLeaseOpt(fs, p) match {
-            case Some(txt) if txt.startsWith(holder) =>
+            case Some(txt) if txt.startsWith(holder + " ") =>
               ticks += 1
               try {
                 val out = fs.create(beatPath(p), true)
@@ -302,7 +316,7 @@ object MaintenanceLease {
       // whatever sits at the path would evict the NEW holder and admit
       // a third concurrent writer.
       val text = readLeaseText(fs, p)
-      if (text.startsWith(holder)) {
+      if (text.startsWith(holder + " ")) {
         fs.delete(p, false)
         try fs.delete(beatPath(p), false) catch { case _: IOException => () }
       }
