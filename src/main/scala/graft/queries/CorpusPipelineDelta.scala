@@ -110,12 +110,13 @@ object CorpusPipelineDelta {
     * rounds). */
   private final case class MetaState(maxId: Option[Long],
       lastBatch: Option[Long], cfgFp: Option[String],
-      batchLo: Option[Long], batchHi: Option[Long])
+      batchLo: Option[Long], batchHi: Option[Long], batchN: Option[Long])
 
   private def readMetaState(s: SparkSession,
       stateDir: String): MetaState = {
     val p = metaDir(stateDir)
-    if (!fsOf(s, p).exists(new Path(p))) MetaState(None, None, None, None, None)
+    if (!fsOf(s, p).exists(new Path(p)))
+      MetaState(None, None, None, None, None, None)
     else {
       val df = s.read.parquet(p)
       val cols = df.columns.toSet
@@ -123,10 +124,10 @@ object CorpusPipelineDelta {
         if (cols(name)) col(name) else lit(null).cast(tpe).as(name)
       val r = df.select(col("max_id"), opt("last_batch", "long"),
         opt("cfg_fp", "string"), opt("batch_lo", "long"),
-        opt("batch_hi", "long")).collect().head
+        opt("batch_hi", "long"), opt("batch_n", "long")).collect().head
       def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
       MetaState(l(0), l(1),
-        if (r.isNullAt(2)) None else Some(r.getString(2)), l(3), l(4))
+        if (r.isNullAt(2)) None else Some(r.getString(2)), l(3), l(4), l(5))
     }
   }
 
@@ -143,15 +144,16 @@ object CorpusPipelineDelta {
     * loss-that-looks-like-success family the r12 `<` guard closed. A
     * true replay redelivers the SAME rows (the replayable-source
     * contract), so the recorded bounds let the sink verify the skip.
-    * `lo`/`hi` are None for states written before r13, after an empty
-    * tagged batch, or before any tagged fold — unverifiable, skip
-    * proceeds as before. */
+    * `lo`/`hi`/`n` are None for states written before r13, after an
+    * empty tagged batch, or before any tagged fold — unverifiable, skip
+    * proceeds as before. The row count catches a colliding batch whose
+    * END rows happen to match the record but whose middle differs. */
   private[graft] final case class LastBatchInfo(batch: Option[Long],
-      lo: Option[Long], hi: Option[Long])
+      lo: Option[Long], hi: Option[Long], n: Option[Long])
   private[graft] def lastBatchInfo(s: SparkSession,
       stateDir: String): LastBatchInfo = {
     val m = readMetaState(s, stateDir)
-    LastBatchInfo(m.lastBatch, m.batchLo, m.batchHi)
+    LastBatchInfo(m.lastBatch, m.batchLo, m.batchHi, m.batchN)
   }
 
   /** Canonical rendering of the STATE-SHAPING config fields — the ones
@@ -255,7 +257,8 @@ object CorpusPipelineDelta {
     // type-generic, and an IntegerType id would otherwise die in
     // getLong with an unhelpful ClassCastException (ADVICE r11)
     val bounds = delta.agg(min(col(cfg.idCol).cast("long")).as("lo"),
-      max(col(cfg.idCol).cast("long")).as("hi")).collect().head
+      max(col(cfg.idCol).cast("long")).as("hi"),
+      count(col(cfg.idCol)).as("n")).collect().head
     val prevMax = meta0.maxId
     if (!bounds.isNullAt(0))
       prevMax.filter(_ >= bounds.getLong(0)).foreach(m =>
@@ -393,13 +396,15 @@ object CorpusPipelineDelta {
     // fold carries the previous record through, paired with the carried
     // last_batch — dropping it would blind the verification for exactly
     // the interleaved-mixed-mode replays that need it
-    val (bLo, bHi) =
+    val (bLo, bHi, bN) =
       if (batchTag.isDefined)
         (if (bounds.isNullAt(0)) None else Some(bounds.getLong(0)),
-         if (bounds.isNullAt(1)) None else Some(bounds.getLong(1)))
-      else (meta0.batchLo, meta0.batchHi)
-    Seq((newMax, batchTag.orElse(meta0.lastBatch), fp, bLo, bHi))
-      .toDF("max_id", "last_batch", "cfg_fp", "batch_lo", "batch_hi")
+         if (bounds.isNullAt(1)) None else Some(bounds.getLong(1)),
+         if (bounds.isNullAt(0)) None else Some(bounds.getLong(2)))
+      else (meta0.batchLo, meta0.batchHi, meta0.batchN)
+    Seq((newMax, batchTag.orElse(meta0.lastBatch), fp, bLo, bHi, bN))
+      .toDF("max_id", "last_batch", "cfg_fp", "batch_lo", "batch_hi",
+        "batch_n")
       .coalesce(1).write.mode("overwrite").parquet(metaNext)
 
     maybeCrash(s, "pre-commit")

@@ -27,9 +27,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     now equals `meta.last_batch` — the sink SKIPS it (re-folding
   *     would throw the strictly-increasing-id precondition; the skip is
   *     the exactly-once path, not an optimization). The skip first
-  *     verifies the replay's id bounds against the recorded fold's
-  *     (`meta.batch_lo/hi`) — a foreign checkpoint colliding at
-  *     exactly `last_batch` must fail loudly, not lose its rows;
+  *     verifies the replay's id bounds and row count against the
+  *     recorded fold's (`meta.batch_lo/hi/n`) — a foreign checkpoint
+  *     colliding at exactly `last_batch` must fail loudly, not lose
+  *     its rows;
   *   - crash after the offset commit → the batch is never redelivered
   *     and `meta.last_batch` already records it.
   *
@@ -91,18 +92,21 @@ object StreamingCorpusPipeline {
       // contract), so the recorded fold's delta id bounds must match.
       // Unverifiable records (pre-r13 state, empty tagged batch) skip
       // as before.
-      (info.lo, info.hi) match {
-        case (Some(lo), Some(hi)) =>
-          import org.apache.spark.sql.functions.{col, max, min}
+      (info.lo, info.hi, info.n) match {
+        case (Some(lo), Some(hi), n) =>
+          import org.apache.spark.sql.functions.{col, count, max, min}
           val b = delta.agg(min(col(cfg.idCol).cast("long")).as("lo"),
-            max(col(cfg.idCol).cast("long")).as("hi")).collect().head
-          if (b.isNullAt(0) || b.getLong(0) != lo || b.getLong(1) != hi)
+            max(col(cfg.idCol).cast("long")).as("hi"),
+            count(col(cfg.idCol)).as("n")).collect().head
+          if (b.isNullAt(0) || b.getLong(0) != lo || b.getLong(1) != hi ||
+              n.exists(_ != b.getLong(2)))
             throw new IllegalStateException(
               s"micro-batch $batchId claims to be a replay of the " +
                 s"already-folded batch $batchId at $stateDir, but its id " +
-                s"bounds [${if (b.isNullAt(0)) "∅" else b.getLong(0)}, " +
-                s"${if (b.isNullAt(1)) "∅" else b.getLong(1)}] do not " +
-                s"match the recorded fold's [$lo, $hi] — this checkpoint " +
+                s"bounds/count [${if (b.isNullAt(0)) "∅" else b.getLong(0)}" +
+                s", ${if (b.isNullAt(1)) "∅" else b.getLong(1)}] × " +
+                s"${b.getLong(2)} do not match the recorded fold's " +
+                s"[$lo, $hi] × ${n.getOrElse(-1L)} — this checkpoint " +
                 "does not belong to this state dir. Pair the checkpoint " +
                 "and state dir for life; a new checkpoint needs a new " +
                 "state dir")
