@@ -111,6 +111,62 @@ class SwapRacingReaderSpec extends AnyFunSuite with BeforeAndAfterAll {
       == expected, "probe diverged after the compaction")
   }
 
+  test("refreshOutput racing a FOLD's mix/meta finishSwap: a reader " +
+      "mid-fold sees the PRE-fold answer, the POST-fold answer, or " +
+      "fails loudly — never an empty/partial corpus (the fold changes " +
+      "content, so linearizing on either side of the swap is correct)") {
+    import spark.implicits._
+    import graft.queries.{CorpusPipeline, CorpusPipelineDelta}
+    def txt(seed: Int): String =
+      (0 until 30).map(i => s"w${seed}_$i").mkString(" ")
+    def docsDf(ids: Seq[Int]) = ids.map(i =>
+      (i.toLong, txt(i), "en", s"src${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val eval = Seq((900L, "alpha beta gamma benchmark suite text"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(evalDocs = Some(eval))
+    val state = tmp("race_fold") + "/state"
+    CorpusPipelineDelta.foldIncrement(docsDf(1 to 8), state, cfg)
+    val pre = sortedRows(CorpusPipelineDelta.refreshOutput(spark, state, cfg))
+    assert(pre.nonEmpty)
+    // day-2 fold: finishSwap runs on the mix dir and the meta dir —
+    // 2 swaps × 2 windows = 4 pauseHook fires
+    val atPause = new SynchronousQueue[String]()
+    val resume = new SynchronousQueue[java.lang.Boolean]()
+    Compaction.pauseHook = Some { p => atPause.put(p); resume.take(); () }
+    @volatile var foldErr: Throwable = null
+    val t = new Thread(() =>
+      try CorpusPipelineDelta.foldIncrement(docsDf(11 to 16), state, cfg)
+      catch { case e: Throwable => foldErr = e })
+    t.setDaemon(true)
+    t.start()
+    val probed = scala.collection.mutable.ArrayBuffer
+      .empty[scala.util.Try[Seq[String]]]
+    try {
+      for (i <- 1 to 4) {
+        val point = atPause.poll(120, TimeUnit.SECONDS)
+        assert(point != null, s"fold never reached pause $i of 4")
+        probed += scala.util.Try(
+          sortedRows(CorpusPipelineDelta.refreshOutput(spark, state, cfg)))
+        resume.put(java.lang.Boolean.TRUE)
+      }
+      t.join(180000)
+      assert(!t.isAlive, "fold did not finish after the last window")
+      assert(foldErr == null, s"fold failed: $foldErr")
+    } finally Compaction.pauseHook = None
+    val post = sortedRows(CorpusPipelineDelta.refreshOutput(spark, state, cfg))
+    assert(post != pre, "fixture: the fold must change the corpus")
+    val succeeded = probed.collect { case scala.util.Success(rows) => rows }
+    succeeded.foreach { rows =>
+      assert(rows == pre || rows == post,
+        s"mid-fold reader returned a TORN corpus (${rows.size} rows; " +
+          s"pre=${pre.size}, post=${post.size})")
+    }
+    assert(succeeded.nonEmpty,
+      "no mid-fold probe succeeded at all — at least the pre-clean " +
+        "windows have a complete live tree")
+  }
+
   test("IVF query racing compact: loud-or-correct through the " +
       "assignments swap's two windows, and correct after") {
     import spark.implicits._
