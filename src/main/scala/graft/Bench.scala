@@ -151,13 +151,19 @@ object Bench {
       val floor = math.min(canaryMs.min, math.min(cBefore, cAfter))
       val thresh = floor + math.max(floor / 2, 100)
       if (cBefore < thresh && cAfter < thresh) {
+        var allReplaced = true
         retried.zipWithIndex.foreach { case (r, i) =>
           // a retry that flaked to -1.0 must not replace a valid
           // original (ADVICE r12): the retry exists to fix ambience,
           // not to convert a measured query into a failure marker
           if (!(r._2 < 0 && results(lo + i)._2 > 0)) results(lo + i) = r
+          else allReplaced = false
         }
-        quietRetried += b
+        // quietRetried membership SUPPRESSES the block's inflated_spans
+        // confession — only earned when every original was actually
+        // replaced; a kept (possibly inflated) original must keep its
+        // flag or an ambient number ships as clean (r13 review)
+        if (allReplaced) quietRetried += b
       }
     }
     // Self-defending artifact (VERDICT r7 task 3): three rounds of

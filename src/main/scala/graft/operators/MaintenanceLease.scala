@@ -52,7 +52,12 @@ import org.apache.spark.sql.SparkSession
   * perceived liveness, bounded by `staleMs`. The beat sidecar is
   * immune (its body names the beating holder, so a stray beat reads
   * as a mismatch and is ignored), and the holder's next tick sees the
-  * rival's lease and stops.
+  * rival's lease and stops. Remaining operational caveat: on a store
+  * that serves reads but fails CREATES for longer than `staleMs`,
+  * liveness evidence stops flowing entirely (no beat, no mtime) and a
+  * rival can break a live holder — the heartbeat WARNs when
+  * consecutive beat writes span that window; on such a store size
+  * `staleMs` above the longest plausible write outage.
   *
   * Readers (probe/query/stats) take no lease — the swap protocol
   * already makes a torn read loud (no live dir), never silent. */
@@ -88,14 +93,19 @@ object MaintenanceLease {
       holder: String): Option[(Long, String)] = {
     val bp = beatPath(lease)
     try {
-      val mtime = fs.getFileStatus(bp).getModificationTime
-      // anchored on the trailing space: a holder string that is a strict
-      // PREFIX of another (nanotime suffixes vary in length) must not
-      // claim its beats. The empty holder (unreadable lease) matches any
-      // beat — refusing on unconfirmable evidence is the safe direction.
-      readLeaseOpt(fs, bp)
+      // body BEFORE mtime (r13 review finding): a tick re-creating the
+      // file between the two reads then yields the NEWER mtime — the
+      // conservative (looks-fresher, refuse-the-break) direction. The
+      // old order paired a pre-tick mtime with a post-tick body, and a
+      // heartbeat resuming exactly in that gap could be broken over.
+      // Anchored on the trailing space: a holder string that is a
+      // strict PREFIX of another (nanotime suffixes vary in length)
+      // must not claim its beats. The empty holder (unreadable lease)
+      // matches any beat — refusing on unconfirmable evidence is the
+      // safe direction.
+      val body = readLeaseOpt(fs, bp)
         .filter(t => holder.isEmpty || t.startsWith(holder + " "))
-        .map((mtime, _))
+      body.map((fs.getFileStatus(bp).getModificationTime, _))
     } catch { case _: IOException => None }
   }
 
@@ -169,16 +179,26 @@ object MaintenanceLease {
         try fs.getFileStatus(tomb).getModificationTime == observedMtime
         catch { case _: IOException => false }
       // beat unmoved = absent now and at observation, or byte-identical
-      // body (counter + ms make every real tick distinct); holder
-      // matching happened at observation — a beat READ failure here is
-      // treated as changed (refuse): breaking on missing evidence would
-      // re-admit the double-writer hazard the lease exists to prevent
+      // body (counter + ms make every real tick distinct). The re-read
+      // is holder-matched against the CAPTURED lease, mirroring
+      // readBeat (r13 review finding): a residue beat from a DIFFERENT
+      // holder is not liveness evidence, and treating it as "appeared"
+      // would refuse this break on every retry FOREVER — a residue
+      // beat beside a stale lease would deadlock maintenance until a
+      // manual break(). A beat/lease READ failure here is still
+      // treated as changed (refuse): breaking on missing evidence
+      // would re-admit the double-writer hazard.
       val beatNow =
         try {
           val bp = beatPath(p)
           if (!fs.exists(bp)) None
-          else readLeaseOpt(fs, bp).map(t => (0L, t)).orElse(
-            Some((-1L, "<unreadable beat file>")))
+          else readLeaseOpt(fs, bp) match {
+            case Some(t) =>
+              val tombHolder = readLeaseOpt(fs, tomb).map(holderOf)
+              if (tombHolder.exists(h => !t.startsWith(h + " "))) None
+              else Some((0L, t))
+            case None => Some((-1L, "<unreadable beat file>"))
+          }
         } catch { case _: IOException => Some((-1L, "<unreadable beat file>")) }
       val beatUnmoved = (observedBeat, beatNow) match {
         case (None, None) => true
@@ -276,6 +296,7 @@ object MaintenanceLease {
       try {
         var mine = true
         var ticks = 0L
+        var failedBeats = 0 // consecutive beat-WRITE failures
         while (mine) {
           Thread.sleep(math.max(staleMs / 3, 10))
           readLeaseOpt(fs, p) match {
@@ -287,7 +308,21 @@ object MaintenanceLease {
                   s"$holder beat=$ticks ms=${System.currentTimeMillis}"
                     .getBytes("UTF-8"))
                 finally out.close()
-              } catch { case _: IOException => () } // transient; retry next tick
+                failedBeats = 0
+              } catch {
+                case _: IOException => // transient; retry next tick —
+                  // but once the failures span staleMs, liveness
+                  // evidence has stopped flowing and a rival CAN now
+                  // observe this live holder stale: say so (r13 review)
+                  failedBeats += 1
+                  if (failedBeats == 3 || failedBeats % 30 == 0)
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"lease heartbeat on $dir: $failedBeats consecutive " +
+                        "beat writes failed — if the lease mtime is also " +
+                        "not refreshing (object store), this live job can " +
+                        "be observed stale and lose its exclusion once " +
+                        s"the outage exceeds ${staleMs} ms")
+              }
               try fs.setTimes(p, System.currentTimeMillis, -1)
               catch {
                 case _: IOException => ()

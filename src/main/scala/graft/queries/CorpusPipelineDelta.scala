@@ -171,15 +171,27 @@ object CorpusPipelineDelta {
     * a grown benchmark applies to future increments only, and the
     * output's equality with a batch run under the NEW set no longer
     * holds for rows admitted earlier; see the class doc). */
-  private[graft] def cfgFingerprint(cfg: Config): String = Seq(
-    s"id=${cfg.idCol}", s"text=${cfg.textCol}", s"lang=${cfg.langCol}",
-    s"source=${cfg.sourceCol}", s"minQuality=${cfg.minQuality}",
-    // sorted like quotas (ADVICE r12): membership is an isin test, so
-    // the same language SET in a different Seq order is the same config
-    s"keepLangs=${cfg.keepLangs.sorted.mkString(",")}",
-    s"threshold=${cfg.nearDupThreshold}",
-    s"quotas=${cfg.quotas.toSeq.sorted.map { case (k, v) => s"$k:$v" }
-      .mkString(",")}").mkString("|")
+  private def renderFingerprint(cfg: Config, langs: Seq[String]): String =
+    Seq(
+      s"id=${cfg.idCol}", s"text=${cfg.textCol}", s"lang=${cfg.langCol}",
+      s"source=${cfg.sourceCol}", s"minQuality=${cfg.minQuality}",
+      s"keepLangs=${langs.mkString(",")}",
+      s"threshold=${cfg.nearDupThreshold}",
+      s"quotas=${cfg.quotas.toSeq.sorted.map { case (k, v) => s"$k:$v" }
+        .mkString(",")}").mkString("|")
+
+  // keepLangs sorted like quotas (ADVICE r12): membership is an isin
+  // test, so the same language SET in a different Seq order is the
+  // same config
+  private[graft] def cfgFingerprint(cfg: Config): String =
+    renderFingerprint(cfg, cfg.keepLangs.sorted)
+
+  /** The pre-r13 rendering (keepLangs in Seq order) — accepted once at
+    * the fold's fingerprint check so states persisted before the
+    * canonicalization keep folding; the meta rewrite on that same fold
+    * upgrades the stored fingerprint to the sorted form. */
+  private[graft] def cfgFingerprintLegacy(cfg: Config): String =
+    renderFingerprint(cfg, cfg.keepLangs)
 
   /** Apply one increment to the pipeline state at `stateDir` and return
     * the refreshed full output ([[foldIncrement]] + [[refreshOutput]]).
@@ -240,7 +252,13 @@ object CorpusPipelineDelta {
     // gain one on their next fold.
     val meta0 = readMetaState(s, stateDir)
     val fp = cfgFingerprint(cfg)
-    meta0.cfgFp.filter(_ != fp).foreach(old =>
+    // migration (r13 review finding): fingerprints persisted before the
+    // keepLangs sort rendered the Seq order verbatim — a stored fp that
+    // matches the OFFERED config's unsorted rendering is the same
+    // config, not a refused one; this fold's meta write re-persists the
+    // sorted form, completing the upgrade
+    val fpLegacy = cfgFingerprintLegacy(cfg)
+    meta0.cfgFp.filter(f => f != fp && f != fpLegacy).foreach(old =>
       throw new IllegalArgumentException(
         s"this state was built under a different Config.\n  stored:  " +
           s"$old\n  offered: $fp\nThe chain's batch-equality contract " +

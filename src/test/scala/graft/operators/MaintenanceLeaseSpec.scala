@@ -334,6 +334,38 @@ class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(lease) && !fs.exists(beatP))
   }
 
+  test("a residue beat from a DIFFERENT holder does not block breaking " +
+      "a stale lease (r13 review): the break's beat re-check is " +
+      "holder-matched, else maintenance deadlocks until a manual break") {
+    val dir = tmp("lease_residue")
+    val lease = holdLease(dir, "dead-holder")
+    val staleM = System.currentTimeMillis - 2L * 60 * 60 * 1000
+    fs.setTimes(lease, staleM, -1)
+    // residue from an earlier, unrelated holder's crash window
+    val beatP = new Path(s"${dir}__lease.beat")
+    val out = fs.create(beatP, true)
+    try out.write("other-holder beat=5 ms=1".getBytes("UTF-8"))
+    finally out.close()
+    fs.setTimes(beatP, staleM, -1)
+    // the observation holder-filters the beat (names other-holder, the
+    // lease names dead-holder) → observedBeat = None; the re-check
+    // inside the break must apply the SAME filter or (None, Some)
+    // refuses this break on every retry forever
+    assert(MaintenanceLease.breakIfStillStale(fs, lease, staleM, None),
+      "foreign residue beat blocked a stale break")
+    assert(!fs.exists(lease) && !fs.exists(beatP),
+      "break did not clear the lease and the residue beat")
+    // end-to-end: the same shape through withLease
+    val lease2 = holdLease(dir, "dead-holder-2")
+    fs.setTimes(lease2, staleM, -1)
+    val out2 = fs.create(beatP, true)
+    try out2.write("other-holder beat=9 ms=2".getBytes("UTF-8"))
+    finally out2.close()
+    fs.setTimes(beatP, staleM, -1)
+    MaintenanceLease.withLease(spark, dir, "successor", staleMs = 3000)(())
+    assert(!fs.exists(lease2), "stale lease survived under foreign residue")
+  }
+
   test("the lease releases on a FAILED operation too") {
     val dir = tmp("lease_fail")
     NearDupSignatureStore.build(docs(20), dir, threshold = 0.5)
