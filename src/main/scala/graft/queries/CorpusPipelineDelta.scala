@@ -186,12 +186,25 @@ object CorpusPipelineDelta {
   private[graft] def cfgFingerprint(cfg: Config): String =
     renderFingerprint(cfg, cfg.keepLangs.sorted)
 
-  /** The pre-r13 rendering (keepLangs in Seq order) — accepted once at
-    * the fold's fingerprint check so states persisted before the
-    * canonicalization keep folding; the meta rewrite on that same fold
-    * upgrades the stored fingerprint to the sorted form. */
+  /** The pre-r13 rendering (keepLangs in Seq order) — what states
+    * persisted before the canonicalization carry; used by the
+    * migration spec to manufacture one. */
   private[graft] def cfgFingerprintLegacy(cfg: Config): String =
     renderFingerprint(cfg, cfg.keepLangs)
+
+  /** Canonicalize a STORED fingerprint's keepLangs segment: pre-r13
+    * states rendered the build-time Seq order, and comparing raw
+    * strings would refuse every such state under the sorted rendering
+    * — including when the offered Seq order differs from the
+    * build-time one (same set, both legitimate). All other segments
+    * were always canonical. */
+  private def canonicalizeFp(fp: String): String =
+    fp.split("\\|", -1).map { seg =>
+      if (seg.startsWith("keepLangs="))
+        "keepLangs=" + seg.stripPrefix("keepLangs=")
+          .split(",", -1).filter(_.nonEmpty).sorted.mkString(",")
+      else seg
+    }.mkString("|")
 
   /** Apply one increment to the pipeline state at `stateDir` and return
     * the refreshed full output ([[foldIncrement]] + [[refreshOutput]]).
@@ -253,12 +266,12 @@ object CorpusPipelineDelta {
     val meta0 = readMetaState(s, stateDir)
     val fp = cfgFingerprint(cfg)
     // migration (r13 review finding): fingerprints persisted before the
-    // keepLangs sort rendered the Seq order verbatim — a stored fp that
-    // matches the OFFERED config's unsorted rendering is the same
-    // config, not a refused one; this fold's meta write re-persists the
-    // sorted form, completing the upgrade
-    val fpLegacy = cfgFingerprintLegacy(cfg)
-    meta0.cfgFp.filter(f => f != fp && f != fpLegacy).foreach(old =>
+    // keepLangs sort rendered the build-time Seq order verbatim — the
+    // STORED fp is canonicalized before comparing, so a pre-r13 state
+    // keeps folding (under ANY offered order of the same set), and this
+    // fold's meta write re-persists the sorted form, completing the
+    // upgrade
+    meta0.cfgFp.filter(f => canonicalizeFp(f) != fp).foreach(old =>
       throw new IllegalArgumentException(
         s"this state was built under a different Config.\n  stored:  " +
           s"$old\n  offered: $fp\nThe chain's batch-equality contract " +

@@ -344,8 +344,11 @@ class CorpusPipelineRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(s"$state/meta").schema)
     fs.delete(new Path(s"$state/meta"), true)
     metaDf.coalesce(1).write.parquet(s"$state/meta")
-    // the next fold under the SAME config must be accepted, not refused
-    CorpusPipelineDelta.foldIncrement(inc2, state, cfg)
+    // the next fold must be accepted, not refused — offered here with
+    // yet ANOTHER keepLangs order (the stored-side canonicalization
+    // must not depend on the offer matching the build-time Seq order)
+    CorpusPipelineDelta.foldIncrement(inc2, state,
+      cfg.copy(keepLangs = cfg.keepLangs.reverse))
     val stored = spark.read.parquet(s"$state/meta")
       .select("cfg_fp").collect().head.getString(0)
     assert(stored == sortedFp, "fold did not upgrade the stored " +
