@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * `PartitionFilters` in the scan (asserted in IvfIndexSpec). */
 object IvfIndex {
 
+  /** The assignments table's PHYSICAL live tree — [[compact]] on object
+    * stores commits via pointer indirection ([[Compaction.swapDir]]);
+    * every read and every in-place append resolves through this
+    * (rename-mode/never-swapped indexes resolve to the plain path). */
+  private def assignLive(spark: SparkSession, dir: String): String =
+    Compaction.resolveLive(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      s"$dir/assignments")
+
   /** Nearest-centroid assignment: broadcast codebook + bounded-heap
     * argmax (k=1) — the partial pass collapses the c candidate rows
     * per vector before any exchange. */
@@ -54,6 +63,12 @@ object IvfIndex {
     val clean = emb.filter(graft.queries.LlmOps.wellFormedVec($"v"))
     val cents = KMeans.fit(clean, c)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    // a RE-build over a pointer-mode index must drop the indirection
+    // first (writing in place under a live pointer strands readers on
+    // the old generation)
+    Compaction.clearIndirection(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      s"$dir/assignments")
     val assigned = assign(clean, cents).repartition($"cent_id")
     assigned.write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dir/assignments")
@@ -87,7 +102,7 @@ object IvfIndex {
       assign(emb.filter(graft.queries.LlmOps.wellFormedVec($"v")), cents)
         .repartition($"cent_id")
         .write.mode("append").partitionBy("cent_id")
-        .parquet(s"$dir/assignments")
+        .parquet(assignLive(spark, dir))
     }
 
   /** Compact the index's assignment files — the remedy for [[append]]'s
@@ -130,7 +145,7 @@ object IvfIndex {
 
   def stats(spark: SparkSession, dir: String): IndexStats = {
     import spark.implicits._
-    val perCell = spark.read.parquet(s"$dir/assignments")
+    val perCell = spark.read.parquet(assignLive(spark, dir))
       .groupBy($"cent_id").count().collect()
       .map(r => r.getLong(1))
     val rows = perCell.sum
@@ -183,7 +198,7 @@ object IvfIndex {
     val cells = probes.select($"cent_id").distinct().collect()
       .map(_.getLong(0)).toSeq
     val scored = broadcast(probes)
-      .join(PrunedRead.partitions(spark, s"$dir/assignments", "cent_id",
+      .join(PrunedRead.partitions(spark, assignLive(spark, dir), "cent_id",
         cells), "cent_id")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",

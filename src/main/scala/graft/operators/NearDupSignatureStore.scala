@@ -52,6 +52,16 @@ object NearDupSignatureStore {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The swapped tables' PHYSICAL live trees — on object stores the
+    * compact commits via pointer indirection ([[Compaction.swapDir]])
+    * and the data lives in a generation dir; rename-mode/never-swapped
+    * stores resolve to the plain path at one `exists` of cost. Every
+    * read AND every in-place append must go through these. */
+  private def sigsLive(spark: SparkSession, dir: String): String =
+    Compaction.resolveLive(fsOf(spark, dir), s"$dir/sigs")
+  private def toksLive(spark: SparkSession, dir: String): String =
+    Compaction.resolveLive(fsOf(spark, dir), s"$dir/toksets")
+
   /** True iff a store was built at `dir`. */
   def exists(spark: SparkSession, dir: String): Boolean =
     fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))
@@ -130,6 +140,11 @@ object NearDupSignatureStore {
       graft.queries.ApproxOps.bandRowsFor(threshold), cells,
       mask_complete = vocab.nonEmpty || distinctToks.isEmpty, vocab)
     writeMeta(spark, dir, meta)
+    // a RE-build over a pointer-mode store must drop the indirection
+    // first: writing in place under a live pointer would leave every
+    // reader resolving to the old generation forever
+    Compaction.clearIndirection(fsOf(spark, dir), s"$dir/sigs")
+    Compaction.clearIndirection(fsOf(spark, dir), s"$dir/toksets")
     // sortWithinPartitions, NOT a shuffle: the generic-verify probe
     // prunes `toksets` with an id-set filter that parquet can only turn
     // into ROW-GROUP skipping if the row groups have tight doc_id
@@ -189,10 +204,11 @@ object NearDupSignatureStore {
     // not one per (input partition × cell) — the store's file count
     // stays O(cells × increments), compactable per cell dir
     sigs.repartition(m.cells, $"cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/sigs")
+      .write.mode("append").partitionBy("cell")
+      .parquet(sigsLive(spark, dir))
     // same row-group-stats discipline as build (see build's note)
     dt.sortWithinPartitions("doc_id")
-      .write.mode("append").parquet(s"$dir/toksets")
+      .write.mode("append").parquet(toksLive(spark, dir))
   }
 
   /** The daily-increment loop fused: [[probe]] then [[append]] in one
@@ -314,7 +330,9 @@ object NearDupSignatureStore {
     // dirs per probe — at 8192 cells that listing was ~9 of the drip
     // probe's 11.5 s (r10 ScaleBench finding; mechanics + measurement
     // in PrunedRead's scaladoc)
-    val store = PrunedRead.partitions(spark, s"$dir/sigs", "cell", cellVals)
+    val toksPath = toksLive(spark, dir)
+    val store = PrunedRead.partitions(spark, sigsLive(spark, dir),
+      "cell", cellVals)
     // map-side mask verify only when the store's masks are complete AND
     // the delta stayed inside the frozen vocabulary
     val maskOk = m.mask_complete &&
@@ -373,14 +391,14 @@ object NearDupSignatureStore {
           .limit(maxInFilterIds + 1).collect().map(_.get(0)).toSeq
         val storeToks =
           if (idVals.length <= maxInFilterIds)
-            spark.read.parquet(s"$dir/toksets")
+            spark.read.parquet(toksPath)
               .filter(if (idVals.isEmpty) lit(false)
                 else inSetFilter($"doc_id", idVals))
               .select($"doc_id".as("ra"), ta)
           else
             // degenerate-dense fallback (see DefaultMaxInFilterIds):
             // left-semi shuffle prune — bounded memory over no-shuffle
-            spark.read.parquet(s"$dir/toksets")
+            spark.read.parquet(toksPath)
               .select($"doc_id".as("ra"), ta)
               .join(oldNewP.select($"ra").distinct(), Seq("ra"), "left_semi")
         val oldNewV = oldNewP
@@ -430,8 +448,8 @@ object NearDupSignatureStore {
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
 
   private def cellDirs(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Array[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/sigs")
+      sigsPath: String): Array[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(sigsPath)
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -441,12 +459,14 @@ object NearDupSignatureStore {
   def stats(spark: SparkSession, dir: String): StoreStats = {
     val m = readMeta(spark, dir)
     val fs = fsOf(spark, dir)
-    val perCell = cellDirs(fs, dir).map(p => partFiles(fs, p).length)
+    val sigsPath = sigsLive(spark, dir)
+    val toksPath = toksLive(spark, dir)
+    val perCell = cellDirs(fs, sigsPath).map(p => partFiles(fs, p).length)
     StoreStats(m.cells, m.mask_complete, m.vocab.size,
       perCell.sum, if (perCell.isEmpty) 0 else perCell.max,
-      spark.read.parquet(s"$dir/sigs").count(),
-      partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length,
-      spark.read.parquet(s"$dir/toksets").count())
+      spark.read.parquet(sigsPath).count(),
+      partFiles(fs, new org.apache.hadoop.fs.Path(toksPath)).length,
+      spark.read.parquet(toksPath).count())
   }
 
   final case class CompactStats(sigFilesBefore: Int, sigFilesAfter: Int,
@@ -483,19 +503,19 @@ object NearDupSignatureStore {
       Compaction.compactPartitioned(spark, s"$dir/sigs", "cell=", targetBytes)
     Compaction.recoverSwap(spark, s"$dir/toksets")
     val toksBefore =
-      partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length
+      partFiles(fs, new org.apache.hadoop.fs.Path(toksLive(spark, dir))).length
     val toksTmp = {
-      val t = s"$dir/toksets__compacting"
+      val t = Compaction.stagingDir(fs, s"$dir/toksets")
       val p = new org.apache.hadoop.fs.Path(t)
       if (fs.exists(p)) fs.delete(p, true) // leftover from a dead run
       t
     }
     // sortCol keeps the ledger's tight per-row-group doc_id bounds (set
     // up by build/append's sortWithinPartitions) through the rewrite
-    Compaction.compact(spark, s"$dir/toksets", toksTmp, targetBytes,
+    Compaction.compact(spark, toksLive(spark, dir), toksTmp, targetBytes,
       sortCol = Some("doc_id"))
     Compaction.swapDir(spark, s"$dir/toksets", toksTmp)
     CompactStats(sigsBefore, sigsAfter, toksBefore,
-      partFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/toksets")).length)
+      partFiles(fs, new org.apache.hadoop.fs.Path(toksLive(spark, dir))).length)
     }
 }

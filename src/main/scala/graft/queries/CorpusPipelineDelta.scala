@@ -115,10 +115,11 @@ object CorpusPipelineDelta {
   private def readMetaState(s: SparkSession,
       stateDir: String): MetaState = {
     val p = metaDir(stateDir)
-    if (!fsOf(s, p).exists(new Path(p)))
+    val fs = fsOf(s, p)
+    if (!Compaction.liveExists(fs, p))
       MetaState(None, None, None, None, None, None)
     else {
-      val df = s.read.parquet(p)
+      val df = s.read.parquet(Compaction.resolveLive(fs, p))
       val cols = df.columns.toSet
       def opt(name: String, tpe: String) =
         if (cols(name)) col(name) else lit(null).cast(tpe).as(name)
@@ -319,12 +320,12 @@ object CorpusPipelineDelta {
     val within = withDigest.join(keep, Seq("__digest", cfg.idCol))
     val dPath = digestsDir(stateDir)
     val exactNew0 =
-      if (!fs.exists(new Path(dPath))) within
+      if (!Compaction.liveExists(fs, dPath)) within
       else {
         // materialized unconditionally (NOT via the audit-switchable
         // eagerCut): step 7 APPENDS to the ledger this scan reads, and
         // the append's plan must never still reference the path
-        val hits = s.read.parquet(dPath)
+        val hits = s.read.parquet(Compaction.resolveLive(fs, dPath))
           .join(broadcast(within.select(col("__digest")).distinct()),
             "__digest")
           .select(col("__digest")).distinct()
@@ -395,7 +396,7 @@ object CorpusPipelineDelta {
     // snapshot, so the ledger is never half-an-increment ahead of the
     // mix/meta the commit protocol below swaps in
     exactNew.select(col("__digest")).distinct()
-      .write.mode("append").parquet(dPath)
+      .write.mode("append").parquet(Compaction.resolveLive(fs, dPath))
 
     // 7. mixture quotas: merge the delta's survivors into the persisted
     // top-quota state and re-rank (the batch operator over
@@ -405,8 +406,8 @@ object CorpusPipelineDelta {
     val mPath = mixDir(stateDir)
     Compaction.recoverSwap(s, mPath) // pre-journal-era crash residue
     val cands =
-      if (!fs.exists(new Path(mPath))) deconDelta.select(candCols: _*)
-      else s.read.parquet(mPath)
+      if (!Compaction.liveExists(fs, mPath)) deconDelta.select(candCols: _*)
+      else s.read.parquet(Compaction.resolveLive(fs, mPath))
         .unionByName(deconDelta.select(candCols: _*))
     val mixed = LlmOps6.mixtureSample(cands, cfg.sourceCol, cfg.textCol,
       cfg.idCol, cfg.quotas).drop("rnk")
@@ -469,7 +470,8 @@ object CorpusPipelineDelta {
   def refreshOutput(s: SparkSession, stateDir: String,
       cfg: Config = Config()): DataFrame =
     graft.Hygiene.eagerCut(
-      CorpusPipeline.tailSplitPack(s.read.parquet(mixDir(stateDir)), cfg))
+      CorpusPipeline.tailSplitPack(s.read.parquet(
+        Compaction.resolveLive(fsOf(s, stateDir), mixDir(stateDir))), cfg))
 
   // ---- crash recovery: the fold journal (round 11) --------------------
 
@@ -529,12 +531,18 @@ object CorpusPipelineDelta {
     val sb = new StringBuilder
     sb ++= s"token=$token\n"
     sb ++= s"storeExisted=$storeExisted\n"
-    sb ++= s"digestsExisted=${fs.exists(new Path(digestsDir(stateDir)))}\n"
-    sb ++= s"mixExisted=${fs.exists(new Path(mixDir(stateDir)))}\n"
-    sb ++= s"metaExisted=${fs.exists(new Path(metaDir(stateDir)))}\n"
-    walkFiles(fs, new Path(s"$sd/sigs")).foreach(f => sb ++= s"sig:$f\n")
-    walkFiles(fs, new Path(s"$sd/toksets")).foreach(f => sb ++= s"tok:$f\n")
-    walkFiles(fs, new Path(digestsDir(stateDir)))
+    sb ++= s"digestsExisted=${Compaction.liveExists(fs, digestsDir(stateDir))}\n"
+    sb ++= s"mixExisted=${Compaction.liveExists(fs, mixDir(stateDir))}\n"
+    sb ++= s"metaExisted=${Compaction.liveExists(fs, metaDir(stateDir))}\n"
+    // snapshot the RESOLVED live trees — under a pointer-mode compact
+    // the append targets are generation dirs, and rollback lists the
+    // same resolution (no swap of these dirs happens inside a fold, so
+    // the pointer cannot move between journal and recovery)
+    walkFiles(fs, new Path(Compaction.resolveLive(fs, s"$sd/sigs")))
+      .foreach(f => sb ++= s"sig:$f\n")
+    walkFiles(fs, new Path(Compaction.resolveLive(fs, s"$sd/toksets")))
+      .foreach(f => sb ++= s"tok:$f\n")
+    walkFiles(fs, new Path(Compaction.resolveLive(fs, digestsDir(stateDir))))
       .foreach(f => sb ++= s"dig:$f\n")
     fs.delete(new Path(metaCopy(stateDir)), true)
     if (storeExisted)
@@ -568,9 +576,16 @@ object CorpusPipelineDelta {
     val next = new Path(s"${live}__next")
     val livP = new Path(live)
     if (fs.exists(next)) {
-      if (fs.exists(livP)) Compaction.swapDir(s, live, s"${live}__next")
-      else require(fs.rename(next, livP),
-        s"staged-state rename failed: $next -> $live")
+      if (Compaction.liveExists(fs, live))
+        Compaction.swapDir(s, live, s"${live}__next")
+      else if (Compaction.renameIsAtomic(fs))
+        require(fs.rename(next, livP),
+          s"staged-state rename failed: $next -> $live")
+      else
+        // first-ever state on an object store: a plain rename is a
+        // visible mid-copy tree — commit via the pointer instead
+        // (pointerSwap handles a missing live path)
+        Compaction.swapDir(s, live, s"${live}__next")
     } else {
       val oldP = new Path(s"${live}__old")
       if (fs.exists(livP) && fs.exists(oldP)) fs.delete(oldP, true)
@@ -657,8 +672,10 @@ object CorpusPipelineDelta {
           val sd = storeDir(stateDir)
           if (!existed("storeExisted")) fs.delete(new Path(sd), true)
           else {
-            rollbackDir(fs, s"$sd/sigs", known("sig:"))
-            rollbackDir(fs, s"$sd/toksets", known("tok:"))
+            rollbackDir(fs, Compaction.resolveLive(fs, s"$sd/sigs"),
+              known("sig:"))
+            rollbackDir(fs, Compaction.resolveLive(fs, s"$sd/toksets"),
+              known("tok:"))
             if (fs.exists(new Path(metaCopy(stateDir)))) {
               fs.delete(new Path(s"$sd/meta"), true)
               require(fs.rename(new Path(metaCopy(stateDir)),
@@ -667,7 +684,8 @@ object CorpusPipelineDelta {
           }
           if (!existed("digestsExisted"))
             fs.delete(new Path(digestsDir(stateDir)), true)
-          else rollbackDir(fs, digestsDir(stateDir), known("dig:"))
+          else rollbackDir(fs,
+            Compaction.resolveLive(fs, digestsDir(stateDir)), known("dig:"))
           Seq(mixDir(stateDir), metaDir(stateDir)).foreach { live =>
             fs.delete(new Path(s"${live}__next"), true)
             Compaction.recoverSwap(s, live)
@@ -710,15 +728,17 @@ object CorpusPipelineDelta {
         else None
       val dPath = digestsDir(stateDir)
       Compaction.recoverSwap(s, dPath)
-      if (!fs.exists(new Path(dPath)))
+      if (!Compaction.liveExists(fs, dPath))
         StateCompactStats(0, 0, storeStats)
       else {
-        def parts() = fs.listStatus(new Path(dPath))
+        def parts() = fs.listStatus(
+            new Path(Compaction.resolveLive(fs, dPath)))
           .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
         val before = parts()
-        val tmp = s"${dPath}__compacting"
+        val tmp = Compaction.stagingDir(fs, dPath)
         if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
-        Compaction.compact(s, dPath, tmp, targetBytes)
+        Compaction.compact(s, Compaction.resolveLive(fs, dPath), tmp,
+          targetBytes)
         Compaction.swapDir(s, dPath, tmp)
         StateCompactStats(before, parts(), storeStats)
       }
