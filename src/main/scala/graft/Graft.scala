@@ -296,6 +296,18 @@ object Graft {
       maxDist: Int, bits: Int = 32): DataFrame =
     operators.HammingJoin.selfJoin(fp, idCol, fpCol, maxDist, bits)
 
+  /** IMAGE near-dup pairs (E11): 64-bit perceptual dHash over the
+    * REAL decoded pixels → the banded Hamming self-join — re-encoded,
+    * resized and brightness-shifted copies pair, distinct images do
+    * not. Engine-only surface (no SQL oracle can decode images); the
+    * spec verifies against a brute-force popcount over the same
+    * fingerprints plus planted duplicates. See
+    * [[multimodal.Multimodal.imageNearDupPairs]]. */
+  def imageNearDupPairs(
+      media: org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaRecord],
+      maxDist: Int = 10): DataFrame =
+    multimodal.Multimodal.imageNearDupPairs(media, maxDist)
+
   /** Dictionary fuzzy lookup: all dictionary keys within Levenshtein
     * distance `maxDist` of each query key (SymSpell shape; exact hits
     * included). See [[operators.FuzzyJoin.lookupJoin]]. */

@@ -190,6 +190,54 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** 64-bit difference hash (dHash) of an encoded image — the
+      * standard public perceptual fingerprint (Krawetz's
+      * hackerfactor writeup popularized it): decode, scale to 9×8,
+      * grayscale (ITU-R 601 luma), and bit `y·8+x` records whether
+      * luminance INCREASES from column x to x+1 in row y. Gradients,
+      * not values: a re-encode, a resize, or a global brightness
+      * shift moves every pixel together and leaves the 64
+      * neighbor-comparisons (hence the hash) nearly unchanged, while
+      * distinct images disagree on ~half the bits. Deterministic for
+      * a given payload (same JDK bilinear scaler as [[resizeImage]]).
+      * `None` when the bytes don't decode — corrupt media is data,
+      * not an error (the [[decodeImage]] rule). */
+    def dHash(payload: Array[Byte]): Option[Long] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 9, 8, null)
+          } finally g.dispose()
+          def lum(x: Int, y: Int): Double = {
+            val rgb = dst.getRGB(x, y)
+            0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+          }
+          var bits = 0L
+          var i = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (lum(x, y) < lum(x + 1, y)) bits |= (1L << i)
+              i += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(bits)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** STUB frame sampling for the SYNTHETIC `image/fake` payloads —
       * every `stride`-th 16-byte window is a "frame". Retained (not
       * retired) deliberately: the fake rows' bytes are UTF-8 text, not
@@ -280,6 +328,43 @@ object Multimodal {
       }
     }
   }
+
+  case class ImageFingerprint(doc_id: Long, fp: Long)
+
+  /** Perceptual fingerprints ([[Codecs.dHash]]) of every DECODABLE real
+    * image in `media` — the feature half of [[imageNearDupPairs]].
+    * Synthetic `image/fake` rows (UTF-8 text, not an encoded image) and
+    * undecodable payloads are dropped, not errors: at corpus scale a
+    * corrupt image must cost a row, never a job. Partition-preserving
+    * batched map, the [[extractImageFeatures]] shape. */
+  def imageFingerprints(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[ImageFingerprint] = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { rec =>
+        if (rec.media_type == "image/fake") None
+        else Codecs.dHash(rec.payload).map(ImageFingerprint(rec.doc_id, _))
+      })
+    }
+  }
+
+  /** IMAGE NEAR-DUP (E11 — the north-star composition VERDICT r13 asked
+    * for): all pairs of decodable images within Hamming distance
+    * `maxDist` of each other's 64-bit dHash — re-encoded, resized and
+    * brightness-shifted copies pair; distinct images do not (default 10
+    * of 64 bits; distinct images disagree on ~32). The pair search is
+    * [[graft.operators.HammingJoin]] — the oracle-verified banded
+    * pigeonhole self-join behind q52 — NOT an all-pairs comparison, so
+    * the 100 TB posture is the q52 one: candidates per band bucket, an
+    * equi-join Spark shuffles on its keys, exact XOR+popcount verify.
+    * Output: (doc_id_a < doc_id_b, hamming). Eager like
+    * [[graft.operators.HammingJoin.selfJoin]]. */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxDist: Int = 10,
+      batchSize: Int = 64): DataFrame =
+    graft.operators.HammingJoin.selfJoin(
+      imageFingerprints(media, batchSize).toDF(), "doc_id", "fp", maxDist,
+      bits = 64)
 
   /** Frame sampling: one media row → many frame rows (generator shape). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): Dataset[FrameSample] = {
