@@ -83,13 +83,52 @@ object Bench {
         .selectExpr("sum(pmod(id * 2654435761, 1000000007))").collect()
       (System.nanoTime() - t0) / 1000000
     }.min
+    // I/O-CLASS canary (VERDICT r13 task 4): the CPU spin has a
+    // recorded blind spot — two rounds of uniformly-inflated artifacts
+    // (96.9 s r13-driver, 106.4 s r13-quiet-attempt vs the 87.6 s r12
+    // band) shipped with QUIET cpu canaries, because the slow-ambient
+    // class that inflated them is I/O/page-cache/memory-bandwidth
+    // contention, which a register-resident spin never touches. This
+    // canary reads the scale dir's largest parquet file through the
+    // page cache (~64 MB of buffer traffic per sample, min of 3 — the
+    // same transient-vs-ambient rule as the CPU probe); a block is
+    // suspect when EITHER canary inflates.
+    val ioFile: Option[java.io.File] = {
+      val fs = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (fs.isEmpty) None else Some(fs.maxBy(_.length))
+    }
+    @volatile var ioSink = 0 // defeats dead-code elimination of the reads
+    def ioCanarySample(): Long = ioFile.fold(-1L) { f =>
+      // whole-file passes until ~64 MB of traffic (bounded: an
+      // unexpectedly tiny file must not spin forever)
+      val passes = math.min(64L,
+        (64L * 1024 * 1024 + f.length - 1) / math.max(1L, f.length)).toInt
+      Seq.fill(3) {
+        val t0 = System.nanoTime()
+        var p = 0
+        while (p < passes) {
+          val in = new java.io.FileInputStream(f)
+          try {
+            val buf = new Array[Byte](1 << 20)
+            var n = in.read(buf)
+            while (n > 0) { ioSink ^= buf(0) + buf(n - 1); n = in.read(buf) }
+          } finally in.close()
+          p += 1
+        }
+        (System.nanoTime() - t0) / 1000000
+      }.min
+    }
+    val ioCanaryMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     def canary(): Unit = {
       loads += loadAvg()
       canaryMs += canarySample()
+      ioCanaryMs += ioCanarySample()
       ()
     }
     canary() // discarded warm canary: JIT + codegen for the probe itself
-    canaryMs.clear(); loads.clear()
+    canaryMs.clear(); loads.clear(); ioCanaryMs.clear()
     def timeQuery(name: String): (String, Double, Double, Seq[Double]) = {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -133,9 +172,24 @@ object Bench {
     // numbers stand). Bounded at 4 blocks so a genuinely busy box adds
     // minutes, not a second full pass.
     val nBlocks = (names.length + 9) / 10
+    // abs guards differ per canary class: the cpu spin's quiet floor is
+    // ~100 ms, the page-cached read's is tens of ms — a shared 100 ms
+    // absolute guard would need a 4-5× io inflation before flagging
+    val IoAbsGuard = 50L
+    def ioFloor(extra: Long*): Long = {
+      val valid = (ioCanaryMs ++ extra).filter(_ >= 0)
+      if (valid.isEmpty) -1L else valid.min
+    }
     def inflatedBlock(b: Int, floor: Long): Boolean = {
       val thresh = floor + math.max(floor / 2, 100)
-      Seq(canaryMs.lift(b), canaryMs.lift(b + 1)).flatten.exists(_ >= thresh)
+      val cpuHot =
+        Seq(canaryMs.lift(b), canaryMs.lift(b + 1)).flatten.exists(_ >= thresh)
+      val ioHot = ioFloor() >= 0 && {
+        val t = ioFloor() + math.max(ioFloor() / 2, IoAbsGuard)
+        Seq(ioCanaryMs.lift(b), ioCanaryMs.lift(b + 1)).flatten
+          .exists(_ >= t)
+      }
+      cpuHot || ioHot
     }
     val results = results0.toArray
     val quietRetried = scala.collection.mutable.Set.empty[Int]
@@ -144,13 +198,23 @@ object Bench {
          if rerunsTried < 4 && inflatedBlock(b, canaryMs.min)) {
       rerunsTried += 1
       val cBefore = canarySample()
+      val ioBefore = ioCanarySample()
       val lo = b * 10
       val blockNames = names.slice(lo, math.min(lo + 10, names.length))
       val retried = blockNames.map(timeQuery)
       val cAfter = canarySample()
+      val ioAfter = ioCanarySample()
       val floor = math.min(canaryMs.min, math.min(cBefore, cAfter))
       val thresh = floor + math.max(floor / 2, 100)
-      if (cBefore < thresh && cAfter < thresh) {
+      // a retry is quiet only when BOTH canary classes bracket quiet —
+      // re-landing an io-contended block because the cpu spin was calm
+      // is exactly the blind spot this canary exists to close
+      val ioQuiet = ioBefore < 0 || {
+        val f = ioFloor(ioBefore, ioAfter)
+        val t = f + math.max(f / 2, IoAbsGuard)
+        ioBefore < t && ioAfter < t
+      }
+      if (cBefore < thresh && cAfter < thresh && ioQuiet) {
         var allReplaced = true
         retried.zipWithIndex.foreach { case (r, i) =>
           // a retry that flaked to -1.0 must not replace a valid
@@ -194,10 +258,12 @@ object Bench {
     val total =
       math.round(results.map(_._2).filter(_ > 0).sum * 1000) / 1000.0
     val canaryJson = canaryMs.mkString("[", ",", "]")
+    val ioCanaryJson = ioCanaryMs.mkString("[", ",", "]")
     val loadsJson = loads.mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,""" +
-      s""""canary_ms":$canaryJson,"loads":$loadsJson,""" +
+      s""""canary_ms":$canaryJson,"io_canary_ms":$ioCanaryJson,""" +
+      s""""loads":$loadsJson,""" +
       s""""reruns_tried":$rerunsTried,"reruns_kept":${quietRetried.size},""" +
       s""""queries_med_min_runs":$fullQs,"sf":"$sfDir"}"""
     try {
@@ -232,18 +298,28 @@ object Bench {
     // (ADVICE r9).
     val minCanary = if (canaryMs.isEmpty) 0L else canaryMs.min
     val canaryThresh = minCanary + math.max(minCanary / 2, 100)
+    val minIo = ioFloor()
+    val ioThresh =
+      if (minIo < 0) Long.MaxValue
+      else minIo + math.max(minIo / 2, IoAbsGuard)
     val spans = (0 until nBlocks).flatMap { b =>
-      val worst = Seq(canaryMs.lift(b), canaryMs.lift(b + 1)).flatten
-        .foldLeft(0L)(math.max)
+      def worstOf(ms: scala.collection.Seq[Long]): Long =
+        Seq(ms.lift(b), ms.lift(b + 1)).flatten.foldLeft(0L)(math.max)
+      val worstCpu = worstOf(canaryMs)
+      val worstIo = worstOf(ioCanaryMs)
       // a block successfully re-measured under quiet brackets carries
       // its retry numbers — its original inflation is no longer in the
-      // artifact's data, so it must not be flagged either
-      if (worst >= canaryThresh && !quietRetried.contains(b)) {
+      // artifact's data, so it must not be flagged either. Either
+      // canary class flags; the reported ratio is the worse of the two
+      if ((worstCpu >= canaryThresh || worstIo >= ioThresh) &&
+          !quietRetried.contains(b)) {
         val lo = b * 10
         val label = key(names(lo)) + "-" +
           key(names(math.min(lo + 9, names.length - 1)))
-        Some("\"" + label + "\":" +
-          (worst.toDouble / math.max(minCanary, 1L) * 10).round / 10.0)
+        val ratio = math.max(
+          worstCpu.toDouble / math.max(minCanary, 1L),
+          if (minIo > 0) worstIo.toDouble / minIo else 0.0)
+        Some("\"" + label + "\":" + (ratio * 10).round / 10.0)
       } else None
     }.mkString("{", ",", "}")
     // stop BEFORE printing: Spark's shutdown logging (if any escapes the
@@ -263,6 +339,7 @@ object Bench {
         s""""load_start":$loadStart,"load_end":$loadEnd,""" +
         (if (withCanary)
           s""""canary_ms":$canaryJson,""" +
+            s""""io_canary_ms":$ioCanaryJson,""" +
             (if (withLoads) s""""loads":$loadsJson,""" else "") +
             s""""inflated_spans":$spans,""" +
             s""""reruns_tried":$rerunsTried,""" +
