@@ -86,6 +86,20 @@ object MaintenanceLease {
     if (i < 0) leaseText else leaseText.substring(0, i)
   }
 
+  /** `body` could be a TORN read of `holder`'s beat: a strict prefix
+    * cut inside (or at the end of) the holder token. On stores whose
+    * create-overwrite is not atomic a reader can observe a
+    * partially-written beat body; a torn body must count as
+    * UNCONFIRMABLE evidence (refuse/retry), never as "names someone
+    * else" — misreading it as foreign would let a rival break a live
+    * holder whose beats are perfectly fresh (r13 seed, pinned in
+    * MaintenanceLeaseSpec). A body truncated AFTER `"<holder> "`
+    * already passes the normal startsWith match and is caught
+    * byte-wise by the break's changed-body comparison. */
+  private def tornPrefixOf(holder: String, body: String): Boolean =
+    holder.nonEmpty && body.length <= holder.length + 1 &&
+      (holder + " ").startsWith(body)
+
   /** The beat sidecar's (mtime, body) iff it exists, is readable AND
     * names `holder` — a residue beat from a different holder is not
     * liveness evidence for this lease. */
@@ -101,10 +115,13 @@ object MaintenanceLease {
       // Anchored on the trailing space: a holder string that is a
       // strict PREFIX of another (nanotime suffixes vary in length)
       // must not claim its beats. The empty holder (unreadable lease)
-      // matches any beat — refusing on unconfirmable evidence is the
-      // safe direction.
+      // matches any beat, and a TORN prefix of this holder's own beat
+      // also counts as evidence — refusing on unconfirmable evidence
+      // is the safe direction (a fresh-but-torn beat must keep the
+      // lease looking live, not stale).
       val body = readLeaseOpt(fs, bp)
-        .filter(t => holder.isEmpty || t.startsWith(holder + " "))
+        .filter(t => holder.isEmpty || t.startsWith(holder + " ") ||
+          tornPrefixOf(holder, t))
       body.map((fs.getFileStatus(bp).getModificationTime, _))
     } catch { case _: IOException => None }
   }
@@ -132,10 +149,17 @@ object MaintenanceLease {
     try {
       val in = fs.open(p)
       try {
+        // loop until EOF (ADVICE r13): a single read() may legally
+        // return short, and a body truncated mid-holder-token would
+        // fail the startsWith(holder) matches — the heartbeat would
+        // stop as 'force-broken' (exclusion silently lost) or release
+        // would skip deleting its own lease
+        val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](4096)
-        val n = in.read(buf)
-        Some(if (n <= 0) "<empty lease file>"
-             else new String(buf, 0, n, "UTF-8"))
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(if (out.size == 0) "<empty lease file>"
+             else new String(out.toByteArray, "UTF-8"))
       } finally in.close()
     } catch { case _: IOException => None }
 
@@ -188,14 +212,21 @@ object MaintenanceLease {
       // manual break(). A beat/lease READ failure here is still
       // treated as changed (refuse): breaking on missing evidence
       // would re-admit the double-writer hazard.
+      val tombHolder = readLeaseOpt(fs, tomb).map(holderOf)
       val beatNow =
         try {
           val bp = beatPath(p)
           if (!fs.exists(bp)) None
           else readLeaseOpt(fs, bp) match {
             case Some(t) =>
-              val tombHolder = readLeaseOpt(fs, tomb).map(holderOf)
-              if (tombHolder.exists(h => !t.startsWith(h + " "))) None
+              if (tombHolder.exists(h => tornPrefixOf(h, t)))
+                // a TORN prefix of the captured holder's own beat: a
+                // live heartbeat may be mid-write on a store whose
+                // create-overwrite is not atomic — unconfirmable
+                // evidence, refuse (treating it as foreign/absent
+                // would break a live holder; r13 seed)
+                Some((-1L, "<torn beat read>"))
+              else if (tombHolder.exists(h => !t.startsWith(h + " "))) None
               else Some((0L, t))
             case None => Some((-1L, "<unreadable beat file>"))
           }
@@ -208,7 +239,19 @@ object MaintenanceLease {
       val sameFile = leaseUnmoved && beatUnmoved
       if (sameFile) {
         fs.delete(tomb, false)
-        try fs.delete(beatPath(p), false) catch { case _: IOException => () }
+        // holder-matched beat cleanup (ADVICE r13): delete the beat
+        // only if it still names the BROKEN holder — a successor that
+        // already recreated the lease at p in this window may have
+        // written its own beat, and clobbering it (or its residue-clean
+        // state) costs the successor a tick of liveness. A foreign
+        // residue beat is left for the next acquisition's residue-clean
+        // in tryCreate, which holder-matches against the NEW lease.
+        try {
+          if (readLeaseOpt(fs, beatPath(p)).exists(t =>
+              tombHolder.exists(h =>
+                t.startsWith(h + " ") || tornPrefixOf(h, t))))
+            fs.delete(beatPath(p), false)
+        } catch { case _: IOException => () }
         true
       } else {
         // we captured a lease RECREATED after our staleness check —
@@ -296,11 +339,13 @@ object MaintenanceLease {
       try {
         var mine = true
         var ticks = 0L
-        var failedBeats = 0 // consecutive beat-WRITE failures
+        var failedBeats = 0  // consecutive beat-WRITE failures
+        var missedReads = 0  // consecutive unreadable/missing lease reads
         while (mine) {
           Thread.sleep(math.max(staleMs / 3, 10))
           readLeaseOpt(fs, p) match {
             case Some(txt) if txt.startsWith(holder + " ") =>
+              missedReads = 0
               ticks += 1
               try {
                 val out = fs.create(beatPath(p), true)
@@ -333,7 +378,21 @@ object MaintenanceLease {
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
                 s"lease on $dir no longer names '$holder' — heartbeat " +
                   "stopped (force-broken? exclusion is lost)")
-            case None => () // can't read — no evidence either way; retry
+            case None =>
+              // can't read — no evidence either way; retry. But a
+              // PERMANENTLY missing lease (a manual break() against a
+              // live holder, with no successor yet) was previously
+              // indistinguishable from a transient hiccup FOREVER: no
+              // beats, no warning, the holder silently running
+              // unexcluded until a rival acquired. Mirror the
+              // failedBeats pattern and say so (ADVICE r13).
+              missedReads += 1
+              if (missedReads == 3 || missedReads % 30 == 0)
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"lease on $dir unreadable or MISSING for $missedReads " +
+                    "consecutive heartbeat ticks — if an operator " +
+                    "force-broke it, this job is running unexcluded; no " +
+                    "liveness evidence is being refreshed meanwhile")
           }
         }
       } catch { case _: InterruptedException => () }
@@ -370,17 +429,12 @@ object MaintenanceLease {
   def break(spark: SparkSession, dir: String): Option[String] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = leasePath(dir)
-    try {
-      val in = fs.open(p)
-      val text =
-        try {
-          val buf = new Array[Byte](4096)
-          val n = in.read(buf)
-          if (n <= 0) "<empty lease file>" else new String(buf, 0, n, "UTF-8")
-        } finally in.close()
-      fs.delete(p, false)
-      try fs.delete(beatPath(p), false) catch { case _: IOException => () }
-      Some(text)
-    } catch { case _: IOException => None }
+    readLeaseOpt(fs, p).flatMap { text => // EOF-looped read (ADVICE r13)
+      try {
+        fs.delete(p, false)
+        try fs.delete(beatPath(p), false) catch { case _: IOException => () }
+        Some(text)
+      } catch { case _: IOException => None }
+    }
   }
 }

@@ -172,7 +172,17 @@ object CorpusPipelineDelta {
     * a grown benchmark applies to future increments only, and the
     * output's equality with a batch run under the NEW set no longer
     * holds for rows admitted earlier; see the class doc). */
-  private def renderFingerprint(cfg: Config, langs: Seq[String]): String =
+  private def renderFingerprint(cfg: Config, langs: Seq[String]): String = {
+    // the rendering's delimiter grammar: '|' separates segments, ','
+    // separates keepLangs entries — an entry containing either would
+    // render ambiguously (two configs, one fingerprint) and mis-parse
+    // under canonicalizeFp. Reject loudly; real language codes never
+    // carry these (r13 residual nit, declared domain made enforced).
+    langs.find(l => l == null || l.contains(",") || l.contains("|"))
+      .foreach(l => throw new IllegalArgumentException(
+        s"keepLangs entry '$l' is null or contains a config-fingerprint " +
+          "delimiter (',' or '|') — language codes must be " +
+          "delimiter-free for the persisted cfg_fp to be unambiguous"))
     Seq(
       s"id=${cfg.idCol}", s"text=${cfg.textCol}", s"lang=${cfg.langCol}",
       s"source=${cfg.sourceCol}", s"minQuality=${cfg.minQuality}",
@@ -180,6 +190,7 @@ object CorpusPipelineDelta {
       s"threshold=${cfg.nearDupThreshold}",
       s"quotas=${cfg.quotas.toSeq.sorted.map { case (k, v) => s"$k:$v" }
         .mkString(",")}").mkString("|")
+  }
 
   // keepLangs sorted like quotas (ADVICE r12): membership is an isin
   // test, so the same language SET in a different Seq order is the

@@ -353,8 +353,17 @@ class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // refuses this break on every retry forever
     assert(MaintenanceLease.breakIfStillStale(fs, lease, staleM, None),
       "foreign residue beat blocked a stale break")
-    assert(!fs.exists(lease) && !fs.exists(beatP),
-      "break did not clear the lease and the residue beat")
+    assert(!fs.exists(lease), "break did not clear the stale lease")
+    // the foreign beat is deliberately LEFT by the break (ADVICE r13:
+    // a beat naming someone else could be a successor's own — only a
+    // beat naming the BROKEN holder is clobbered); the next
+    // acquisition's residue-clean removes it, holder-matched against
+    // the new lease
+    assert(fs.exists(beatP),
+      "break clobbered a beat naming a different holder")
+    MaintenanceLease.withLease(spark, dir, "tidy", staleMs = 3000)(())
+    assert(!fs.exists(beatP),
+      "acquisition did not clean the foreign residue beat")
     // end-to-end: the same shape through withLease
     val lease2 = holdLease(dir, "dead-holder-2")
     fs.setTimes(lease2, staleM, -1)
@@ -364,6 +373,52 @@ class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.setTimes(beatP, staleM, -1)
     MaintenanceLease.withLease(spark, dir, "successor", staleMs = 3000)(())
     assert(!fs.exists(lease2), "stale lease survived under foreign residue")
+  }
+
+  test("TORN beat reads refuse, never break (r13 seed): a beat body " +
+      "truncated inside the holder token — the mid-write state a " +
+      "non-atomic create-overwrite exposes — is unconfirmable " +
+      "evidence at BOTH read paths, not a foreign/absent beat") {
+    val dir = tmp("lease_torn")
+    val beatP = new Path(s"${dir}__lease.beat")
+    def writeBeat(s: String): Unit = {
+      val out = fs.create(beatP, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // (a) the break re-check: observed no beat, a TORN prefix of the
+    // captured holder's own beat appears in the window — without the
+    // torn-prefix rule it reads as foreign → filtered to None →
+    // (None, None) unmoved → a live holder broken mid-write
+    val lease = holdLease(dir, "os-holder2")
+    val staleM = System.currentTimeMillis - 2L * 60 * 60 * 1000
+    fs.setTimes(lease, staleM, -1)
+    writeBeat("os-hol") // torn inside the holder token
+    assert(!MaintenanceLease.breakIfStillStale(fs, lease, staleM, None),
+      "break proceeded over a torn read of the holder's own beat")
+    assert(fs.exists(lease), "lease evicted under a torn beat read")
+    assert(leaseText(lease) == "os-holder2", "lease body not restored")
+    fs.delete(lease, false)
+    // (b) the observation path: a stale-looking lease whose FRESH beat
+    // reads torn must still count as liveness evidence — the rival is
+    // refused naming the holder, instead of observing 'stale' and
+    // entering the break
+    val lease2 = holdLease(dir, "live-holder")
+    fs.setTimes(lease2, staleM, -1)
+    writeBeat("live-hol") // fresh mtime, torn body
+    val e = intercept[IllegalStateException] {
+      MaintenanceLease.withLease(spark, dir, "rival-torn",
+        staleMs = 3000)(())
+    }
+    assert(e.getMessage.contains("live-holder"), e.getMessage)
+    assert(fs.exists(lease2), "rival broke a holder with a fresh torn beat")
+    // a torn read is evidence for THIS holder only: a body that is not
+    // a prefix of the holder token stays foreign and the break proceeds
+    writeBeat("someone-else beat=1 ms=2")
+    fs.setTimes(beatP, staleM, -1)
+    assert(MaintenanceLease.breakIfStillStale(fs, lease2, staleM, None),
+      "a genuinely foreign beat blocked the stale break")
+    assert(!fs.exists(lease2))
+    fs.delete(beatP, false)
   }
 
   test("the lease releases on a FAILED operation too") {

@@ -362,6 +362,26 @@ class CorpusPipelineRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("different Config"), e.getMessage)
   }
 
+  test("keepLangs entries carrying a fingerprint delimiter (',' or '|') " +
+      "are rejected loudly — two configs must never render one cfg_fp, " +
+      "and a fold with such a config dies before touching state (r13 " +
+      "residual, declared domain made enforced)") {
+    for (bad <- Seq("en,de", "e|n")) {
+      val e = intercept[IllegalArgumentException](
+        CorpusPipelineDelta.cfgFingerprint(
+          cfg.copy(keepLangs = Seq("en", bad))))
+      assert(e.getMessage.contains("delimiter"), e.getMessage)
+    }
+    val state = tmp("rec_fp_delim")
+    val e2 = intercept[IllegalArgumentException](
+      CorpusPipelineDelta.foldIncrement(inc1, state,
+        cfg.copy(keepLangs = Seq("en,de"))))
+    assert(e2.getMessage.contains("delimiter"), e2.getMessage)
+    assert(!fs.exists(new Path(s"$state/meta")) &&
+      !fs.exists(new Path(s"$state/journal")),
+      "rejected fold left state residue")
+  }
+
   test("quotas naming only ABSENT sources: the chain folds, the mix " +
       "state is empty, output == batch (both empty) — the misconfigured" +
       "-quota-map shape fails soft and consistently; the fingerprint " +
