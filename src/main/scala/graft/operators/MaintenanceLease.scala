@@ -115,13 +115,15 @@ object MaintenanceLease {
       // Anchored on the trailing space: a holder string that is a
       // strict PREFIX of another (nanotime suffixes vary in length)
       // must not claim its beats. The empty holder (unreadable lease)
-      // matches any beat, and a TORN prefix of this holder's own beat
-      // also counts as evidence — refusing on unconfirmable evidence
-      // is the safe direction (a fresh-but-torn beat must keep the
-      // lease looking live, not stale).
+      // matches any beat, and a TORN read of this holder's own beat —
+      // a strict prefix of the token, or the EMPTY body a reader sees
+      // between a non-atomic create-overwrite's create and its write —
+      // also counts as evidence: refusing on unconfirmable evidence is
+      // the safe direction (a fresh-but-torn beat must keep the lease
+      // looking live, not stale).
       val body = readLeaseOpt(fs, bp)
         .filter(t => holder.isEmpty || t.startsWith(holder + " ") ||
-          tornPrefixOf(holder, t))
+          tornPrefixOf(holder, t) || t == "<empty lease file>")
       body.map((fs.getFileStatus(bp).getModificationTime, _))
     } catch { case _: IOException => None }
   }
@@ -219,12 +221,17 @@ object MaintenanceLease {
           if (!fs.exists(bp)) None
           else readLeaseOpt(fs, bp) match {
             case Some(t) =>
-              if (tombHolder.exists(h => tornPrefixOf(h, t)))
-                // a TORN prefix of the captured holder's own beat: a
-                // live heartbeat may be mid-write on a store whose
-                // create-overwrite is not atomic — unconfirmable
-                // evidence, refuse (treating it as foreign/absent
-                // would break a live holder; r13 seed)
+              if (t == "<empty lease file>" ||
+                  tombHolder.exists(h => tornPrefixOf(h, t)))
+                // a TORN read of the captured holder's own beat — a
+                // prefix cut inside the token, or the empty body
+                // between a non-atomic create and its write: a live
+                // heartbeat may be mid-write — unconfirmable evidence,
+                // refuse (treating it as foreign/absent would break a
+                // live holder; r13 seed). A dead holder whose residue
+                // is PERMANENTLY empty refuses too — the documented
+                // escape is the operator break(); a wrong refusal
+                // retries, a wrong break admits a second writer.
                 Some((-1L, "<torn beat read>"))
               else if (tombHolder.exists(h => !t.startsWith(h + " "))) None
               else Some((0L, t))

@@ -397,6 +397,13 @@ class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       "break proceeded over a torn read of the holder's own beat")
     assert(fs.exists(lease), "lease evicted under a torn beat read")
     assert(leaseText(lease) == "os-holder2", "lease body not restored")
+    // the EXTREME torn state: an EMPTY beat (created, body not yet
+    // written) is equally unconfirmable — refuse, don't read it as
+    // foreign
+    val out0 = fs.create(beatP, true); out0.close()
+    assert(!MaintenanceLease.breakIfStillStale(fs, lease, staleM, None),
+      "break proceeded over an empty (mid-create) beat")
+    assert(fs.exists(lease), "lease evicted under an empty beat read")
     fs.delete(lease, false)
     // (b) the observation path: a stale-looking lease whose FRESH beat
     // reads torn must still count as liveness evidence — the rival is
