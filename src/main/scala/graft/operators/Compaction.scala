@@ -66,8 +66,11 @@ object Compaction {
   private def ptrPath(live: String) = new Path(s"${live}__ptr")
 
   /** Read a small control file fully (loop until EOF — a single
-    * `in.read` may legally return short, ADVICE r13). */
-  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+    * `in.read` may legally return short, ADVICE r13). Shared with the
+    * pipeline's journal reads — the one EOF-loop for control files
+    * (the lease keeps its own Option-returning variant: different
+    * error contract). */
+  private[graft] def readSmall(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): String = {
     val in = fs.open(p)
     try {
@@ -92,13 +95,38 @@ object Compaction {
     val pp = ptrPath(live)
     if (!fs.exists(pp)) live
     else {
-      val name = readSmall(fs, pp).trim
-      val target = new Path(new Path(live).getParent, name)
-      require(fs.exists(target),
-        s"swap pointer $pp names a missing generation '$name' — state " +
-          s"is corrupt; restore the generation dir or delete the " +
-          s"pointer to fall back to $live")
-      target.toString
+      // The pointer commits via create-overwrite; on stores where that
+      // is truncate-then-write a racing reader can see an EMPTY or
+      // partially-written body — a transient torn read, not
+      // corruption (the same non-atomic-create threat model the lease
+      // beats handle; r14 review). Retry briefly before declaring the
+      // state corrupt.
+      var attempt = 0
+      var resolved: String = null
+      var lastName = ""
+      while (resolved == null) {
+        lastName =
+          (try readSmall(fs, pp) catch {
+            case _: java.io.IOException => ""
+          }).trim
+        if (lastName.nonEmpty) {
+          val target = new Path(new Path(live).getParent, lastName)
+          if (fs.exists(target)) resolved = target.toString
+        } else if (!fs.exists(pp)) {
+          resolved = live // pointer cleared (clearIndirection) mid-read
+        }
+        if (resolved == null) {
+          attempt += 1
+          if (attempt >= 5)
+            throw new IllegalArgumentException(
+              s"swap pointer $pp names a missing generation " +
+                s"'$lastName' — state is corrupt; restore the " +
+                s"generation dir or delete the pointer to fall back " +
+                s"to $live")
+          Thread.sleep(20L * attempt)
+        }
+      }
+      resolved
     }
   }
 
@@ -221,17 +249,30 @@ object Compaction {
   private def pointerSwap(fs: org.apache.hadoop.fs.FileSystem,
       live: String, tmp: String): Unit = {
     val livP = new Path(live)
+    val isGen = tmp.startsWith(s"${live}__gen-")
     val gen =
-      if (tmp.startsWith(s"${live}__gen-")) new Path(tmp)
+      if (isGen) new Path(tmp)
       else {
-        // fixed-name staging (__next / __compacting from a caller that
-        // did not use stagingDir): move it under a generation-unique
-        // name first — the staged tree is about to BE the live tree,
-        // and a fixed name would be clobbered by the next maintenance's
-        // staging write. Nothing reads tmp, so the (non-atomic,
-        // copy-on-object-store) rename is safe, just not free.
+        // fixed-name staging (__next — the pipeline's staged commit
+        // protocol): COPY it under a generation-unique name, never
+        // consume it pre-commit. The staging dir's continued existence
+        // is what makes the caller's retry protocol idempotent
+        // (finishSwap reads "__next missing" as "swap already
+        // completed") — a rename would consume it BEFORE the pointer
+        // commit, and a crash in that window would silently lose a
+        // COMMITTED increment (r14 review): the restart would report
+        // done while the pointer still serves the pre-increment tree
+        // and the orphaned gen is later GC'd. Copy-then-commit-then-
+        // delete keeps every crash window re-runnable: mid-copy →
+        // __next intact, the restart re-copies into a fresh gen (the
+        // partial orphan is collected by this swap's GC); post-commit
+        // pre-delete → the restart re-copies the SAME content and
+        // re-commits, idempotent by content. Costs one tree copy —
+        // fixed-name staging is the delta-scale mix/meta path; bulk
+        // maintenance stages gen-named via [[stagingDir]] directly.
         val g = new Path(genName(live))
-        require(fs.rename(new Path(tmp), g), s"swap: stage $tmp as $g failed")
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, new Path(tmp),
+          fs, g, false, fs.getConf), s"swap: stage $tmp as $g failed")
         g
       }
     val prevLive = resolveLive(fs, live)
@@ -252,8 +293,10 @@ object Compaction {
           !keep(st.getPath.getName))
         fs.delete(st.getPath, true)
     }
-    // the pre-pointer in-place tree is garbage once it is no longer the
-    // immediate predecessor
+    // POST-commit retirements: the consumed staging source and the
+    // pre-pointer in-place tree (garbage once no longer the immediate
+    // predecessor)
+    if (!isGen) fs.delete(new Path(tmp), true)
     if (prevLive != live && fs.exists(livP)) { fs.delete(livP, true); () }
   }
 

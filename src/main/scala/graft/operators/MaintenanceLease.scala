@@ -191,7 +191,8 @@ object MaintenanceLease {
   private[operators] def breakIfStillStale(
       fs: org.apache.hadoop.fs.FileSystem, p: Path,
       observedMtime: Long,
-      observedBeat: Option[(Long, String)] = None): Boolean = {
+      observedBeat: Option[(Long, String)] = None,
+      staleMs: Long = DefaultStaleMs): Boolean = {
     val tomb = new Path(
       s"$p.broken.pid${ProcessHandle.current.pid}.${System.nanoTime}")
     val renamed = try fs.rename(p, tomb)
@@ -221,18 +222,29 @@ object MaintenanceLease {
           if (!fs.exists(bp)) None
           else readLeaseOpt(fs, bp) match {
             case Some(t) =>
-              if (t == "<empty lease file>" ||
-                  tombHolder.exists(h => tornPrefixOf(h, t)))
+              val torn = t == "<empty lease file>" ||
+                tombHolder.exists(h => tornPrefixOf(h, t))
+              if (torn) {
                 // a TORN read of the captured holder's own beat — a
                 // prefix cut inside the token, or the empty body
-                // between a non-atomic create and its write: a live
-                // heartbeat may be mid-write — unconfirmable evidence,
+                // between a non-atomic create and its write. A LIVE
+                // heartbeat re-creates the beat every staleMs/3, so
+                // the beat's OWN mtime splits the cases (r14 review):
+                // fresh → a writer may be mid-write, unconfirmable,
                 // refuse (treating it as foreign/absent would break a
-                // live holder; r13 seed). A dead holder whose residue
-                // is PERMANENTLY empty refuses too — the documented
-                // escape is the operator break(); a wrong refusal
-                // retries, a wrong break admits a second writer.
-                Some((-1L, "<torn beat read>"))
+                // live holder; r13 seed); already beyond staleMs → a
+                // crash artifact that no live writer has touched —
+                // pass the bytes through for the unchanged-evidence
+                // comparison, else byte-identical hours-old residue
+                // would deadlock maintenance behind a refuse-forever
+                // sentinel with only the manual break() as escape.
+                val bMtime =
+                  try fs.getFileStatus(beatPath(p)).getModificationTime
+                  catch { case _: IOException => Long.MaxValue }
+                if (System.currentTimeMillis - bMtime > staleMs)
+                  Some((0L, t))
+                else Some((-1L, "<torn beat read>"))
+              }
               else if (tombHolder.exists(h => !t.startsWith(h + " "))) None
               else Some((0L, t))
             case None => Some((-1L, "<unreadable beat file>"))
@@ -317,7 +329,7 @@ object MaintenanceLease {
         case Some(mtime)
             if System.currentTimeMillis - math.max(mtime,
               obsBeat.map(_._1).getOrElse(Long.MinValue)) > staleMs =>
-          breakIfStillStale(fs, p, mtime, obsBeat)
+          breakIfStillStale(fs, p, mtime, obsBeat, staleMs)
         case Some(_) => false // fresh — refuse below
         case None => true     // released mid-check; retry create
       }

@@ -172,17 +172,30 @@ object CorpusPipelineDelta {
     * a grown benchmark applies to future increments only, and the
     * output's equality with a batch run under the NEW set no longer
     * holds for rows admitted earlier; see the class doc). */
-  private def renderFingerprint(cfg: Config, langs: Seq[String]): String = {
-    // the rendering's delimiter grammar: '|' separates segments, ','
-    // separates keepLangs entries — an entry containing either would
-    // render ambiguously (two configs, one fingerprint) and mis-parse
-    // under canonicalizeFp. Reject loudly; real language codes never
-    // carry these (r13 residual nit, declared domain made enforced).
-    langs.find(l => l == null || l.contains(",") || l.contains("|"))
+  /** The rendering's delimiter grammar: '|' separates segments, ','
+    * separates keepLangs entries and quota pairs, ':' splits a quota
+    * pair — a data value containing one would render ambiguously (two
+    * configs, one fingerprint) and mis-parse under canonicalizeFp.
+    * Reject loudly; real language codes and source names never carry
+    * these (r13 residual nit made enforced; quota keys added by the
+    * r14 review — they feed the same grammar). Runs BEFORE the
+    * callers' `.sorted` (a null entry would NPE inside the sort ahead
+    * of the intended error). */
+  private def requireFingerprintable(cfg: Config): Unit = {
+    cfg.keepLangs.find(l => l == null || l.contains(",") || l.contains("|"))
       .foreach(l => throw new IllegalArgumentException(
         s"keepLangs entry '$l' is null or contains a config-fingerprint " +
           "delimiter (',' or '|') — language codes must be " +
           "delimiter-free for the persisted cfg_fp to be unambiguous"))
+    cfg.quotas.keys.find(k => k == null || k.contains(",") ||
+        k.contains("|") || k.contains(":"))
+      .foreach(k => throw new IllegalArgumentException(
+        s"quota source name '$k' is null or contains a config-" +
+          "fingerprint delimiter (',', '|' or ':') — source names must " +
+          "be delimiter-free for the persisted cfg_fp to be unambiguous"))
+  }
+
+  private def renderFingerprint(cfg: Config, langs: Seq[String]): String = {
     Seq(
       s"id=${cfg.idCol}", s"text=${cfg.textCol}", s"lang=${cfg.langCol}",
       s"source=${cfg.sourceCol}", s"minQuality=${cfg.minQuality}",
@@ -195,14 +208,18 @@ object CorpusPipelineDelta {
   // keepLangs sorted like quotas (ADVICE r12): membership is an isin
   // test, so the same language SET in a different Seq order is the
   // same config
-  private[graft] def cfgFingerprint(cfg: Config): String =
+  private[graft] def cfgFingerprint(cfg: Config): String = {
+    requireFingerprintable(cfg)
     renderFingerprint(cfg, cfg.keepLangs.sorted)
+  }
 
   /** The pre-r13 rendering (keepLangs in Seq order) — what states
     * persisted before the canonicalization carry; used by the
     * migration spec to manufacture one. */
-  private[graft] def cfgFingerprintLegacy(cfg: Config): String =
+  private[graft] def cfgFingerprintLegacy(cfg: Config): String = {
+    requireFingerprintable(cfg)
     renderFingerprint(cfg, cfg.keepLangs)
+  }
 
   /** Canonicalize a STORED fingerprint's keepLangs segment: pre-r13
     * states rendered the build-time Seq order, and comparing raw
@@ -565,16 +582,7 @@ object CorpusPipelineDelta {
   }
 
   private def readText(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, "UTF-8")
-    } finally in.close()
-  }
+      p: Path): String = Compaction.readSmall(fs, p)
 
   /** Complete a staged `__next` swap — idempotent: a torn prior swap is
     * restored first, an existing `__next` swaps (or, for a first-ever

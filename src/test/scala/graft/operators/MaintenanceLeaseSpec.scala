@@ -404,7 +404,17 @@ class MaintenanceLeaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!MaintenanceLease.breakIfStillStale(fs, lease, staleM, None),
       "break proceeded over an empty (mid-create) beat")
     assert(fs.exists(lease), "lease evicted under an empty beat read")
-    fs.delete(lease, false)
+    // ...but DEAD residue stays breakable (r14 review): a live holder
+    // re-creates its beat every staleMs/3, so a torn/empty body whose
+    // OWN mtime is beyond staleMs is a crash artifact, not a mid-write
+    // — byte-identical stale evidence passes the unchanged-evidence
+    // comparison and the break proceeds instead of deadlocking until a
+    // manual break()
+    fs.setTimes(beatP, staleM, -1)
+    assert(MaintenanceLease.breakIfStillStale(fs, lease, staleM,
+      Some((staleM, "<empty lease file>"))),
+      "hours-old empty beat residue deadlocked the stale break")
+    assert(!fs.exists(lease), "stale lease survived under dead residue")
     // (b) the observation path: a stale-looking lease whose FRESH beat
     // reads torn must still count as liveness evidence — the rival is
     // refused naming the holder, instead of observing 'stale' and

@@ -219,6 +219,45 @@ class PointerSwapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("missing generation"), e.getMessage)
   }
 
+  test("a fixed-name staging (__next) survives a crash BEFORE the " +
+      "pointer commit: pointer mode COPIES it instead of consuming it, " +
+      "so the caller's '__next missing = already completed' retry " +
+      "protocol stays sound and the retry finishes the swap (r14 " +
+      "review: a pre-commit rename of __next silently lost a committed " +
+      "increment — the restart reported done while the pointer still " +
+      "served the old tree)") {
+    import spark.implicits._
+    val dir = s"${nr("norename_nextcrash")}/table"
+    def write(ids: Range, to: String): Unit =
+      ids.map(_.toLong).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(to)
+    def readIds(): Seq[Long] =
+      spark.read.parquet(Compaction.resolveLive(fs, dir))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    write(0 until 5, dir)
+    val next = s"${dir}__next"
+    write(100 until 105, next)
+    Compaction.pauseHook = Some { p =>
+      if (p == "swap-mid") throw new RuntimeException("injected crash")
+    }
+    try intercept[RuntimeException](Compaction.swapDir(spark, dir, next))
+    finally Compaction.pauseHook = None
+    assert(fs.exists(new Path(next)),
+      "staging was consumed before the pointer commit — a crash here " +
+        "reads as 'swap already completed' and loses the increment")
+    assert(readIds() == (0L until 5L), "pointer flipped before the commit")
+    // the retry completes the swap, retires the staging, and collects
+    // the crashed attempt's orphan generation
+    Compaction.swapDir(spark, dir, next)
+    assert(readIds() == (100L until 105L))
+    assert(!fs.exists(new Path(next)), "staging not retired post-commit")
+    val gens = fs.listStatus(new Path(dir).getParent)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("table__gen-"))
+    assert(gens.length == 1,
+      s"crashed attempt's orphan gen not collected: ${gens.length}")
+  }
+
   private def docs(n: Int): DataFrame = {
     import spark.implicits._
     (0L until n.toLong).map(i =>

@@ -380,6 +380,18 @@ class CorpusPipelineRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new Path(s"$state/meta")) &&
       !fs.exists(new Path(s"$state/journal")),
       "rejected fold left state residue")
+    // quota source names feed the same grammar (r14 review: ':' splits
+    // a quota pair, so it is a delimiter there too) — and a NULL
+    // keepLangs entry must hit the guard, not an NPE inside the
+    // pre-render sort
+    for (badQ <- Seq("a,b", "a|b", "a:b")) {
+      val e3 = intercept[IllegalArgumentException](
+        CorpusPipelineDelta.cfgFingerprint(cfg.copy(quotas = Map(badQ -> 5))))
+      assert(e3.getMessage.contains("delimiter"), e3.getMessage)
+    }
+    val e4 = intercept[IllegalArgumentException](
+      CorpusPipelineDelta.cfgFingerprint(cfg.copy(keepLangs = Seq("en", null))))
+    assert(e4.getMessage.contains("null"), e4.getMessage)
   }
 
   test("quotas naming only ABSENT sources: the chain folds, the mix " +
