@@ -140,6 +140,15 @@ object Graft {
   def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     operators.Dedup.dedupExact(df, textCol, idCol)
 
+  /** C4-style cross-document LINE dedup over an `(id, array<line>)`
+    * frame: every line survives only at its globally-first occurrence
+    * and rows are reassembled from their survivors. The wide shuffle
+    * carries (id, pos, hash) — never line text. Output adds n_lines /
+    * n_kept / new_text. See [[operators.Dedup.lineDedup]]. */
+  def lineDedup(df: DataFrame, idCol: String, linesCol: String,
+      sep: String = "\n"): DataFrame =
+    operators.Dedup.lineDedup(df, idCol, linesCol, sep)
+
   /** Exact Jaccard ≥ `threshold` near-dup pairs over a
     * `(doc_id, toks)` frame — adaptive bitmask / inverted-index plan
     * (the oracle-grade twin; at 100 TB use the LSH path, same output

@@ -119,6 +119,35 @@ object ScaleBench {
         records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
   }
 
+  private final class ShuffleMeter extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null)
+        bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  /** [[timed]] plus the total shuffle-WRITE bytes of the last run —
+    * the payload number family 9's never-shuffle-text claim is about
+    * (records-read can't see row WIDTH). */
+  private def timedSh(spark: SparkSession, runs: Int)(f: => Long)
+      : (Double, Long, Long) = {
+    var result = 0L
+    var sb = 0L
+    val times = (1 to runs).map { _ =>
+      Hygiene.clearAll(spark)
+      val meter = new ShuffleMeter
+      spark.sparkContext.addSparkListener(meter)
+      val t0 = System.nanoTime()
+      result = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // async listener bus settle, as in [[timed]]
+      spark.sparkContext.removeSparkListener(meter)
+      sb = meter.bytes.get()
+      dt
+    }
+    (times.sorted.apply(times.size / 2), result, sb)
+  }
+
   /** Median wall seconds of `runs` executions of `f` (caches cleared
     * before each), plus the records-read of the LAST run. */
   private def timed(spark: SparkSession, runs: Int)(f: => Long)
@@ -155,7 +184,7 @@ object ScaleBench {
     // single family can be re-measured without paying the others
     val fams: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
-      else Set("1", "1b", "2", "3", "4", "5", "6", "7", "8")
+      else Set("1", "1b", "2", "3", "4", "5", "6", "7", "8", "9")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -640,6 +669,70 @@ object ScaleBench {
         s"${overheads.map(round2).mkString("/")}s; identical direct " +
         s"geneses ${round2(gDir)}/${round2(gStr)}s; day-3 outputs " +
         s"identical, ${aD.size} rows)")
+    }
+
+    // ---- 9. line-dedup shuffle payload (r14 continuation) -------------
+    // Dedup.lineDedup's 100 TB claim: the line-keyed exchange — the
+    // skew-prone one; think how often "Subscribe to our newsletter"
+    // occurs in a crawl — carries (id, pos, xxhash64), never line text.
+    // Rival: the direct plan (window over the exploded LINE TEXT,
+    // first-occurrence filter, re-agg of the surviving text by id) —
+    // identical output, text through BOTH exchanges. 500k docs ≈ 2.6M
+    // lines; report wall time AND shuffle-write bytes, since
+    // records-read cannot see row width.
+    if (fams("9")) {
+      val lined = spark.read.parquet(docs500kP)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id",
+          transform(
+            sequence(lit(0), ceil(size($"w") / 12.0).cast("int") - 1),
+            i => array_join(slice($"w", i * 12 + 1, lit(12)), " "))
+            .as("lines"))
+      def outHash(df: DataFrame): Long = df
+        .select(xxhash64($"doc_id", $"n_lines", $"n_kept", $"new_text")
+          .as("h"))
+        // bit_xor, not sum: summing 500k full-range 64-bit hashes
+        // overflows long under ANSI (Spark 4 default)
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+      val (tOp, hOp, sbOp) = timedSh(spark, runs) {
+        outHash(operators.Dedup.lineDedup(lined, "doc_id", "lines", " "))
+      }
+      val (tRival, hRival, sbRival) = timedSh(spark, runs) {
+        import org.apache.spark.sql.expressions.Window
+        // steel-manned: identical downstream shape to the operator (an
+        // id-keyed left join from `lined`) — the ONLY differences are
+        // what the line-keyed window shuffles (text vs hash) and that
+        // surviving text re-aggregates by doc instead of being
+        // re-sliced from the original array by index
+        val lines = lined
+          .select($"doc_id", posexplode($"lines").as(Seq("li", "line")))
+        val kept = lines
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"line").orderBy($"doc_id", $"li")))
+          .filter($"rn" === 1)
+          .groupBy($"doc_id").agg(
+            count(lit(1)).as("n_kept0"),
+            array_join(transform(
+                sort_array(collect_list(struct($"li", $"line"))),
+                s => s.getField("line")), " ").as("new_text0"))
+        val res = lined
+          .select($"doc_id", size($"lines").cast("long").as("n_lines"))
+          .join(kept, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_lines",
+            coalesce($"n_kept0", lit(0L)).as("n_kept"),
+            coalesce($"new_text0", lit("")).as("new_text"))
+        outHash(res)
+      }
+      require(hOp == hRival,
+        s"line-dedup rival diverged: $hOp vs $hRival")
+      results += "linededup_op_s" ->
+        s"${round2(tOp)} (${sbOp >> 20} MiB shuffled)"
+      results += "linededup_rival_s" ->
+        s"${round2(tRival)} (${sbRival >> 20} MiB shuffled)"
+      println(s"9. line dedup 500k docs: hash-relation plan " +
+        s"${round2(tOp)}s (${sbOp >> 20} MiB shuffle) vs text-through-" +
+        s"window rival ${round2(tRival)}s (${sbRival >> 20} MiB " +
+        s"shuffle); outputs identical")
     }
 
     println("RESULTS " + results.map { case (k, v) => s"$k=$v" }.mkString(" | "))

@@ -137,8 +137,14 @@ object MaintenanceLease {
     // job's own-lease release match (startsWith) would then hit the
     // SAME-OP successor's lease and evict it, the exact hazard the
     // own-lease rule exists to prevent
+    // identityHashCode, not Thread.getId: getId is deprecated-for-removal
+    // on JDK 19+ and its replacement (threadId()) does not exist on the
+    // JDK 17 this builds against; the nonce only needs to separate two
+    // threads of one PID acquiring in the same nanoTime tick, which the
+    // per-object identity hash does
     s"$op@$host#pid${ProcessHandle.current.pid}" +
-      s".t${Thread.currentThread.getId}.n${java.lang.System.nanoTime}"
+      s".t${java.lang.System.identityHashCode(Thread.currentThread)}" +
+      s".n${java.lang.System.nanoTime}"
   }
 
   /** None on ANY read failure (missing file included) — callers must

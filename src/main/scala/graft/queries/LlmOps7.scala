@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline operators round 6: corpus-hygiene primitives a web-scale
+  * training run applies between crawl and tokenizer — C4's
+  * cross-document line dedup, character-entropy gibberish scoring,
+  * and Zipf-slope vocabulary auditing. Like every other gated query,
+  * decisions are exact integer arithmetic; the floats (entropy, slope)
+  * are `round(..., 6)` like q39's TF-IDF.
+  */
+object LlmOps7 {
+
+  /** Words per synthetic "line": the fixture corpus is newline-free
+    * (single-spaced word streams), so the q108 binding chunks each
+    * document into fixed 12-word windows — the same deterministic
+    * re-lining trick q69 uses for chunking — and the operator itself
+    * ([[graft.operators.Dedup.lineDedup]]) is line-source-agnostic. */
+  private val LineWords = 12
+
+  // ---- Q108: C4-style cross-document line dedup ----------------------
+  // The C4 cleaning step (Raffel et al. 2020 §2.2): any "line" occurring
+  // more than once in the corpus is kept only at its first occurrence
+  // (here: smallest doc_id, then smallest line index) and removed
+  // everywhere else; documents are reassembled from their surviving
+  // lines. The wide shuffle carries (doc_id, line_idx, hash) only —
+  // never the text — see the operator scaladoc for the 100 TB shape.
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // null text ⇒ zero lines (the transform chain propagates the null;
+    // coalesce pins the "document with no lines" representation)
+    val lined = Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id",
+        coalesce(
+          transform(
+            sequence(lit(0), ceil(size($"w") / lit(LineWords.toDouble)).cast("int") - 1),
+            i => array_join(slice($"w", i * LineWords + 1, lit(LineWords)), " ")),
+          array().cast("array<string>"))
+          .as("lines"))
+    graft.operators.Dedup.lineDedup(lined, "doc_id", "lines", sep = " ")
+      .orderBy($"doc_id")
+  }
+  val q108Sql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL
+       |), lines AS (
+       |  SELECT doc_id, i AS line_idx,
+       |         array_to_string(w[i*$LineWords+1 : i*$LineWords+$LineWords], ' ') AS line
+       |  FROM words,
+       |       unnest(range(0, CAST(ceil(len(w)/$LineWords.0) AS BIGINT))) AS t(i)
+       |), ranked AS (
+       |  SELECT doc_id, line_idx, line,
+       |         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+       |  FROM lines
+       |), agg AS (
+       |  SELECT doc_id,
+       |         count(*) AS n_lines,
+       |         count(*) FILTER (rn = 1) AS n_kept,
+       |         string_agg(line, ' ' ORDER BY line_idx) FILTER (rn = 1) AS t
+       |  FROM ranked GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(a.n_lines, 0) AS n_lines,
+       |       coalesce(a.n_kept, 0) AS n_kept,
+       |       coalesce(a.t, '') AS new_text
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- Q109: character-entropy quality signal -------------------------
+  // Shannon entropy (bits/char) of each document's character
+  // distribution — the standard cheap gibberish/boilerplate detector
+  // (near-zero for "aaaa...", ~4.1 for English prose). Computed
+  // entirely per-row with codegen HOFs over the split array — a
+  // map-only plan with NO shuffle except the presentation sort; at
+  // 100 TB this is a pure scan-side column, pipelined into whatever
+  // filter consumes it. The O(|alphabet|·len) inner filter is the
+  // right trade at real alphabet sizes (a histogram via explode would
+  // buy an O(len) update at the price of a corpus-sized shuffle).
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chs = filter(split($"text", ""), c => c =!= lit(""))
+    val t = size(chs).cast("double")
+    val probs = transform(array_distinct(chs),
+      c => size(filter(chs, x => x === c)).cast("double") / t)
+    // null/empty text ⇒ null entropy (undefined distribution); the
+    // `+ 0.0` collapses IEEE -0.0 (a single-character document's
+    // -1·log2(1)) onto +0.0 so both engines print one zero
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        when(size(chs) > 0,
+          round(-aggregate(probs, lit(0.0),
+            (acc, p) => acc + p * log(p) / log(lit(2.0))), 6) + lit(0.0))
+          .as("entropy"))
+      .orderBy($"doc_id")
+  }
+  val q109Sql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+      |), freq AS (
+      |  SELECT doc_id, ch, count(*)::DOUBLE AS n FROM chars
+      |  WHERE ch <> '' GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, sum(n) AS t FROM freq GROUP BY 1
+      |), ent AS (
+      |  SELECT f.doc_id,
+      |         round(-sum((n/t) * ln(n/t) / ln(2.0)), 6) + 0.0 AS entropy
+      |  FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id
+      |)
+      |SELECT d.doc_id, e.entropy
+      |FROM documents d LEFT JOIN ent e USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---- Q111: Zipf-slope vocabulary audit ------------------------------
+  // Per-language log-log regression of frequency against rank over the
+  // top-100 words — the corpus-auditing statistic that flags template
+  // spam (slope near 0) and mono-token floods (steep cliffs) before
+  // training. Top-100 via the engine's bounded-heap TopKPerGroup plan
+  // (x22): partial heaps before the shuffle, so the exchange carries
+  // at most 100 rows per (partition, lang) — never a full per-language
+  // sort of the vocabulary. Ranks are tie-broken by word so the same
+  // (word, rank) assignment falls out of any engine.
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = Tables(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"lang", $"w").agg(count(lit(1)).cast("double").as("n"))
+    graft.plans.GraftOps.topKPerGroup(freq, 100, Seq("lang"),
+        Seq(graft.plans.GraftOps.Order("n", desc = true),
+          graft.plans.GraftOps.Order("w")), rankName = "r")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("vocab_top"),
+        (round(regr_slope(log($"n"), log($"r".cast("double"))), 6) + lit(0.0))
+          .as("zipf_slope"))
+      .orderBy($"lang")
+  }
+  val q111Sql: String =
+    """WITH words AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      |), freq AS (
+      |  SELECT lang, w, count(*)::DOUBLE AS n FROM words
+      |  WHERE w <> '' GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT lang, n,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS r
+      |  FROM freq
+      |)
+      |SELECT lang, count(*) AS vocab_top,
+      |       round(regr_slope(ln(n), ln(r)), 6) + 0.0 AS zipf_slope
+      |FROM ranked WHERE r <= 100 GROUP BY lang ORDER BY lang""".stripMargin
+}

@@ -181,4 +181,48 @@ object Sources {
   }
   val q90Sql: String =
     "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id"
+
+  // ---- Q110: bucketed tables + co-located (exchange-free) join --------
+  // The storage-side answer to the repeated-join shuffle: persist both
+  // sides bucketed (and bucket-sorted) on the join key, and every later
+  // join on that key reads bucket i against bucket i with NO exchange —
+  // at 100 TB this converts the nightly orders⋈customer shuffle into a
+  // one-time layout cost amortized across every downstream query.
+  // BucketJoinSpec pins the plan property (no ShuffleExchange under the
+  // join); this gated query pins the results against the plain-join
+  // oracle. Both sides are repartitioned by the bucket column before
+  // the write so each bucket lands in one file per side (the layout a
+  // compacted production table would have).
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bucketedTables(s, dir)
+    val j = s.table("q110_orders_b").join(s.table("q110_customer_b"),
+      $"o_custkey" === $"c_custkey")
+    j.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.rd(sum(Relational.dec($"o_totalprice"))).as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+  val q110Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Writes `customer`/`orders` as 8-bucket tables keyed on custkey
+    * into this run's scratch dir (external-path `saveAsTable` on the
+    * session's in-memory catalog; `overwrite` keeps re-runs in one
+    * session idempotent). Shared by q110 and BucketJoinSpec. */
+  def bucketedTables(s: SparkSession, dir: String): Unit = {
+    Tables(s, dir, "customer").repartition(8, col("c_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", graft.RunTmp.dir("q110_customer_b"))
+      .saveAsTable("q110_customer_b")
+    Tables(s, dir, "orders").repartition(8, col("o_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", graft.RunTmp.dir("q110_orders_b"))
+      .saveAsTable("q110_orders_b")
+  }
 }

@@ -44,7 +44,8 @@ class AdversarialDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q43_fingerprint", "q44_ngram_jaccard", "q56_normalize",
     "q66_langid", "q67_repetition", "q68_decontaminate",
     "q69_chunking", "q70_pii_redact", "q104_winnow_passages",
-    "q105_neardup_delta")
+    "q105_neardup_delta", "q108_line_dedup", "q109_char_entropy",
+    "q111_zipf_slope")
 
   private def duckdbAvailable: Boolean =
     try {
