@@ -52,7 +52,11 @@ object Dedup {
     * lines joined by `sep`; empty when every line lost). Non-id,
     * non-lines columns pass through. `idCol` values must be unique
     * per row (like [[graft.operators.IncrementalNearDup.newPairs]]) —
-    * the survivor sets join back by id. */
+    * the survivor sets join back by id. NULL line entries form one
+    * dedup group (xxhash64 hashes null to its seed): one survives,
+    * counted in n_kept but omitted from new_text (`array_join` skips
+    * nulls) — spec-pinned; pre-filter nulls out if they should not
+    * consume a survivor slot. */
   def lineDedup(df: DataFrame, idCol: String, linesCol: String,
       sep: String = "\n"): DataFrame = {
     Seq("__li", "__h", "__rn", "__kept").foreach { c =>

@@ -50,6 +50,21 @@ class LlmOps7Spec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 0L, 0L, "")))
   }
 
+  test("lineDedup: NULL line entries form one dedup group — one " +
+      "survivor, counted in n_kept, omitted from new_text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a", null)),
+      (2L, Seq(null, "b"))
+    ).toDF("doc_id", "lines")
+    val got = graft.operators.Dedup.lineDedup(docs, "doc_id", "lines", " ")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got === Array(
+      (1L, 2L, 2L, "a"), // the null survives here (first occurrence)...
+      (2L, 2L, 1L, "b"))) // ...and is dropped here
+  }
+
   test("lineDedup passes non-line columns through and rejects frames " +
       "that collide with its reserved scratch names") {
     import spark.implicits._
