@@ -107,6 +107,35 @@ object EventStreams {
         col("click_id"), unix_micros(col("click_ts")).as("click_us"))
   }
 
+  /** E12: stream-stream LEFT OUTER join — full attribution: every
+    * impression emits exactly once, either joined to a click that
+    * arrived inside the 30-minute range or NULL-padded once the
+    * watermark PROVES no such click can still arrive. The null-padded
+    * row is inherently watermark-delayed (it cannot be emitted while a
+    * matching click is still admissible), so an outer result only
+    * appears after later events advance the click watermark past
+    * `imp_ts + 30 min`; state is evicted on the same bound as E06's
+    * inner join. The unmatched-side output is what an attribution
+    * pipeline bills on (impressions WITHOUT conversion), which the
+    * inner join silently drops. Works unchanged on batch frames. */
+  def clickImpressionJoinOuter(impressions: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+    val clk = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    imp.join(clk,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("imp_id"), col("user_id"),
+        unix_micros(col("imp_ts")).as("imp_us"),
+        col("click_id"), unix_micros(col("click_ts")).as("click_us"))
+  }
+
   /** E05: full custom sessionization via flatMapGroupsWithState with
     * EVENT-TIME timeout — the pattern session_window can't express when
     * per-session logic is arbitrary (here: sessions also close when the

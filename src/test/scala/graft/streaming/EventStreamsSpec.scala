@@ -127,6 +127,58 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == got)
   }
 
+  test("E12: stream-stream LEFT OUTER join null-pads an unmatched " +
+      "impression only after the watermark proves no click can arrive, " +
+      "and matches its batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def e(id: Long, uid: Long, t: String) =
+      Ev(id, Timestamp.valueOf(t), uid, "x", 0.0)
+    val impressions = Seq(
+      e(1, 1, "2024-01-01 10:00:00"), // clicked in range
+      e(2, 2, "2024-01-01 10:00:00")) // never clicked → outer row
+    val clicks = Seq(e(101, 1, "2024-01-01 10:10:00"))
+    val impStream = MemoryStream[Ev]
+    val clkStream = MemoryStream[Ev]
+    val q = EventStreams
+      .clickImpressionJoinOuter(impStream.toDF(), clkStream.toDF())
+      .writeStream.format("memory").queryName("e12")
+      .outputMode(OutputMode.Append()).start()
+    impStream.addData(impressions)
+    clkStream.addData(clicks)
+    q.processAllAvailable()
+    // the matched pair may emit now, but imp 2's null-padded row MUST
+    // NOT: a click at 10:29 is still admissible until the CLICK
+    // watermark passes 10:30
+    val early = spark.table("e12").collect()
+      .filter(r => r.getLong(0) == 2L)
+    assert(early.isEmpty,
+      s"outer row emitted while a match was still admissible: " +
+        s"${early.toSeq}")
+    // advance BOTH watermarks well past imp 2's attribution range
+    impStream.addData(Seq(e(9, 9, "2024-01-01 20:00:00")))
+    clkStream.addData(Seq(e(999, 9, "2024-01-01 20:00:01")))
+    q.processAllAvailable()
+    // one more micro-batch so the new watermark actually evicts/emits
+    impStream.addData(Seq(e(10, 9, "2024-01-01 20:00:02")))
+    clkStream.addData(Seq(e(998, 9, "2024-01-01 20:00:03")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("e12").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) == 101L, s"matched impression wrong: $got")
+    assert(got(2L) == -1L,
+      s"unmatched impression missing/not null-padded: $got")
+    // batch twin: identical code over static frames
+    val batch = EventStreams
+      .clickImpressionJoinOuter(impressions.toDF(), clicks.toDF())
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(batch == got.view.filterKeys(Set(1L, 2L)).toMap)
+  }
+
   test("E04: mapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
