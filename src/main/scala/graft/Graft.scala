@@ -317,6 +317,18 @@ object Graft {
       maxDist: Int = 10): DataFrame =
     multimodal.Multimodal.imageNearDupPairs(media, maxDist)
 
+  /** Incremental Hamming near-dup: every pair within `maxDist`
+    * INTRODUCED by `delta` (at least one end new) without comparing
+    * corpus fingerprints to each other — candidate volume tracks the
+    * increment, not the corpus. See
+    * [[operators.HammingJoin.newPairs]]; the image binding is
+    * [[multimodal.Multimodal.imageNearDupPairsDelta]]. */
+  def hammingNearDupPairsDelta(corpus: DataFrame, delta: DataFrame,
+      idCol: String, fpCol: String, maxDist: Int,
+      bits: Int = 32): DataFrame =
+    operators.HammingJoin.newPairs(corpus, delta, idCol, fpCol, maxDist,
+      bits)
+
   /** Dictionary fuzzy lookup: all dictionary keys within Levenshtein
     * distance `maxDist` of each query key (SymSpell shape; exact hits
     * included). See [[operators.FuzzyJoin.lookupJoin]]. */

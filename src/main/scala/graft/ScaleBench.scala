@@ -184,7 +184,7 @@ object ScaleBench {
     // single family can be re-measured without paying the others
     val fams: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
-      else Set("1", "1b", "2", "3", "4", "5", "6", "7", "8", "9")
+      else Set("1", "1b", "2", "3", "4", "5", "6", "7", "8", "9", "10")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -733,6 +733,64 @@ object ScaleBench {
         s"${round2(tOp)}s (${sbOp >> 20} MiB shuffle) vs text-through-" +
         s"window rival ${round2(tRival)}s (${sbRival >> 20} MiB " +
         s"shuffle); outputs identical")
+    }
+
+    // ---- 10. incremental Hamming near-dup (E13) -----------------------
+    // HammingJoin.newPairs' claim: probing a 500-fingerprint batch
+    // against a 500k corpus costs |all|·|delta| candidates per band
+    // bucket, not |all|² — i.e. per-batch image dedup never re-pays the
+    // corpus self-join. Fingerprints are clustered (runs of 3 ids share
+    // a base, ≤1 bit flipped each → true pairs at d≤2) so both plans
+    // have real work; equality of the delta-touching pair sets is
+    // REQUIRED.
+    if (fams("10")) {
+      // cluster key is (id − idOffset)/3 under ONE seed, so the delta's
+      // 500 rows land in the corpus's first ~167 clusters: old-new AND
+      // new-new true pairs both exist (flips ≤1 per row → distance ≤2).
+      // Delta ids offset far past every corpus id (the unique-id
+      // contract; an overlap also breaks the >=-offset filter below)
+      def genFps(n: Long, seed: Long, idOffset: Long): DataFrame =
+        spark.range(n).map { i =>
+          val id = i + idOffset
+          val base =
+            (seed ^ ((i / 3) * 0x9E3779B97F4A7C15L)) * 0xC2B2AE3D27D4EB4FL
+          val rng = new scala.util.Random(seed ^ id)
+          val f = if (rng.nextBoolean()) base ^ (1L << rng.nextInt(64)) else base
+          (id, f)
+        }.toDF("id", "f")
+      // TWO corpus sizes, the family-1 pattern: the probe's cost is
+      // dominated by banding the index side (linear in the corpus);
+      // the full re-join's candidate stream is quadratic — the SLOPES
+      // are the evidence
+      val deltaFpP = gen("fpsDelta500b") { genFps(500, 91, 10000000) }
+      val deltaFp = spark.read.parquet(deltaFpP)
+      for ((label, n) <- Seq("500k" -> 500000L, "2m" -> 2000000L,
+          "8m" -> 8000000L)) {
+        val corpusFp = spark.read.parquet(
+          gen(s"fps$label") { genFps(n, 91, 0) })
+        val (tDelta, nDelta, _) = timed(spark, runs) {
+          operators.HammingJoin.newPairs(corpusFp, deltaFp, "id", "f",
+            maxDist = 3, bits = 64).count()
+        }
+        // the rival a store-less pipeline would run: re-join the WHOLE
+        // union, then filter to pairs touching the delta
+        val (tFull, nFull, _) = timed(spark, runs) {
+          operators.HammingJoin.selfJoin(corpusFp.union(deltaFp), "id", "f",
+              maxDist = 3, bits = 64)
+            .filter(col("id_a") >= 10000000L || col("id_b") >= 10000000L)
+            .count()
+        }
+        require(nDelta == nFull,
+          s"[$label] delta probe diverged from the filtered self-join: " +
+            s"$nDelta vs $nFull")
+        results += s"hamming10_${label}_delta_s" ->
+          s"${round2(tDelta)} ($nDelta pairs)"
+        results += s"hamming10_${label}_full_s" -> s"${round2(tFull)}"
+        println(s"10. [$label] incremental Hamming near-dup, 500-delta " +
+          s"vs $label corpus: delta probe ${round2(tDelta)}s vs full " +
+          s"re-join ${round2(tFull)}s, $nDelta delta-touching pairs " +
+          s"(sets equal)")
+      }
     }
 
     println("RESULTS " + results.map { case (k, v) => s"$k=$v" }.mkString(" | "))

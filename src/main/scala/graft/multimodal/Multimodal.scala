@@ -366,6 +366,24 @@ object Multimodal {
       imageFingerprints(media, batchSize).toDF(), "doc_id", "fp", maxDist,
       bits = 64)
 
+  /** Incremental image near-dup: every Hamming-≤`maxDist` dHash pair
+    * INTRODUCED by the `delta` batch (at least one end new) without
+    * ever comparing corpus images to each other — the per-increment
+    * shape of image dedup ([[graft.operators.HammingJoin.newPairs]];
+    * candidate volume tracks the delta, not the corpus, and in
+    * production the corpus side is the stored fingerprint column, not
+    * re-decoded images — pass it via [[imageFingerprints]] output
+    * persisted from earlier batches). Undecodable/`image/fake` rows
+    * drop on both sides, like [[imageNearDupPairs]]. Ids must be
+    * globally unique across corpus ∪ delta. */
+  def imageNearDupPairsDelta(corpus: Dataset[MediaRecord],
+      delta: Dataset[MediaRecord], maxDist: Int = 10,
+      batchSize: Int = 64): DataFrame =
+    graft.operators.HammingJoin.newPairs(
+      imageFingerprints(corpus, batchSize).toDF(),
+      imageFingerprints(delta, batchSize).toDF(),
+      "doc_id", "fp", maxDist, bits = 64)
+
   /** Frame sampling: one media row → many frame rows (generator shape). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): Dataset[FrameSample] = {
     // driver-side argument error, not an executor-side ArithmeticException

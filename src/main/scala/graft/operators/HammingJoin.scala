@@ -38,6 +38,66 @@ object HammingJoin {
     finally bands.unpersist(blocking = false)
   }
 
+  /** Pairs within Hamming distance ≤ `maxDist` with at least one end
+    * in `delta`, without ever comparing corpus fingerprints to each
+    * other — the incremental twin of [[selfJoin]]
+    * ([[IncrementalNearDup]]'s shape transplanted into Hamming space,
+    * e.g. for per-batch image dedup against an already-deduped corpus).
+    * The index side is corpus ∪ delta bands (a new fingerprint must see
+    * both old and new partners); the PROBE side is the delta's bands
+    * only, so candidate volume per band bucket is |all|·|delta| instead
+    * of |all|² — proportional to the increment, not the corpus.
+    * Old–new pairs emit exactly once (old is always on the index side);
+    * new–new pairs are restricted to probe.id < index.id. Ids must be
+    * globally unique across corpus ∪ delta (the IncrementalNearDup
+    * contract). Output: (idCol_a < idCol_b, hamming); eager like
+    * [[selfJoin]]. */
+  def newPairs(corpus: DataFrame, delta: DataFrame, idCol: String,
+      fpCol: String, maxDist: Int, bits: Int = 32, numBands: Int = 0)
+      : DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val b = if (numBands > 0) numBands else maxDist + 2
+    require(b > maxDist, s"need more bands ($b) than the distance ($maxDist)")
+    require(b <= bits, s"more bands ($b) than bits ($bits)")
+    val specs = bandSpecs(bits, b)
+    def bandsOf(df: DataFrame, isNew: Boolean) = df
+      .select(col(idCol).as("id"), col(fpCol).as("f"))
+      .select($"id", $"f", explode(expr(specs)).as("bs"))
+      .select($"id", $"f", $"bs.band".as("band"), $"bs.bkey".as("bkey"),
+        lit(isNew).as("is_new"))
+    val index = bandsOf(corpus, isNew = false)
+      .union(bandsOf(delta, isNew = true))
+      .repartition($"band", $"bkey").persist()
+    val probe = bandsOf(delta, isNew = true)
+      .repartition($"band", $"bkey").persist()
+    val pairs = probe.as("p").join(index.as("i"),
+        $"p.band" === $"i.band" && $"p.bkey" === $"i.bkey" &&
+          (!$"i.is_new" || $"p.id" < $"i.id"))
+      .withColumn("hamming", bit_count(expr("p.f ^ i.f")))
+      .filter($"hamming" <= maxDist)
+      .select(least($"p.id", $"i.id").as(s"${idCol}_a"),
+        greatest($"p.id", $"i.id").as(s"${idCol}_b"), $"hamming")
+      .distinct()
+    try graft.Hygiene.eagerCut(pairs)
+    finally {
+      index.unpersist(blocking = false)
+      probe.unpersist(blocking = false)
+    }
+  }
+
+  /** Band-split SQL fragment over fingerprint column `f`: band i covers
+    * [i*base, i*base+width_i) with the last band taking the remainder —
+    * every bit in exactly one band. */
+  private def bandSpecs(bits: Int, b: Int): String = {
+    val base = bits / b
+    (0 until b).map { i =>
+      val width = if (i == b - 1) bits - i * base else base
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      s"named_struct('band', $i, 'bkey', shiftright(f, ${i * base}) & ${mask}L)"
+    }.mkString("array(", ", ", ")")
+  }
+
   /** The pre-checkpoint shape of [[selfJoin]]: the cached band relation
     * (still persisted — the caller must unpersist) and the verified
     * pair frame whose plan still shows the banded equi-join (the
@@ -50,14 +110,7 @@ object HammingJoin {
     val b = if (numBands > 0) numBands else maxDist + 2
     require(b > maxDist, s"need more bands ($b) than the distance ($maxDist)")
     require(b <= bits, s"more bands ($b) than bits ($bits)")
-    val base = bits / b
-    // band i covers [i*base, i*base+width_i) with the last band taking
-    // the remainder — every bit in exactly one band
-    val specs = (0 until b).map { i =>
-      val width = if (i == b - 1) bits - i * base else base
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      s"named_struct('band', $i, 'bkey', shiftright(f, ${i * base}) & ${mask}L)"
-    }.mkString("array(", ", ", ")")
+    val specs = bandSpecs(bits, b)
     // compact (4 longs/row) band relation, cached PRE-PARTITIONED on
     // the join key (the q47 round-6 pattern): the fingerprint
     // derivation in `fp`'s lineage runs once into the cache instead of

@@ -106,6 +106,50 @@ class ImageNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"distinct images $a and $b paired — fixture patterns too close")
   }
 
+  test("incremental image near-dup: a new batch pairs against the " +
+      "corpus and within itself, but corpus-internal duplicates never " +
+      "emit") {
+    // corpus: images 0..3 where 3 is a re-encode of 2 (an OLD-OLD
+    // duplicate pair the delta probe must NOT emit); delta: a
+    // brightness-shifted copy of 0 (old-new), two resized copies of 1
+    // (old-new ×2 AND new-new between themselves), one fresh image
+    val base = (0 until 5).map(s => s.toLong ->
+      encode(pattern(s, 48, 36), "png")).toMap
+    val corpus = media(Seq(
+      (0L, "image/png", base(0L)), (1L, "image/png", base(1L)),
+      (2L, "image/png", base(2L)),
+      (3L, "image/bmp", encode(pattern(2, 48, 36), "bmp"))))
+    val delta = media(Seq(
+      (100L, "image/png", encode(pattern(0, 48, 36, brightness = 25), "png")),
+      (101L, "image/png", Multimodal.Codecs.resizeImage(base(1L), 24, 18).get),
+      (102L, "image/png", Multimodal.Codecs.resizeImage(base(1L), 24, 18).get),
+      (103L, "image/png", base(4L))))
+    val maxDist = 10
+    val got = Multimodal.imageNearDupPairsDelta(corpus, delta, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: brute popcount over ALL fingerprints, filtered to
+    // pairs touching the delta
+    val all = Multimodal.imageFingerprints(media(
+      corpus.collect().map(m => (m.doc_id, m.media_type, m.payload)).toSeq ++
+        delta.collect().map(m => (m.doc_id, m.media_type, m.payload)).toSeq))
+      .collect().map(f => f.doc_id -> f.fp)
+    val want = (for {
+      (ia, fa) <- all; (ib, fb) <- all
+      if ia < ib && (ia >= 100L || ib >= 100L) &&
+        java.lang.Long.bitCount(fa ^ fb) <= maxDist
+    } yield (ia, ib)).toSet
+    assert(got == want, s"engine $got vs brute-filtered $want")
+    // the planted relations, by name:
+    assert(got.contains((0L, 100L)), "old-new brightness pair missing")
+    assert(got.contains((1L, 101L)) && got.contains((1L, 102L)),
+      "old-new resize pairs missing")
+    assert(got.contains((101L, 102L)), "new-new pair missing")
+    assert(!got.exists(p => p._1 < 100L && p._2 < 100L),
+      s"corpus-internal pair emitted by the delta probe: $got")
+    assert(!got.exists(p => p._1 == 103L || p._2 == 103L),
+      "fresh distinct image paired with something")
+  }
+
   test("undecodable payloads and synthetic image/fake rows are dropped " +
       "from the fingerprint relation, never a failed job") {
     val ok = encode(pattern(1, 32, 24), "png")

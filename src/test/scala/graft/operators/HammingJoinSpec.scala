@@ -62,4 +62,38 @@ class HammingJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("newPairs == the full pair set filtered to pairs touching the " +
+      "delta: old-new once, new-new once, old-old never") {
+    import spark.implicits._
+    for (seed <- Seq(11, 12)) {
+      val fps = fixture(seed)
+      // split so both sides share fingerprint clusters: old-old,
+      // old-new AND new-new true pairs all exist
+      val (corpus, delta) = fps.partition(_._1 % 3 != 0)
+      val deltaIds = delta.map(_._1).toSet
+      val want = brute(fps, 3)
+        .filter(p => deltaIds(p._1) || deltaIds(p._2))
+      val got = HammingJoin.newPairs(corpus.toDF("id", "f"),
+          delta.toDF("id", "f"), "id", "f", maxDist = 3, bits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"seed $seed")
+      // the filter above must have actually removed old-old true pairs
+      // — otherwise this test degenerates to the selfJoin one
+      assert(brute(fps, 3).size > want.size, s"seed $seed: no old-old pairs")
+      assert(want.exists(p => deltaIds(p._1) && deltaIds(p._2)),
+        s"seed $seed: no new-new pairs")
+      assert(want.exists(p => deltaIds(p._1) ^ deltaIds(p._2)),
+        s"seed $seed: no old-new pairs")
+    }
+  }
+
+  test("newPairs with an empty delta is empty") {
+    import spark.implicits._
+    val fps = fixture(13)
+    val got = HammingJoin.newPairs(fps.toDF("id", "f"),
+      Seq.empty[(Long, Long)].toDF("id", "f"), "id", "f",
+      maxDist = 3, bits = 64)
+    assert(got.count() == 0)
+  }
 }
