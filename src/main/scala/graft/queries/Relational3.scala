@@ -160,4 +160,38 @@ object Relational3 {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---- Q112: VariantType ingestion (the Spark 4 semi-structured path) --
+  // q31 covers the CLASSIC JSON path (get_json_object / from_json with a
+  // declared schema); Variant is Spark 4's schema-on-read replacement —
+  // parse once into a compact binary encoding, extract typed fields
+  // without re-parsing per access, shred-friendly at the storage layer.
+  // try_parse_json + try_variant_get give the null-on-malformed
+  // semantics a crawl pipeline needs (the adversarial events fixture
+  // ships literal "not json"). Null event_type groups survive (GROUP BY
+  // semantics), so the sort pins NULLS FIRST on both engines.
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_type",
+        try_variant_get(try_parse_json($"props"), "$.k", "int").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"k").as("k_min"),
+        max($"k").as("k_max"), sum($"k").cast("long").as("k_sum"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+  val q112Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  min(k) AS k_min, max(k) AS k_max,
+      |  CAST(sum(k) AS BIGINT) AS k_sum
+      |FROM (
+      |  SELECT event_type,
+      |         CASE WHEN props IS NOT NULL AND json_valid(props)
+      |              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+      |         END AS k
+      |  FROM events
+      |) WHERE k IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
 }

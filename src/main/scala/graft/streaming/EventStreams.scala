@@ -27,6 +27,42 @@ case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 case class SessionSummary(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long)
 
+/** E14 — E04's running (count, sum) re-expressed on the NEW Spark 4
+  * arbitrary-state API (`transformWithState` / `StatefulProcessor`):
+  * named typed state handles resolved in `init` instead of a state
+  * argument, explicit `TimeMode`, and a RocksDB-backed state store
+  * (the API rejects the HDFS-backed provider — the spec sets
+  * `spark.sql.streaming.stateStore.providerClass` for its stream).
+  * Semantically identical to [[EventStreams.runningUserStats]], which
+  * the spec asserts batch-for-batch; kept as a twin, not a
+  * replacement, because mapGroupsWithState also runs on BATCH frames
+  * (rule-7 equivalence) where transformWithState is streaming-first. */
+class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, UserStats] {
+  @transient private var st
+      : org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double)]("stats",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserStats] = {
+    val (n0, s0) = if (st.exists()) st.get() else (0L, 0.0)
+    var n = n0
+    var sum = s0
+    rows.foreach { e => n += 1; sum += e.value }
+    st.update((n, sum))
+    Iterator.single(UserStats(key, n, sum))
+  }
+}
+
 /** Streaming operator surface (SURVEY.md §2.C.9).
   *
   * Every transform takes a DataFrame of events (`event_id, ts, user_id,
@@ -219,6 +255,17 @@ object EventStreams {
           state.update((n, sum))
           UserStats(uid, n, sum)
       }
+  }
+
+  /** E14: [[runningUserStats]] on the new arbitrary-state API — see
+    * [[RunningStatsProcessor]]. Streaming callers must run a
+    * RocksDB-backed state store. */
+  def runningUserStatsTws(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** E08: CDC latest-per-key state maintenance — the streaming twin of

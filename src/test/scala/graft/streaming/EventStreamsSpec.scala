@@ -207,6 +207,44 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == finalState)
   }
 
+  test("E14: transformWithState (new Spark 4 arbitrary-state API, " +
+      "RocksDB store) carries the same running state as E04's " +
+      "mapGroupsWithState across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      def e(id: Long, uid: Long, v: Double) =
+        Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), uid, "click", v)
+      val batches = Seq(
+        Seq(e(1, 1, 1.0), e(2, 1, 2.0), e(3, 2, 5.0)),
+        Seq(e(4, 1, 3.0)))
+      val mem = MemoryStream[Event]
+      val q = EventStreams.runningUserStatsTws(mem.toDS()).writeStream
+        .format("memory").queryName("e14")
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      val rows = spark.table("e14").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      val finalState = rows.groupBy(_._1).map { case (u, rs) =>
+        u -> rs.map(_._2).maxBy(_._1) // counter is monotone → max = latest
+      }
+      // identical to E04's twin over the same data (batch mode — the
+      // mapGroupsWithState path is its own batch twin, spec'd above)
+      val want = EventStreams.runningUserStats(batches.flatten.toDS())
+        .collect().map(s => s.user_id -> ((s.n_events, s.sum_value))).toMap
+      assert(finalState == want && want.size == 2)
+      assert(finalState(1L) == ((3L, 6.0)), "state lost across batches")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("E08: streaming latest-per-key CDC state == q89's batch collapse") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
