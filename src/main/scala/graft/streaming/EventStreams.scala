@@ -63,6 +63,58 @@ class RunningStatsProcessor
   }
 }
 
+/** E14-TTL — [[RunningStatsProcessor]] plus the new API's
+  * distinguishing feature over mapGroupsWithState timeouts:
+  * first-class EVENT-TIME timers. Each batch re-arms one timer at
+  * (latest event seen + gap); expiry clears the key's state, so an
+  * idle user's next event restarts the running stats from zero — the
+  * E08-TTL retirement semantics on the transformWithState API. A
+  * stale timer racing a fresh arrival is guarded in the expiry
+  * handler (state also records last-seen event time; an expiry older
+  * than lastSeen + gap is a no-op), so re-arming need not delete the
+  * previously registered timer to stay correct. */
+class RunningStatsTtlProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, UserStats] {
+  @transient private var st
+      : org.apache.spark.sql.streaming.ValueState[(Long, Double, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double, Long)]("stats_ttl",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserStats] = {
+    val (n0, s0, seen0) = if (st.exists()) st.get() else (0L, 0.0, 0L)
+    var n = n0
+    var sum = s0
+    var seen = seen0
+    rows.foreach { e =>
+      n += 1; sum += e.value; seen = math.max(seen, e.ts.getTime)
+    }
+    st.update((n, sum, seen))
+    getHandle.registerTimer(seen + gapMs)
+    Iterator.single(UserStats(key, n, sum))
+  }
+
+  override def handleExpiredTimer(key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[UserStats] = {
+    // a timer armed before a newer arrival is stale — ignore it
+    if (st.exists() &&
+        expiredTimerInfo.getExpiryTimeInMs() >= st.get()._3 + gapMs)
+      st.clear()
+    Iterator.empty
+  }
+}
+
 /** Streaming operator surface (SURVEY.md §2.C.9).
   *
   * Every transform takes a DataFrame of events (`event_id, ts, user_id,
@@ -267,6 +319,36 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** E14-TTL: [[runningUserStatsTws]] with event-time timer retirement
+    * — see [[RunningStatsTtlProcessor]]. `delay` is the watermark
+    * lateness bound; `gapMs` the idle gap after which a user's running
+    * state is cleared. */
+  def runningUserStatsTwsTtl(events: Dataset[Event], delay: String,
+      gapMs: Long): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsTtlProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
+  /** E15: OFFLINE state inspection — the Spark 4 `statestore`
+    * DataFrame reader over a streaming checkpoint. The operational
+    * half of every stateful operator here: when a production stream
+    * misbehaves, the question is "what is IN the state store right
+    * now", and replaying the stream to find out is exactly what this
+    * avoids — the checkpoint is read as a plain DataFrame (key/value
+    * struct columns; `options` passes through e.g. `batchId` for
+    * point-in-time reads, `stateVarName` for transformWithState
+    * stores). Read-only over the checkpoint's own files; safe beside
+    * a stopped query, and on a LIVE one subject to the store's
+    * snapshot semantics. */
+  def checkpointState(spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("statestore").options(options).load(checkpoint)
 
   /** E08: CDC latest-per-key state maintenance — the streaming twin of
     * q89's changeset collapse. State per key is the highest-seq change

@@ -245,6 +245,109 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("E14-TTL: event-time timers retire idle keys (state restarts " +
+      "from zero), a stale timer never clears a fresh arrival") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      def e(id: Long, uid: Long, t: String, v: Double) =
+        Event(id, Timestamp.valueOf(t), uid, "click", v)
+      val mem = MemoryStream[Event]
+      val q = EventStreams
+        .runningUserStatsTwsTtl(mem.toDS(), "0 seconds", gapMs = 60000L)
+        .writeStream.format("memory").queryName("e14ttl")
+        .outputMode(OutputMode.Update()).start()
+      // user 1 at 10:00; user 2 at 10:00 — both alive
+      mem.addData(Seq(e(1, 1, "2024-01-01 10:00:00", 1.0),
+        e(2, 2, "2024-01-01 10:00:00", 5.0)))
+      q.processAllAvailable()
+      // user 2 again at 10:00:30 (inside its 60 s gap — re-arms);
+      // watermark stays at 10:00:30, nobody expires yet
+      mem.addData(Seq(e(3, 2, "2024-01-01 10:00:30", 7.0)))
+      q.processAllAvailable()
+      // unrelated user far ahead: advances the max event time to 11:00
+      mem.addData(Seq(e(4, 9, "2024-01-01 11:00:00", 0.0)))
+      q.processAllAvailable()
+      // one more unrelated batch: NOW the watermark (11:00, committed
+      // at the previous batch's end) is past every armed timer. User
+      // 1's 10:01:00 timer legitimately clears (lastSeen 10:00 + gap =
+      // 10:01:00 ≤ expiry). User 2 has TWO timers: the stale 10:01:00
+      // one (armed before the 10:00:30 arrival — the guard must
+      // ignore it: expiry < lastSeen 10:00:30 + gap) and the fresh
+      // 10:01:30 one, which legitimately clears. Both users retired.
+      mem.addData(Seq(e(7, 9, "2024-01-01 11:00:01", 0.0)))
+      q.processAllAvailable()
+      // both restart from zero after retirement
+      mem.addData(Seq(e(5, 1, "2024-01-01 11:00:10", 3.0),
+        e(6, 2, "2024-01-01 11:00:10", 9.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("e14ttl").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      val byUser = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(t => (t._1, t._2)).toSeq).toMap
+      // the exact emission multisets pin BOTH behaviors: accumulation
+      // up to the legitimate expiry (u2 reaches (2, 12.0) — a stale
+      // timer never partially cleared it) and the restart at count 1
+      // (no (2, 4.0) / (3, 21.0) continuations after retirement)
+      assert(byUser(1L) == Seq((1L, 1.0), (1L, 3.0)),
+        s"user 1 emissions: ${rows.toSeq}")
+      assert(byUser(2L) == Seq((1L, 5.0), (1L, 9.0), (2L, 12.0)),
+        s"user 2 emissions: ${rows.toSeq}")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("E15: the statestore reader inspects a stopped checkpoint " +
+      "offline — per-user running state matches what the stream " +
+      "accumulated, without replaying anything") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("e15_ckpt").toString
+    def e(id: Long, uid: Long, v: Double) =
+      Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), uid, "click", v)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.runningUserStats(mem.toDS()).writeStream
+      .format("memory").queryName("e15")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(Seq(e(1, 1, 1.0), e(2, 1, 2.0), e(3, 2, 5.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(e(4, 1, 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    // the checkpoint IS the state: read it back as a DataFrame.
+    // Leaf-flatten key/value rather than pinning the wrapper nesting
+    // (mapGroupsWithState values arrive wrapped, e.g.
+    // value.groupState.<fields>) — the CONTENT is the contract here
+    def leaves(v: Any): Seq[Any] = v match {
+      case r: org.apache.spark.sql.Row => r.toSeq.flatMap(leaves)
+      case x => Seq(x)
+    }
+    def readState(opts: Map[String, String]): Map[Long, (Long, Double)] =
+      EventStreams.checkpointState(spark, ckpt, opts)
+        .select("key", "value").collect().map { r =>
+          val k = leaves(r.getStruct(0)).head.asInstanceOf[Long]
+          val vs = leaves(r.getStruct(1))
+          (k, (vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Double]))
+        }.toMap
+    val got = readState(Map.empty)
+    assert(got == Map(1L -> ((3L, 6.0)), 2L -> ((1L, 5.0))),
+      s"offline state read diverged: $got")
+    // point-in-time: after batch 0 only, user 1 had seen 2 events
+    val atBatch0 = readState(Map("batchId" -> "0"))
+    assert(atBatch0 == Map(1L -> ((2L, 3.0)), 2L -> ((1L, 5.0))),
+      s"batchId=0 state read diverged: $atBatch0")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("E08: streaming latest-per-key CDC state == q89's batch collapse") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
