@@ -348,6 +348,51 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
   }
 
+  test("E15: the statestore reader also opens a transformWithState " +
+      "store by stateVarName (E14's named ValueState)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("e15tws_ckpt").toString
+    try {
+      def e(id: Long, uid: Long, v: Double) =
+        Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), uid, "click", v)
+      val mem = MemoryStream[Event]
+      val q = EventStreams.runningUserStatsTws(mem.toDS()).writeStream
+        .format("memory").queryName("e15tws")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(Seq(e(1, 1, 1.0), e(2, 1, 2.0), e(3, 2, 5.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(e(4, 1, 3.0)))
+      q.processAllAvailable()
+      q.stop()
+      def leaves(v: Any): Seq[Any] = v match {
+        case r: org.apache.spark.sql.Row => r.toSeq.flatMap(leaves)
+        case x => Seq(x)
+      }
+      val got = EventStreams
+        .checkpointState(spark, ckpt, Map("stateVarName" -> "stats"))
+        .select("key", "value").collect().map { r =>
+          val k = leaves(r.getStruct(0)).head.asInstanceOf[Long]
+          val vs = leaves(r.getStruct(1))
+          (k, (vs(0).asInstanceOf[Long], vs(1).asInstanceOf[Double]))
+        }.toMap
+      assert(got == Map(1L -> ((3L, 6.0)), 2L -> ((1L, 5.0))),
+        s"TWS state read diverged: $got")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("E08: streaming latest-per-key CDC state == q89's batch collapse") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
