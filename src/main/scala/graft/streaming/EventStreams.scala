@@ -115,6 +115,46 @@ class RunningStatsTtlProcessor(gapMs: Long)
   }
 }
 
+/** Rolling window emitted by [[EventStreams.recentEventsTws]]: the
+  * bounded last-k aggregate per user (E14-List). */
+case class RecentWindow(user_id: Long, window_n: Long, window_sum: Double)
+
+/** E14-List — `ListState`, the collection-shaped state handle of the
+  * new API: a bounded "last k events" window per key (the rolling
+  * feature-context shape — e.g. a ranking feature over a user's most
+  * recent interactions). Each batch merges the arrivals into the
+  * stored list, keeps the k most recent by (ts, event_id) — the
+  * deterministic total order; within-batch row order is arbitrary —
+  * and emits the window's (count, sum). State per key is O(k) by
+  * construction, whatever the stream length. */
+class RecentEventsProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, RecentWindow] {
+  @transient private var st
+      : org.apache.spark.sql.streaming.ListState[(Long, Long, Double)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getListState[(Long, Long, Double)]("recent",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[RecentWindow] = {
+    val arrived = rows.map(e => (e.ts.getTime, e.event_id, e.value)).toSeq
+    val merged = (st.get().toSeq ++ arrived)
+      .sortBy(t => (t._1, t._2)).takeRight(k)
+    st.clear()
+    st.appendList(merged.toArray)
+    Iterator.single(
+      RecentWindow(key, merged.size.toLong, merged.map(_._3).sum))
+  }
+}
+
 /** Streaming operator surface (SURVEY.md §2.C.9).
   *
   * Every transform takes a DataFrame of events (`event_id, ts, user_id,
@@ -331,6 +371,18 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new RunningStatsTtlProcessor(gapMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
+  /** E14-List: bounded last-`k` window per user via `ListState` — see
+    * [[RecentEventsProcessor]]. Streaming callers must run a
+    * RocksDB-backed state store. */
+  def recentEventsTws(events: Dataset[Event], k: Int)
+      : Dataset[RecentWindow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
 

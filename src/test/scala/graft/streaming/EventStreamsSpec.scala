@@ -304,6 +304,42 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("E14-List: ListState keeps a bounded last-k window per user " +
+      "across micro-batches — older events fall out, state stays O(k)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      def e(id: Long, uid: Long, t: String, v: Double) =
+        Event(id, Timestamp.valueOf(t), uid, "click", v)
+      val mem = MemoryStream[Event]
+      val q = EventStreams.recentEventsTws(mem.toDS(), k = 3)
+        .writeStream.format("memory").queryName("e14list")
+        .outputMode(OutputMode.Update()).start()
+      // batch 1: two events for user 1 (window not yet full)
+      mem.addData(Seq(e(1, 1, "2024-01-01 10:00:00", 1.0),
+        e(2, 1, "2024-01-01 10:00:10", 2.0)))
+      q.processAllAvailable()
+      // batch 2: two MORE — the 4-event history must collapse to the
+      // 3 most recent (values 2, 4, 8), proving the batch-1 list was
+      // persisted AND the oldest fell out
+      mem.addData(Seq(e(3, 1, "2024-01-01 10:00:20", 4.0),
+        e(4, 1, "2024-01-01 10:00:30", 8.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("e14list").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 2L, 3.0), (1L, 3L, 14.0)),
+        s"window emissions: $rows")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("E15: the statestore reader inspects a stopped checkpoint " +
       "offline — per-user running state matches what the stream " +
       "accumulated, without replaying anything") {
