@@ -155,6 +155,47 @@ class RecentEventsProcessor(k: Int)
   }
 }
 
+/** One histogram cell emitted by [[EventStreams.typeCountsTws]]
+  * (E14-Map): a (user, event_type) running count. */
+case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** E14-Map — `MapState`, the keyed-sub-state handle of the new API:
+  * a per-user event-type histogram maintained point-wise
+  * (`getValue`/`updateValue` touch ONE sub-key each — at large
+  * per-key cardinality this is the handle that avoids rewriting a
+  * whole value blob per update, which is exactly what the same
+  * histogram costs through ValueState or mapGroupsWithState). Each
+  * batch emits the touched (user, type) cells with their new counts —
+  * update-mode CDC over the histogram. */
+class TypeCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, TypeCount] {
+  @transient private var st
+      : org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getMapState[String, Long]("type_counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[TypeCount] = {
+    val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    rows.foreach { e =>
+      val t = Option(e.event_type).getOrElse("")
+      val cur = touched.getOrElse(t,
+        if (st.containsKey(t)) st.getValue(t) else 0L)
+      touched(t) = cur + 1
+    }
+    touched.foreach { case (t, n) => st.updateValue(t, n) }
+    touched.iterator.map { case (t, n) => TypeCount(key, t, n) }.toSeq
+      .iterator
+  }
+}
+
 /** Streaming operator surface (SURVEY.md §2.C.9).
   *
   * Every transform takes a DataFrame of events (`event_id, ts, user_id,
@@ -382,6 +423,17 @@ object EventStreams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RecentEventsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** E14-Map: per-user event-type histogram via `MapState` — see
+    * [[TypeCountsProcessor]]. Streaming callers must run a
+    * RocksDB-backed state store. */
+  def typeCountsTws(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }

@@ -340,6 +340,43 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("E14-Map: MapState maintains a per-user event-type histogram " +
+      "point-wise across micro-batches, equal to the batch groupBy") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      def e(id: Long, uid: Long, t: String) =
+        Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), uid, t, 0.0)
+      val batches = Seq(
+        Seq(e(1, 1, "click"), e(2, 1, "view"), e(3, 2, "click")),
+        Seq(e(4, 1, "click"), e(5, 1, "click"), e(6, 2, "view")))
+      val mem = MemoryStream[Event]
+      val q = EventStreams.typeCountsTws(mem.toDS()).writeStream
+        .format("memory").queryName("e14map")
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      // update mode re-emits a touched cell per batch: its final count
+      // is the max (counts are monotone)
+      val got = spark.table("e14map").collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val want = batches.flatten
+        .groupBy(ev => (ev.user_id, ev.event_type)).view
+        .mapValues(_.size.toLong).toMap
+      assert(got == want && want.size == 4, s"histogram: $got vs $want")
+      // the cross-batch accumulation was real, not per-batch counts
+      assert(got((1L, "click")) == 3L)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("E15: the statestore reader inspects a stopped checkpoint " +
       "offline — per-user running state matches what the stream " +
       "accumulated, without replaying anything") {
