@@ -140,8 +140,17 @@ object Compaction {
       live: String): Boolean =
     fs.exists(ptrPath(live)) || fs.exists(new Path(live))
 
+  /** Per-JVM nonce in every generation name (the RunTmp pattern):
+    * nanoTime's origin is per-JVM-arbitrary, so two RESTARTS of the
+    * same maintenance can land on the same tick — writers are
+    * lease-excluded, but uniqueness should be structural, not
+    * probabilistic. Names stay `<live>__gen-*` (orphan GC and the
+    * keep-set match by that prefix / by full name, both unaffected). */
+  private val genNonce: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private def genName(live: String): String =
-    s"${live}__gen-${java.lang.System.nanoTime}"
+    s"${live}__gen-${java.lang.System.nanoTime}-$genNonce"
 
   /** Staging dir for a tree that will [[swapDir]] over `live`:
     * generation-unique in pointer mode (the staged tree BECOMES the

@@ -59,7 +59,11 @@ object Dedup {
     * consume a survivor slot. */
   def lineDedup(df: DataFrame, idCol: String, linesCol: String,
       sep: String = "\n"): DataFrame = {
-    Seq("__li", "__h", "__rn", "__kept").foreach { c =>
+    // scratch names AND output names (ADVICE r14): a pass-through
+    // column called n_lines/n_kept/new_text would silently duplicate
+    // in the result frame
+    Seq("__li", "__h", "__rn", "__kept",
+        "n_lines", "n_kept", "new_text").foreach { c =>
       require(!df.columns.contains(c), s"column name $c is reserved")
     }
     val hashed = df

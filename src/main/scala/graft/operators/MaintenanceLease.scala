@@ -128,6 +128,10 @@ object MaintenanceLease {
     } catch { case _: IOException => None }
   }
 
+  /** Per-JVM acquisition counter — the holder nonce's guaranteed-unique
+    * component (see the note in [[defaultHolder]]). */
+  private val acquisitionSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def defaultHolder(op: String): String = {
     val host =
       try java.net.InetAddress.getLocalHost.getHostName
@@ -137,13 +141,15 @@ object MaintenanceLease {
     // job's own-lease release match (startsWith) would then hit the
     // SAME-OP successor's lease and evict it, the exact hazard the
     // own-lease rule exists to prevent
-    // identityHashCode, not Thread.getId: getId is deprecated-for-removal
-    // on JDK 19+ and its replacement (threadId()) does not exist on the
-    // JDK 17 this builds against; the nonce only needs to separate two
-    // threads of one PID acquiring in the same nanoTime tick, which the
-    // per-object identity hash does
+    // a process-local counter, not Thread.getId (deprecated-for-removal
+    // on JDK 19+, its replacement threadId() absent on the JDK 17 this
+    // builds against) and not identityHashCode (two threads CAN share an
+    // identity hash — same-PID same-tick disambiguation would be
+    // probabilistic; ADVICE r14): every acquisition in this JVM draws a
+    // distinct sequence number, so uniqueness within a PID is
+    // structural whatever the nanoTime tick
     s"$op@$host#pid${ProcessHandle.current.pid}" +
-      s".t${java.lang.System.identityHashCode(Thread.currentThread)}" +
+      s".a${acquisitionSeq.incrementAndGet()}" +
       s".n${java.lang.System.nanoTime}"
   }
 

@@ -170,6 +170,16 @@ object Relational3 {
   // semantics a crawl pipeline needs (the adversarial events fixture
   // ships literal "not json"). Null event_type groups survive (GROUP BY
   // semantics), so the sort pins NULLS FIRST on both engines.
+  //
+  // KNOWN FIXTURE CONSTRAINT (ADVICE r14): the two engines' int
+  // extraction agrees only when `$.k` is a JSON integer. Spark's
+  // variant cast coerces non-integer JSON types (number 5.0 → 5,
+  // boolean true → 1, string "5" → 5) where the DuckDB twin's
+  // TRY_CAST(json_extract_string(...) AS INTEGER) yields NULL for
+  // 'true'/'5.0'. The events fixture's props grammar only ever emits
+  // integer-typed k (incl. the adversarial seeds' nulls and non-JSON
+  // strings, where both engines agree on NULL) — if a future fixture
+  // adds non-integer k values, pin the coercion on one side first.
   def q112(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events")
