@@ -184,7 +184,8 @@ object ScaleBench {
     // single family can be re-measured without paying the others
     val fams: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
-      else Set("1", "1b", "2", "3", "4", "5", "6", "7", "8", "9", "10")
+      else Set("1", "1b", "2", "3", "4", "5", "6", "7", "8", "9", "10",
+        "10b")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -743,21 +744,24 @@ object ScaleBench {
     // a base, ≤1 bit flipped each → true pairs at d≤2) so both plans
     // have real work; equality of the delta-touching pair sets is
     // REQUIRED.
+    // cluster key is (id − idOffset)/3 under ONE seed, so the delta's
+    // 500 rows land in the corpus's first ~167 clusters: old-new AND
+    // new-new true pairs both exist (flips ≤1 per row → distance ≤2).
+    // Delta ids offset far past every corpus id (the unique-id
+    // contract; an overlap also breaks the >=-offset filter below).
+    // Shared by families 10 (inline newPairs vs full re-join) and 10b
+    // (persisted HammingStore vs inline newPairs).
+    def genFps(n: Long, seed: Long, idOffset: Long): DataFrame =
+      spark.range(n).map { i =>
+        val id = i + idOffset
+        val base =
+          (seed ^ ((i / 3) * 0x9E3779B97F4A7C15L)) * 0xC2B2AE3D27D4EB4FL
+        val rng = new scala.util.Random(seed ^ id)
+        val f = if (rng.nextBoolean()) base ^ (1L << rng.nextInt(64)) else base
+        (id, f)
+      }.toDF("id", "f")
+
     if (fams("10")) {
-      // cluster key is (id − idOffset)/3 under ONE seed, so the delta's
-      // 500 rows land in the corpus's first ~167 clusters: old-new AND
-      // new-new true pairs both exist (flips ≤1 per row → distance ≤2).
-      // Delta ids offset far past every corpus id (the unique-id
-      // contract; an overlap also breaks the >=-offset filter below)
-      def genFps(n: Long, seed: Long, idOffset: Long): DataFrame =
-        spark.range(n).map { i =>
-          val id = i + idOffset
-          val base =
-            (seed ^ ((i / 3) * 0x9E3779B97F4A7C15L)) * 0xC2B2AE3D27D4EB4FL
-          val rng = new scala.util.Random(seed ^ id)
-          val f = if (rng.nextBoolean()) base ^ (1L << rng.nextInt(64)) else base
-          (id, f)
-        }.toDF("id", "f")
       // TWO corpus sizes, the family-1 pattern: the probe's cost is
       // dominated by banding the index side (linear in the corpus);
       // the full re-join's candidate stream is quadratic — the SLOPES
@@ -790,6 +794,70 @@ object ScaleBench {
           s"vs $label corpus: delta probe ${round2(tDelta)}s vs full " +
           s"re-join ${round2(tFull)}s, $nDelta delta-touching pairs " +
           s"(sets equal)")
+      }
+    }
+
+    // ---- 10b. persisted banded Hamming store (r15) --------------------
+    // Family 10's residual: newPairs' probe floor still scales with the
+    // CORPUS — it re-bands (explode, |corpus|×bands rows) and
+    // re-repartitions the index side on every call. The store
+    // (operators.HammingStore) precomputes the banding once; a probe is
+    // a pruned scan of stored band cells joined via a BROADCAST of the
+    // delta's bands — zero corpus-side banding jobs, zero corpus
+    // shuffle. The evidence is the SLOPE: the inline probe grows with
+    // corpus size, the store probe's growth is the scan alone (no
+    // shuffle of it), with pair-set equality REQUIRED. Store build cost
+    // is reported once (it amortizes over every later increment — the
+    // build-once/probe-many trade the sig store made for MinHash).
+    if (fams("10b")) {
+      // two increment shapes, because they expose DIFFERENT wins:
+      //  - the 20-fp DRIP (a small frequent batch, the family-6/7 drip
+      //    framing): its 100 band keys touch ~10% of 1024 cells — the
+      //    static partition prune carries, records-read tracks the
+      //    DELTA while the inline twin re-bands the whole corpus;
+      //  - the 500-fp batch: its 2500 band keys touch ~90% of the
+      //    cells (pruning saturates — inherent: touched-cell count is
+      //    1 − (1−1/cells)^keys of the store), so the remaining win is
+      //    shuffle-shape only (the inline twin EXCHANGES |corpus|×bands
+      //    rows to co-locate the banded join; the store probe
+      //    broadcast-joins the delta's bands into the scan, zero
+      //    corpus-side exchange).
+      val batchFp = spark.read.parquet(
+        gen("fpsDelta500b") { genFps(500, 91, 10000000) })
+      val dripFp = spark.read.parquet(
+        gen("fpsDrip20") { genFps(20, 91, 20000000) })
+      for ((label, n) <- Seq("500k" -> 500000L, "2m" -> 2000000L,
+          "8m" -> 8000000L)) {
+        val corpusFp = spark.read.parquet(
+          gen(s"fps$label") { genFps(n, 91, 0) })
+        val storeDir = s"$work/hamstore1k_$label"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) {
+          val t0 = System.nanoTime()
+          operators.HammingStore.build(corpusFp, storeDir, "id", "f",
+            maxDist = 3, bits = 64, cells = 1024)
+          println(f"GEN hamstore1k_$label ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        for ((dlabel, deltaFp) <- Seq("drip20" -> dripFp,
+            "batch500" -> batchFp)) {
+          val (tStore, nStore, recsStore) = timed(spark, runs) {
+            operators.HammingStore.probe(spark, storeDir, deltaFp).count()
+          }
+          val (tInline, nInline, recsInline) = timed(spark, runs) {
+            operators.HammingJoin.newPairs(corpusFp, deltaFp, "id", "f",
+              maxDist = 3, bits = 64).count()
+          }
+          require(nStore == nInline,
+            s"[$label/$dlabel] store probe diverged from inline " +
+              s"newPairs: $nStore vs $nInline")
+          results += s"hamming10b_${label}_${dlabel}_store_s" ->
+            s"${round2(tStore)} ($nStore pairs, $recsStore recs)"
+          results += s"hamming10b_${label}_${dlabel}_inline_s" ->
+            s"${round2(tInline)} ($recsInline recs)"
+          println(s"10b. [$label/$dlabel] persisted Hamming store: " +
+            s"probe ${round2(tStore)}s ($recsStore recs read) vs " +
+            s"inline newPairs ${round2(tInline)}s ($recsInline recs), " +
+            s"$nStore pairs (sets equal)")
+        }
       }
     }
 

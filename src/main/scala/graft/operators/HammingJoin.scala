@@ -88,8 +88,10 @@ object HammingJoin {
 
   /** Band-split SQL fragment over fingerprint column `f`: band i covers
     * [i*base, i*base+width_i) with the last band taking the remainder —
-    * every bit in exactly one band. */
-  private def bandSpecs(bits: Int, b: Int): String = {
+    * every bit in exactly one band. Shared with [[HammingStore]], which
+    * freezes (bits, numBands) in its meta so probes band exactly as the
+    * build did. */
+  private[operators] def bandSpecs(bits: Int, b: Int): String = {
     val base = bits / b
     (0 until b).map { i =>
       val width = if (i == b - 1) bits - i * base else base
