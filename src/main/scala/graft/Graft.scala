@@ -317,17 +317,80 @@ object Graft {
       maxDist: Int = 10): DataFrame =
     multimodal.Multimodal.imageNearDupPairs(media, maxDist)
 
+  /** IMAGE DEDUP in one call — the media twin of [[dedupPipeline]]:
+    * dHash fingerprints → banded Hamming pairs → greedy min-id
+    * retention; returns the retained media rows (fingerprint-less
+    * rows — `image/fake`, undecodable — are retained). See
+    * [[multimodal.Multimodal.imageDedup]]. */
+  def imageDedup(
+      media: org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaRecord],
+      maxDist: Int = 10)
+      : org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaRecord] =
+    multimodal.Multimodal.imageDedup(media, maxDist)
+
+  /** Incremental [[imageDedup]]: the `delta` batch's retained rows
+    * against an already-deduped corpus (delta ids must be strictly
+    * greater — the increasing-ids contract). See
+    * [[multimodal.Multimodal.imageDedupDelta]]. */
+  def imageDedupDelta(
+      corpus: org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaRecord],
+      delta: org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaRecord],
+      maxDist: Int = 10)
+      : org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaRecord] =
+    multimodal.Multimodal.imageDedupDelta(corpus, delta, maxDist)
+
   /** Incremental Hamming near-dup: every pair within `maxDist`
     * INTRODUCED by `delta` (at least one end new) without comparing
     * corpus fingerprints to each other — candidate volume tracks the
     * increment, not the corpus. See
     * [[operators.HammingJoin.newPairs]]; the image binding is
-    * [[multimodal.Multimodal.imageNearDupPairsDelta]]. */
+    * [[multimodal.Multimodal.imageNearDupPairsDelta]]; the
+    * build-once/probe-many serving shape is [[buildHammingStore]]. */
   def hammingNearDupPairsDelta(corpus: DataFrame, delta: DataFrame,
       idCol: String, fpCol: String, maxDist: Int,
       bits: Int = 32): DataFrame =
     operators.HammingJoin.newPairs(corpus, delta, idCol, fpCol, maxDist,
       bits)
+
+  /** Build the persisted banded Hamming fingerprint store over an
+    * `(idCol, fpCol)` corpus — the daily-increment serving shape of
+    * [[hammingNearDupPairsDelta]] (and per-batch IMAGE dedup via
+    * [[multimodal.Multimodal.imageFingerprints]]): band rows computed
+    * once, stored cell-partitioned; each increment probes a
+    * partition-pruned scan, never re-banding the corpus. See
+    * [[operators.HammingStore]]. */
+  def buildHammingStore(fp: DataFrame, dir: String, idCol: String,
+      fpCol: String, maxDist: Int, bits: Int = 64,
+      cells: Int = 64): Unit =
+    operators.HammingStore.build(fp, dir, idCol, fpCol, maxDist, bits,
+      cells = cells)
+
+  /** All Hamming-≤ maxDist pairs a fingerprint increment introduces
+    * against a [[buildHammingStore]] store (== `newPairs` with the
+    * store standing in for the corpus). Call before
+    * [[appendHammingStore]]. */
+  def probeHammingStore(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame =
+    operators.HammingStore.probe(spark, dir, delta)
+
+  /** Append an increment's band rows to a [[buildHammingStore]] store,
+    * closing the daily loop. */
+  def appendHammingStore(spark: SparkSession, dir: String,
+      delta: DataFrame): Unit =
+    operators.HammingStore.append(spark, dir, delta)
+
+  /** Compact a [[buildHammingStore]] store's band files (per-cell
+    * shuffle-free merge, swap-committed; probes identical). Returns
+    * (filesBefore, filesAfter). */
+  def compactHammingStore(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    operators.HammingStore.compact(spark, dir, targetBytes)
+
+  /** Health of a [[buildHammingStore]] store — the compact-cadence
+    * signal. */
+  def hammingStoreStats(spark: SparkSession, dir: String)
+      : operators.HammingStore.StoreStats =
+    operators.HammingStore.stats(spark, dir)
 
   /** Dictionary fuzzy lookup: all dictionary keys within Levenshtein
     * distance `maxDist` of each query key (SymSpell shape; exact hits

@@ -59,16 +59,22 @@ object Multimodal {
       * class doc promises, exercised end-to-end in MultimodalSpec;
       * vectorized native codecs (libjpeg-turbo etc.) would slot in the
       * same way with per-batch amortization. */
-    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
-      // NonFatal, not just IOException: the JDK readers throw runtime
-      // exceptions (IndexOutOfBounds, NegativeArraySize, …) on some
-      // malformed/truncated payloads, and at corpus scale one fuzzed
-      // image must become a sentinel row, never a failed job
-      val img =
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] =
+      decodePayload(payload).map(frameStats)
+
+    /** THE single-frame decode entry — every consumer of a decoded
+      * still image ([[decodeImage]], [[dHash]], [[resizeImage]]) goes
+      * through here, so the corrupt-payload discipline lives in ONE
+      * place (VERDICT r14): NonFatal, not just IOException — the JDK
+      * readers throw runtime exceptions (IndexOutOfBounds,
+      * NegativeArraySize, …) on some malformed/truncated payloads, and
+      * at corpus scale one fuzzed image must become a sentinel row,
+      * never a failed job. `None` when the bytes don't decode. */
+    private def decodePayload(payload: Array[Byte])
+        : Option[java.awt.image.BufferedImage] =
+      Option(
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
-      Option(img).map(frameStats)
-    }
+        catch { case scala.util.control.NonFatal(_) => null })
 
     /** (width, height, bands, mean brightness) of one decoded frame.
       * PALETTE-INDEXED frames (GIF, indexed PNG) are resolved to RGB
@@ -154,10 +160,10 @@ object Multimodal {
     def resizeImage(payload: Array[Byte], maxW: Int,
         maxH: Int): Option[Array[Byte]] =
       try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
-        if (img == null) None
-        else {
+        decodePayload(payload).flatMap { img =>
+          // scale/encode guarded by the outer catch: a decodable-but-
+          // degenerate image failing mid-encode is still data, not an
+          // error
           val scale = math.min(1.0, math.min(
             maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
           if (scale >= 1.0) Some(payload)
@@ -204,10 +210,7 @@ object Multimodal {
       * not an error (the [[decodeImage]] rule). */
     def dHash(payload: Array[Byte]): Option[Long] =
       try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
-        if (img == null) None
-        else {
+        decodePayload(payload).map { img =>
           val dst = new java.awt.image.BufferedImage(9, 8,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()
@@ -234,7 +237,7 @@ object Multimodal {
             }
             y += 1
           }
-          Some(bits)
+          bits
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -383,6 +386,41 @@ object Multimodal {
       imageFingerprints(corpus, batchSize).toDF(),
       imageFingerprints(delta, batchSize).toDF(),
       "doc_id", "fp", maxDist, bits = 64)
+
+  /** IMAGE DEDUP, one call (VERDICT r14 task 4 — the media twin of
+    * `Graft.dedupPipeline`): fingerprint → banded near-dup pairs →
+    * greedy min-id retention. Returns the retained rows of `media` —
+    * for every near-dup pair the smaller doc_id survives (q76's greedy
+    * rule, [[graft.operators.Dedup.greedyRetain]]). Rows that produce
+    * no fingerprint (synthetic `image/fake`, undecodable payloads) are
+    * RETAINED: they can't be shown near-dup of anything, and dropping
+    * corrupt rows is the quality gate's job, not dedup's. */
+  def imageDedup(media: Dataset[MediaRecord], maxDist: Int = 10,
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    val pairs = imageNearDupPairs(media, maxDist, batchSize)
+    graft.operators.Dedup.greedyRetain(media.toDF(), pairs,
+      "doc_id", "doc_id_b").as[MediaRecord]
+  }
+
+  /** Incremental [[imageDedup]]: retain the rows of the `delta` batch
+    * that are near-dup of neither the corpus nor an earlier delta row —
+    * pairs from [[imageNearDupPairsDelta]] (candidate volume tracks
+    * the delta), retention the same greedy min-id rule. Requires delta
+    * ids STRICTLY GREATER than every corpus id (the pipeline's
+    * strictly-increasing-ids contract): a delta dup of a corpus image
+    * is then always the pair's greater side, so retention drops the
+    * newcomer and never the already-published corpus row. The corpus
+    * is returned unchanged by definition — only delta rows are
+    * decided. */
+  def imageDedupDelta(corpus: Dataset[MediaRecord],
+      delta: Dataset[MediaRecord], maxDist: Int = 10,
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    import delta.sparkSession.implicits._
+    val pairs = imageNearDupPairsDelta(corpus, delta, maxDist, batchSize)
+    graft.operators.Dedup.greedyRetain(delta.toDF(), pairs,
+      "doc_id", "doc_id_b").as[MediaRecord]
+  }
 
   /** Frame sampling: one media row → many frame rows (generator shape). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): Dataset[FrameSample] = {

@@ -167,6 +167,72 @@ class ImageNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       pairs(0).getInt(2) == 0)
   }
 
+  test("imageDedup facade: retention == the brute-force greedy " +
+      "expectation; fingerprint-less rows are retained") {
+    // the planted fixture from the pairs test, plus a corrupt row and
+    // a synthetic fake row (no fingerprint → must survive dedup)
+    val base = (0 until 6).map(s => s.toLong ->
+      encode(pattern(s, 48, 36), "png")).toMap
+    val rows = base.toSeq.map { case (id, p) => (id, "image/png", p) } ++ Seq(
+      (100L, "image/bmp", encode(pattern(0, 48, 36), "bmp")),
+      (101L, "image/png", Multimodal.Codecs.resizeImage(base(0L), 24, 18).get),
+      (102L, "image/png", encode(pattern(0, 48, 36, brightness = 25), "png")),
+      (200L, "image/png", Array[Byte](1, 2, 3)), // corrupt: retained
+      (201L, "image/fake", "text bytes".getBytes("UTF-8"))) // retained
+    val ds = media(rows)
+    val maxDist = 10
+    val kept = Multimodal.imageDedup(ds, maxDist)
+      .collect().map(_.doc_id).toSet
+    // brute-force greedy expectation over the SAME fingerprints: drop
+    // every id that is the GREATER side of any ≤maxDist pair
+    val fps = Multimodal.imageFingerprints(ds).collect()
+      .map(f => f.doc_id -> f.fp)
+    val dropped = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= maxDist
+    } yield ib).toSet
+    val want = rows.map(_._1).toSet -- dropped
+    assert(kept == want, s"engine $kept vs brute greedy $want")
+    // by name: the three variants of image 0 dropped, the originals
+    // and both fingerprint-less rows retained
+    assert(Set(100L, 101L, 102L).intersect(kept).isEmpty, kept.toString)
+    assert(Set(0L, 1L, 2L, 3L, 4L, 5L, 200L, 201L).subsetOf(kept),
+      kept.toString)
+  }
+
+  test("imageDedupDelta: only delta rows are decided — a corpus dup of " +
+      "a corpus image survives the delta pass, and the full-dedup twin " +
+      "drops it exactly once") {
+    // the incremental fixture: corpus 0..3 where 3 re-encodes 2 (a
+    // corpus-INTERNAL duplicate); delta 100..103 with dups of 0 and 1
+    val base = (0 until 5).map(s => s.toLong ->
+      encode(pattern(s, 48, 36), "png")).toMap
+    val corpusRows = Seq(
+      (0L, "image/png", base(0L)), (1L, "image/png", base(1L)),
+      (2L, "image/png", base(2L)),
+      (3L, "image/bmp", encode(pattern(2, 48, 36), "bmp")))
+    val deltaRows = Seq(
+      (100L, "image/png", encode(pattern(0, 48, 36, brightness = 25), "png")),
+      (101L, "image/png", Multimodal.Codecs.resizeImage(base(1L), 24, 18).get),
+      (102L, "image/png", Multimodal.Codecs.resizeImage(base(1L), 24, 18).get),
+      (103L, "image/png", base(4L)))
+    val corpus = media(corpusRows)
+    val delta = media(deltaRows)
+    // delta pass: 100 (dup of 0), 101/102 (dups of 1, and of each
+    // other) drop; the fresh 103 survives. Corpus rows are not decided
+    // here — 3 duplicates 2 but is already published.
+    val keptDelta = Multimodal.imageDedupDelta(corpus, delta)
+      .collect().map(_.doc_id).toSet
+    assert(keptDelta == Set(103L), keptDelta.toString)
+    // the full-dedup twin over corpus ∪ delta drops the corpus-internal
+    // duplicate 3 EXACTLY once (and everything the delta pass dropped)
+    val keptFull = graft.Graft.imageDedup(media(corpusRows ++ deltaRows))
+      .collect().map(_.doc_id).toSeq
+    assert(keptFull.length == keptFull.distinct.length,
+      s"duplicate retained rows: $keptFull")
+    assert(keptFull.toSet == Set(0L, 1L, 2L, 103L), keptFull.toString)
+  }
+
   test("dHash is deterministic and brightness-insensitive by " +
       "construction: same payload twice == same hash; +25 brightness " +
       "within clamp-free range == distance 0") {
