@@ -466,6 +466,119 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("E15: the statestore reader opens an E14 ListState store by " +
+      "stateVarName — the exact bounded window is recovered, one row " +
+      "per element (flattened collection read)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("e15list_ckpt").toString
+    try {
+      // the E14-List fixture: 4 events for user 1 across two batches,
+      // k=3 → the stored window is the 3 most recent
+      def e(id: Long, uid: Long, t: String, v: Double) =
+        Event(id, Timestamp.valueOf(t), uid, "click", v)
+      val mem = MemoryStream[Event]
+      val q = EventStreams.recentEventsTws(mem.toDS(), k = 3).writeStream
+        .format("memory").queryName("e15list")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(Seq(e(1, 1, "2024-01-01 10:00:00", 1.0),
+        e(2, 1, "2024-01-01 10:00:10", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(e(3, 1, "2024-01-01 10:00:20", 4.0),
+        e(4, 1, "2024-01-01 10:00:30", 8.0)))
+      q.processAllAvailable()
+      q.stop()
+      // value-wrapping convention (recorded like the r14 ValueState
+      // read): with the default flattenCollectionTypes=true a ListState
+      // store reads back one row PER ELEMENT in a `list_element`
+      // column — leaf-flatten key/element rather than pinning nesting
+      def leaves(v: Any): Seq[Any] = v match {
+        case r: org.apache.spark.sql.Row => r.toSeq.flatMap(leaves)
+        case x => Seq(x)
+      }
+      val got = EventStreams
+        .checkpointState(spark, ckpt, Map("stateVarName" -> "recent"))
+        .select("key", "list_element").collect().map { r =>
+          val k = leaves(r.getStruct(0)).head.asInstanceOf[Long]
+          val el = leaves(r.get(1))
+          (k, (el(0).asInstanceOf[Long], el(1).asInstanceOf[Long],
+            el(2).asInstanceOf[Double]))
+        }.toSeq.sortBy(_._2)
+      def ms(t: String) = Timestamp.valueOf(t).getTime
+      assert(got == Seq(
+        (1L, (ms("2024-01-01 10:00:10"), 2L, 2.0)),
+        (1L, (ms("2024-01-01 10:00:20"), 3L, 4.0)),
+        (1L, (ms("2024-01-01 10:00:30"), 4L, 8.0))),
+        s"ListState read diverged (the evicted event must be GONE " +
+          s"from the store, not just from the emissions): $got")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
+  test("E15: the statestore reader opens an E14 MapState store by " +
+      "stateVarName — every (user, sub-key) cell is recovered " +
+      "(flattened user_map_key/user_map_value read)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("e15map_ckpt").toString
+    try {
+      // the E14-Map fixture: two batches of (user, type) events
+      def e(id: Long, uid: Long, t: String) =
+        Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), uid, t, 0.0)
+      val batches = Seq(
+        Seq(e(1, 1, "click"), e(2, 1, "view"), e(3, 2, "click")),
+        Seq(e(4, 1, "click"), e(5, 1, "click"), e(6, 2, "view")))
+      val mem = MemoryStream[Event]
+      val q = EventStreams.typeCountsTws(mem.toDS()).writeStream
+        .format("memory").queryName("e15map")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      // MapState reads back one row per (grouping key, SUB-key) with
+      // the sub-key/value in user_map_key/user_map_value columns —
+      // exactly the "which sub-keys exist" question an operator
+      // inspecting a histogram store asks
+      def leaves(v: Any): Seq[Any] = v match {
+        case r: org.apache.spark.sql.Row => r.toSeq.flatMap(leaves)
+        case x => Seq(x)
+      }
+      val got = EventStreams
+        .checkpointState(spark, ckpt, Map("stateVarName" -> "type_counts"))
+        .select("key", "user_map_key", "user_map_value").collect().map { r =>
+          ((leaves(r.get(0)).head.asInstanceOf[Long],
+            leaves(r.get(1)).head.asInstanceOf[String]),
+            leaves(r.get(2)).head.asInstanceOf[Long])
+        }.toMap
+      val want = batches.flatten
+        .groupBy(ev => (ev.user_id, ev.event_type)).view
+        .mapValues(_.size.toLong).toMap
+      assert(got == want, s"MapState read diverged: $got vs $want")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("E08: streaming latest-per-key CDC state == q89's batch collapse") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
