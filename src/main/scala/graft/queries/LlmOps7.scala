@@ -74,27 +74,31 @@ object LlmOps7 {
   // Shannon entropy (bits/char) of each document's character
   // distribution — the standard cheap gibberish/boilerplate detector
   // (near-zero for "aaaa...", ~4.1 for English prose). Computed
-  // entirely per-row with codegen HOFs over the split array — a
-  // map-only plan with NO shuffle except the presentation sort; at
-  // 100 TB this is a pure scan-side column, pipelined into whatever
-  // filter consumes it. The O(|alphabet|·len) inner filter is the
-  // right trade at real alphabet sizes (a histogram via explode would
-  // buy an O(len) update at the price of a corpus-sized shuffle).
+  // per-row by the fused codegen Expression
+  // [[graft.functions.CharEntropy]] — a map-only plan with NO shuffle
+  // except the presentation sort; at 100 TB this is a pure scan-side
+  // column, pipelined into whatever filter consumes it.
+  //
+  // Measured before fused (VERDICT r14 task 7; numbers in NOTES_r15):
+  // the r14 HOF chain (`transform(array_distinct(chs), c ->
+  // size(filter(chs, …)))`) is O(|alphabet|·len) per document — fine
+  // at fixture lengths, 98 s on a 2000-doc × 100 KB corpus vs 10.3 s
+  // for a single-pass sorted-runs HOF vs 0.21 s for the fused one-pass
+  // loop (no per-doc char array at all). All three agree ≤1e-9
+  // (entropy is summation-order-free up to float drift, far under the
+  // 6-decimal print); segmentation stays code-point-exact with the
+  // oracle (CharEntropySpec pins emoji/multibyte equality).
   def q109(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chs = filter(split($"text", ""), c => c =!= lit(""))
-    val t = size(chs).cast("double")
-    val probs = transform(array_distinct(chs),
-      c => size(filter(chs, x => x === c)).cast("double") / t)
-    // null/empty text ⇒ null entropy (undefined distribution); the
-    // `+ 0.0` collapses IEEE -0.0 (a single-character document's
-    // -1·log2(1)) onto +0.0 so both engines print one zero
+    // null/empty text ⇒ null entropy (undefined distribution — the
+    // Expression's rule, matching the oracle's left join); the `+ 0.0`
+    // keeps the r14 −0.0 normalization pinned even though the fused
+    // formula (log2 t − Σn·log2 n / t) already yields +0.0 for
+    // single-character documents
     Tables(s, dir, "documents")
       .select($"doc_id",
-        when(size(chs) > 0,
-          round(-aggregate(probs, lit(0.0),
-            (acc, p) => acc + p * log(p) / log(lit(2.0))), 6) + lit(0.0))
-          .as("entropy"))
+        (round(graft.functions.CharEntropy.charEntropy($"text"), 6) +
+          lit(0.0)).as("entropy"))
       .orderBy($"doc_id")
   }
   val q109Sql: String =
