@@ -339,6 +339,22 @@ object Graft {
       : org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaRecord] =
     multimodal.Multimodal.imageDedupDelta(corpus, delta, maxDist)
 
+  /** STREAMING image dedup (E18): an exactly-once-retained
+    * `foreachBatch` sink folding arriving media into a persisted
+    * [[buildHammingStore]]-backed dedup state — per batch: fingerprint
+    * → store probe (pruned scan, no corpus re-banding) → append-only
+    * pairs/ledger writes in the crash-safe order. Read the current
+    * answer with [[streaming.StreamingImageDedup.retained]] /
+    * [[streaming.StreamingImageDedup.pairs]]. Requires unique,
+    * strictly-increasing doc_ids across the stream. */
+  def streamingImageDedup(
+      media: org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaRecord],
+      workDir: String, maxDist: Int = 10,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        multimodal.Multimodal.MediaRecord] =
+    streaming.StreamingImageDedup.sink(media, workDir, maxDist, trigger)
+
   /** Incremental Hamming near-dup: every pair within `maxDist`
     * INTRODUCED by `delta` (at least one end new) without comparing
     * corpus fingerprints to each other — candidate volume tracks the

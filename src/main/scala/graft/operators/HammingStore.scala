@@ -213,13 +213,19 @@ object HammingStore {
     val store = PrunedRead.partitions(spark, bandsLive(spark, dir),
       "cell", cellVals)
     // old–new: pruned store scan ⋈ BROADCAST delta bands — the store
-    // side never shuffles (store ids are all pre-increment, so no id
-    // constraint: orientation is normalized by least/greatest below).
+    // side never shuffles (store ids are all pre-increment under the
+    // unique-id contract, so orientation is normalized by
+    // least/greatest below). The id inequality is a SAFETY guard, not
+    // a semantic: a delta id that already sits in the store (an
+    // at-least-once upstream replaying a crashed append — see
+    // [[graft.streaming.StreamingImageDedup]]) would otherwise pair
+    // with its own stored copy at distance 0.
     // new–new: delta band self-join, id-ordered once — exactly
     // HammingJoin.newPairs' orientation rule (old-old structurally
     // impossible: the store side never joins itself).
     val oldNew = store.as("i").join(broadcast(bands).as("p"),
-      $"p.band" === $"i.band" && $"p.bkey" === $"i.bkey")
+      $"p.band" === $"i.band" && $"p.bkey" === $"i.bkey" &&
+        $"p.id" =!= $"i.id")
     val newNew = bands.as("p").join(bands.as("i"),
       $"p.band" === $"i.band" && $"p.bkey" === $"i.bkey" &&
         $"p.id" < $"i.id")
