@@ -156,4 +156,74 @@ object LlmOps7 {
       |SELECT lang, count(*) AS vocab_top,
       |       round(regr_slope(ln(n), ln(r)), 6) + 0.0 AS zipf_slope
       |FROM ranked WHERE r <= 100 GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Prefix width of the q113 boilerplate key: long enough that two
+    * unrelated documents essentially never share it, short enough
+    * that template families (mutated tails — the fixture's near-dup
+    * construction) collide. */
+  private val PrefixWords = 8
+
+  // ---- Q113: cross-source boilerplate overlap matrix -------------------
+  // Which crawls/feeds ship the same templates? For every source pair
+  // (source_a ≤ source_b), the number of DOCUMENT PAIRS sharing an
+  // identical first-8-words prefix — within-source pairs counted
+  // n·(n−1)/2, cross-source n_a·n_b. Exact duplicates are a subset
+  // (same text ⇒ same prefix), so this is the audit that decides which
+  // of two overlapping feeds to drop BEFORE paying full dedup over the
+  // union. Scale shape (the q35 rule): the exchange carries a 32-byte
+  // prefix DIGEST + source, never text; the pair arithmetic then runs
+  // only on digests seen ≥2 times (the duplicated-boilerplate set —
+  // tiny next to the corpus), each contributing its per-source counts,
+  // not its documents. NULL text forms its own prefix group on both
+  // engines (digest sentinel '' / IS NOT DISTINCT FROM), distinct from
+  // empty-string text (sha2('') is a real digest).
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // corpus scanned ONCE: the ≥2 prune is a window over the same
+    // grouped relation (not an aggregate-and-join-back, which re-scans
+    // documents per reference), and the surviving (dg, source, n) rows
+    // — bounded by the duplicated-boilerplate families, tiny next to
+    // the corpus — are EAGER-CUT before the self-join so neither join
+    // side recomputes the corpus aggregation (the q44/q47 rule; the
+    // first cut of this query profiled Scan=4 over documents)
+    val gd = graft.Hygiene.eagerCut(
+      Tables(s, dir, "documents")
+        .select($"source", coalesce(
+          sha2(array_join(slice(split($"text", " "), 1, PrefixWords), " "),
+            256), lit("")).as("dg"))
+        .groupBy($"dg", $"source").agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum($"n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"dg")))
+        .filter($"tot" >= 2).drop("tot"))
+    gd.as("a").join(gd.as("b"),
+        $"a.dg" === $"b.dg" && $"a.source" <= $"b.source")
+      .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+        when($"a.source" === $"b.source",
+          expr("a.n * (a.n - 1) div 2"))
+          .otherwise($"a.n" * $"b.n").as("pp"))
+      .groupBy($"source_a", $"source_b")
+      .agg(sum($"pp").cast("long").as("dup_pairs"))
+      .filter($"dup_pairs" > 0)
+      .orderBy($"source_a", $"source_b")
+  }
+  val q113Sql: String =
+    """WITH g AS (
+      |  SELECT array_to_string((string_split(text, ' '))[1:8], ' ') AS p,
+      |         source, count(*) AS n
+      |  FROM documents GROUP BY 1, 2
+      |), dup AS (
+      |  SELECT p FROM g GROUP BY 1 HAVING sum(n) >= 2
+      |), gd AS (
+      |  SELECT g.* FROM g JOIN dup ON g.p IS NOT DISTINCT FROM dup.p
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       CAST(SUM(CASE WHEN a.source = b.source
+      |                     THEN (a.n * (a.n - 1)) // 2
+      |                     ELSE a.n * b.n END) AS BIGINT) AS dup_pairs
+      |FROM gd a JOIN gd b
+      |  ON a.p IS NOT DISTINCT FROM b.p AND a.source <= b.source
+      |GROUP BY 1, 2
+      |HAVING SUM(CASE WHEN a.source = b.source
+      |           THEN (a.n * (a.n - 1)) // 2 ELSE a.n * b.n END) > 0
+      |ORDER BY source_a, source_b""".stripMargin
 }

@@ -347,6 +347,40 @@ class PointerSwapSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compact on the copy-rename filesystem did not commit via a pointer")
   }
 
+  test("Hamming-store probe racing compact ON THE COPY-RENAME " +
+      "FILESYSTEM: both band-swap windows succeed with the correct " +
+      "pairs, store correct and pointer-resolved after") {
+    import spark.implicits._
+    val dir = s"${nr("norename_ham")}/hamstore"
+    // clustered 64-bit fingerprints (the family-10 construction): runs
+    // of 3 ids share a base with ≤1 bit flipped, so true pairs exist
+    def fps(n: Int, idOffset: Long): DataFrame =
+      (0 until n).map { i =>
+        val id = i + idOffset
+        val base = (7L ^ ((i / 3) * 0x9E3779B97F4A7C15L)) * 0xC2B2AE3D27D4EB4FL
+        val rng = new scala.util.Random(7L ^ id)
+        (id, if (rng.nextBoolean()) base ^ (1L << rng.nextInt(64)) else base)
+      }.toDF("img_id", "fp")
+    HammingStore.build(fps(60, 0), dir, "img_id", "fp", maxDist = 3,
+      bits = 64, cells = 4)
+    HammingStore.append(spark, dir, fps(30, 1000))
+    val delta = fps(9, 100000)
+    val expected = sortedRows(HammingStore.probe(spark, dir, delta))
+    assert(expected.nonEmpty, "fixture: probe must actually find pairs")
+    racePointerProbes(2, expected) {
+      HammingStore.compact(spark, dir, targetBytes = 1L << 30)
+    } { () => sortedRows(HammingStore.probe(spark, dir, delta)) }
+    assert(sortedRows(HammingStore.probe(spark, dir, delta)) == expected,
+      "probe diverged after the compaction")
+    assert(fs.exists(new Path(s"$dir/bands__ptr")),
+      "compact on the copy-rename filesystem did not commit via a pointer")
+    // appends keep landing in the RESOLVED generation after the swap
+    HammingStore.append(spark, dir, fps(6, 200000))
+    val st = HammingStore.stats(spark, dir)
+    assert(st.bandRows == (60 + 30 + 6) * 5L,
+      s"post-compact append lost rows: $st")
+  }
+
   test("the INCREMENTAL PIPELINE end-to-end on the copy-rename " +
       "filesystem: a 2-increment fold chain (with a mid-chain " +
       "compactState) equals the same chain on the local filesystem") {
