@@ -226,4 +226,61 @@ object LlmOps7 {
       |HAVING SUM(CASE WHEN a.source = b.source
       |           THEN (a.n * (a.n - 1)) // 2 ELSE a.n * b.n END) > 0
       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---- Q114: per-label embedding-coherence audit -----------------------
+  // Label-quality QA over the embeddings table: per label, the count
+  // and the mean/min cosine of each member to its label CENTROID — a
+  // coherent label reads avg ≈ high with no deep min; a mislabeled or
+  // mixed cluster shows up as a low min (the outlier member) before
+  // any model ever trains on it. The per-row cosine runs through the
+  // codegen CosineSimilarity expression (the q37/x37 kernel); the
+  // centroid is one explode+avg pass, re-assembled position-sorted,
+  // and BROADCAST back (labels are few — the one corpus-sized pass is
+  // the explode). NaN cosines (a zero-norm member or an exactly-zero
+  // centroid) are excluded on both engines (the oracle's norm > 0
+  // guard). Floats cast to double up front; both engines round the
+  // O(1)-magnitude stats to 6 decimals, far above summation-order ulps
+  // (the q111 regr_slope precedent).
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val cent = e.select($"label", posexplode($"v").as(Seq("p", "x")))
+      .groupBy($"label", $"p").agg(avg($"x").as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"p", $"c"))),
+        s0 => s0.getField("c")).as("cv"))
+    e.join(broadcast(cent), "label")
+      .select($"label",
+        graft.functions.CosineSimilarity.cosineSim($"v", $"cv").as("cos"))
+      .filter($"cos".isNotNull && !isnan($"cos"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        (round(avg($"cos"), 6) + lit(0.0)).as("avg_cos"),
+        (round(min($"cos"), 6) + lit(0.0)).as("min_cos"))
+      .orderBy($"label")
+  }
+  val q114Sql: String =
+    """WITH pos AS (
+      |  SELECT vec_id, label,
+      |         unnest(generate_series(1, len(embedding))) AS p,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT label, p, avg(x) AS c FROM pos GROUP BY 1, 2
+      |), dotn AS (
+      |  SELECT pos.vec_id, pos.label,
+      |         sum(pos.x * cent.c) AS dot,
+      |         sqrt(sum(pos.x * pos.x)) AS nx,
+      |         sqrt(sum(cent.c * cent.c)) AS nc
+      |  FROM pos JOIN cent ON pos.label = cent.label AND pos.p = cent.p
+      |  GROUP BY 1, 2
+      |), cos AS (
+      |  SELECT label, dot / (nx * nc) AS cs FROM dotn
+      |  WHERE nx > 0 AND nc > 0
+      |)
+      |SELECT label, count(*) AS n,
+      |       round(avg(cs), 6) + 0.0 AS avg_cos,
+      |       round(min(cs), 6) + 0.0 AS min_cos
+      |FROM cos GROUP BY label ORDER BY label""".stripMargin
 }
