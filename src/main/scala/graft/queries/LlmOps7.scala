@@ -243,8 +243,19 @@ object LlmOps7 {
   // (the q111 regr_slope precedent).
   def q114(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // sanitize BEFORE the centroid: a null/NaN-element or zero-norm
+    // member must neither poison the label centroid nor count as a
+    // member — and the exclusion must be THIS side of the oracle diff
+    // (DuckDB's sum() skips NULL elements and its NaN compares greater
+    // than everything, so leaving degenerate vectors to downstream
+    // NaN-filtering diverges: the seed-909 adversarial embeddings
+    // sweep caught exactly that — a NaN component kept the label row
+    // in DuckDB and erased it in Spark)
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .filter($"v".isNotNull &&
+        !exists($"v", x => x.isNull || isnan(x)) &&
+        aggregate($"v", lit(0.0), (a, x) => a + x * x) > 0)
     val cent = e.select($"label", posexplode($"v").as(Seq("p", "x")))
       .groupBy($"label", $"p").agg(avg($"x").as("c"))
       .groupBy($"label")
@@ -261,11 +272,18 @@ object LlmOps7 {
       .orderBy($"label")
   }
   val q114Sql: String =
-    """WITH pos AS (
-      |  SELECT vec_id, label,
-      |         unnest(generate_series(1, len(embedding))) AS p,
-      |         CAST(unnest(embedding) AS DOUBLE) AS x
-      |  FROM embeddings
+    """WITH clean AS (
+      |  SELECT vec_id FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |    AND len(list_filter(embedding,
+      |          x -> x IS NULL OR isnan(x))) = 0
+      |    AND list_sum(list_transform(embedding,
+      |          x -> CAST(x AS DOUBLE) * x)) > 0
+      |), pos AS (
+      |  SELECT e.vec_id, e.label,
+      |         unnest(generate_series(1, len(e.embedding))) AS p,
+      |         CAST(unnest(e.embedding) AS DOUBLE) AS x
+      |  FROM embeddings e JOIN clean c ON e.vec_id = c.vec_id
       |), cent AS (
       |  SELECT label, p, avg(x) AS c FROM pos GROUP BY 1, 2
       |), dotn AS (
@@ -277,7 +295,7 @@ object LlmOps7 {
       |  GROUP BY 1, 2
       |), cos AS (
       |  SELECT label, dot / (nx * nc) AS cs FROM dotn
-      |  WHERE nx > 0 AND nc > 0
+      |  WHERE nx > 0 AND nc > 0 AND NOT isnan(dot / (nx * nc))
       |)
       |SELECT label, count(*) AS n,
       |       round(avg(cs), 6) + 0.0 AS avg_cos,
