@@ -250,12 +250,15 @@ object LlmOps7 {
     // than everything, so leaving degenerate vectors to downstream
     // NaN-filtering diverges: the seed-909 adversarial embeddings
     // sweep caught exactly that — a NaN component kept the label row
-    // in DuckDB and erased it in Spark)
+    // in DuckDB and erased it in Spark). The predicate is the ONE
+    // ill-formed-vector contract (`LlmOps.wellFormedVec` — also the
+    // DomainCheck.WellFormedVector preflight rule): a drop that
+    // preflights clean audits every vector here. Sub-denormal norms
+    // (x≠0 but x² underflows to 0) still converge: Spark's cosine
+    // goes NaN → the isnan filter, the oracle's nx > 0 guard.
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-      .filter($"v".isNotNull &&
-        !exists($"v", x => x.isNull || isnan(x)) &&
-        aggregate($"v", lit(0.0), (a, x) => a + x * x) > 0)
+      .filter(LlmOps.wellFormedVec($"v"))
     val cent = e.select($"label", posexplode($"v").as(Seq("p", "x")))
       .groupBy($"label", $"p").agg(avg($"x").as("c"))
       .groupBy($"label")
@@ -277,8 +280,7 @@ object LlmOps7 {
       |  WHERE embedding IS NOT NULL
       |    AND len(list_filter(embedding,
       |          x -> x IS NULL OR isnan(x))) = 0
-      |    AND list_sum(list_transform(embedding,
-      |          x -> CAST(x AS DOUBLE) * x)) > 0
+      |    AND len(list_filter(embedding, x -> x <> 0)) > 0
       |), pos AS (
       |  SELECT e.vec_id, e.label,
       |         unnest(generate_series(1, len(e.embedding))) AS p,
