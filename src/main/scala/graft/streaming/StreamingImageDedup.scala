@@ -19,12 +19,14 @@ import graft.operators.{Dedup, HammingJoin, HammingStore}
   *
   *  1. fingerprint the batch ([[Multimodal.imageFingerprints]] —
   *     `image/fake` and undecodable payloads drop, never fail);
-  *  2. REPLAY GUARD: anti-join the batch's ids against the
-  *     `seen_ids` ledger — a Structured Streaming restart re-delivers
-  *     the whole last batch, and a re-probed doc would re-emit its
-  *     pairs toward the store's copy of itself (the store-side id
-  *     guard makes that harmless, but the ledger keeps replays
-  *     no-ops);
+  *  2. REPLAY GUARD: drop ids at or below the `seen_ids` ledger's MAX
+  *     id (ids are strictly increasing across batches, so that
+  *     watermark is exactly "already ledgered" — one single-column
+  *     aggregate, never an anti-join shuffle of the corpus-sized
+  *     ledger). A Structured Streaming restart re-delivers the whole
+  *     last batch, and a re-probed doc would re-emit its pairs toward
+  *     the store's copy of itself (the store-side id guard makes that
+  *     harmless, but the watermark keeps replays no-ops);
   *  3. probe the store with the surviving delta (all pairs with ≥1 end
   *     new — `HammingStore.probe`; the FIRST batch self-joins via
   *     [[HammingJoin.selfJoin]] and builds the store instead), append
@@ -86,10 +88,22 @@ object StreamingImageDedup {
     val storeDir = s"$workDir/hamstore"
     val seenP = s"$workDir/seen_ids"
     val fps = Multimodal.imageFingerprints(batch).toDF()
-    val delta = (if (exists(s, seenP))
-        fps.join(s.read.parquet(seenP).select($"doc_id"),
-          Seq("doc_id"), "left_anti")
-      else fps).localCheckpoint(true) // one fingerprint job per batch
+    // replay guard via the id WATERMARK, not an anti-join: ids are
+    // strictly increasing across batches (the class-doc contract), so
+    // "already ledgered" ≡ "≤ the ledger's max id" — one single-column
+    // aggregate over the ledger instead of shuffling it under an
+    // anti-join every batch (at corpus scale the ledger is
+    // corpus-sized; the batch is not). A re-delivered batch filters to
+    // empty; a contract-violating out-of-order id is dropped (the
+    // monotone reading of undefined behavior). Note the watermark
+    // tracks FINGERPRINTED ids only — fingerprint-less rows never
+    // enter the ledger, and their replay costs nothing either way.
+    val maxSeen: Option[Long] =
+      if (!exists(s, seenP)) None
+      else Option(s.read.parquet(seenP).agg(max($"doc_id")).head.get(0))
+        .map(_.asInstanceOf[Long])
+    val delta = maxSeen.fold(fps)(m => fps.filter($"doc_id" > m))
+      .localCheckpoint(true) // one fingerprint job per batch
     if (delta.isEmpty) return
     if (HammingStore.exists(s, storeDir)) {
       HammingStore.probe(s, storeDir, delta) // eager — strictly pre-append
