@@ -70,28 +70,79 @@ case class CharEntropy(child: Expression)
 }
 
 object CharEntropy {
-  /** The counting kernel — code-point frequencies into a hash map, one
-    * pass; called from both eval paths (the companion's static
-    * forwarder makes it reachable from generated Java). Caller
-    * guarantees non-empty input. */
+  /** The counting kernel — code-point frequencies in ONE pass over the
+    * UTF8String's BYTES, decoded in place (no `toString` transcode, no
+    * per-row char array), into an open-addressing int→long count table
+    * (no per-code-point boxing; ADVICE r15 closed the doc/impl gap the
+    * old HashMap path left). Called from both eval paths (the
+    * companion's static forwarder makes it reachable from generated
+    * Java). Caller guarantees non-empty input.
+    *
+    * Decoding note: Spark guarantees valid UTF-8 in UTF8String, so the
+    * length-prefix dispatch below is exact; a malformed lead/truncated
+    * tail (hostile bytes reaching this far) degrades to counting the
+    * lead byte as its own symbol rather than reading past the buffer —
+    * garbage-in stays a bounded answer, never an OOB read. */
   def compute(s: UTF8String): Double = {
-    val str = s.toString
-    val counts = new java.util.HashMap[Integer, Array[Long]](64)
-    var i = 0
+    val nb = s.numBytes()
+    // open addressing, linear probing; -1 = empty (code points are ≥0)
+    var cap = 64
+    var mask = cap - 1
+    var keys = new Array[Int](cap)
+    java.util.Arrays.fill(keys, -1)
+    var cnts = new Array[Long](cap)
+    var used = 0
     var t = 0L
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      i += Character.charCount(cp)
+    var i = 0
+    while (i < nb) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = b0
+      if (b0 < 0x80) i += 1
+      else if ((b0 & 0xe0) == 0xc0 && i + 1 < nb) {
+        cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f); i += 2
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < nb) {
+        cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
+          (s.getByte(i + 2) & 0x3f); i += 3
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < nb) {
+        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
+          ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f)
+        i += 4
+      } else i += 1 // malformed: count the lead byte, advance one
       t += 1
-      val c = counts.get(cp)
-      if (c == null) counts.put(cp, Array(1L)) else c(0) += 1
+      // Fibonacci-hash the code point into the table
+      var j = (cp * 0x9e3779b9) >>> (32 - Integer.numberOfTrailingZeros(cap))
+      var k = keys(j)
+      while (k != -1 && k != cp) { j = (j + 1) & mask; k = keys(j) }
+      if (k == -1) {
+        keys(j) = cp; cnts(j) = 1L; used += 1
+        if (used * 2 > cap) { // grow at 0.5 load
+          val oc = cap; val ok = keys; val on = cnts
+          cap <<= 1; mask = cap - 1
+          keys = new Array[Int](cap); java.util.Arrays.fill(keys, -1)
+          cnts = new Array[Long](cap)
+          var x = 0
+          while (x < oc) {
+            val key = ok(x)
+            if (key != -1) {
+              var y = (key * 0x9e3779b9) >>>
+                (32 - Integer.numberOfTrailingZeros(cap))
+              while (keys(y) != -1) y = (y + 1) & mask
+              keys(y) = key; cnts(y) = on(x)
+            }
+            x += 1
+          }
+        }
+      } else cnts(j) += 1
     }
     val log2 = math.log(2.0)
     var nlogn = 0.0
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val n = it.next()(0).toDouble
-      nlogn += n * (math.log(n) / log2)
+    var x = 0
+    while (x < cap) {
+      if (keys(x) != -1) {
+        val n = cnts(x).toDouble
+        nlogn += n * (math.log(n) / log2)
+      }
+      x += 1
     }
     (math.log(t.toDouble) / log2) - nlogn / t
   }

@@ -99,9 +99,10 @@ object HammingStore {
     * a probe's scan cost is the touched-cell fraction of the store). */
   def build(fp: DataFrame, dir: String, idCol: String, fpCol: String,
       maxDist: Int, bits: Int = 64, numBands: Int = 0,
-      cells: Int = 64): Unit = {
+      cells: Int = 64,
+      staleMs: Long = MaintenanceLease.DefaultStaleMs): Unit = {
     val spark = fp.sparkSession
-    MaintenanceLease.withLease(spark, dir, "build") {
+    MaintenanceLease.withLease(spark, dir, "build", staleMs) {
       val b = if (numBands > 0) numBands else maxDist + 2
       require(b > maxDist, s"need more bands ($b) than the distance ($maxDist)")
       require(b <= bits, s"more bands ($b) than bits ($bits)")
@@ -112,7 +113,6 @@ object HammingStore {
       require(!dt.isEmpty,
         "build needs a non-empty corpus (defer build to the first increment)")
       val meta = HammingStoreMeta(bits, maxDist, b, cells, idCol, fpCol)
-      writeMeta(spark, dir, meta)
       // a RE-build over a pointer-mode store must drop the indirection
       // first (the NearDupSignatureStore rule): writing in place under
       // a live pointer would strand readers on the old generation
@@ -124,6 +124,12 @@ object HammingStore {
       // writing whole cells.
       bandsFor(dt, meta).repartition(cells, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/bands")
+      // meta commits LAST (ADVICE r15): `exists` is keyed on meta, so a
+      // crash anywhere above leaves exists()==false and a replaying
+      // caller re-runs the build path (which converges — the overwrite
+      // replaces any partial bands tree). The old meta-first order left
+      // a meta-without-bands store that every later probe died on.
+      writeMeta(spark, dir, meta)
     }
   }
 
@@ -135,8 +141,9 @@ object HammingStore {
     * [[NearDupSignatureStore.append]]: durably write the probe's pairs
     * BEFORE appending — once an increment is in the store it is never
     * probed again. */
-  def append(spark: SparkSession, dir: String, delta: DataFrame): Unit =
-    MaintenanceLease.withLease(spark, dir, "append") {
+  def append(spark: SparkSession, dir: String, delta: DataFrame,
+      staleMs: Long = MaintenanceLease.DefaultStaleMs): Unit =
+    MaintenanceLease.withLease(spark, dir, "append", staleMs) {
       val m = readMeta(spark, dir)
       appendPrepared(spark, dir, m, bandsFor(delta, m))
     }
@@ -165,7 +172,7 @@ object HammingStore {
     * scan); delta-internal pairs come from a self-join of the delta's
     * own bands. Eager (localCheckpoint) like `newPairs`. */
   def probe(spark: SparkSession, dir: String, delta: DataFrame): DataFrame = {
-    val (frame, _, release) = probeParts(spark, dir, delta,
+    val (frame, _, _, release) = probeParts(spark, dir, delta,
       persistDelta = true)
     try frame.localCheckpoint(true)
     finally release()
@@ -186,20 +193,23 @@ object HammingStore {
     * re-runnable into fresh state; keep probe → durable write → append
     * where it is not. */
   def probeThenAppend(spark: SparkSession, dir: String,
-      delta: DataFrame): DataFrame =
-    MaintenanceLease.withLease(spark, dir, "probe+append") {
-      val (frame, bands, release) = probeParts(spark, dir, delta,
+      delta: DataFrame,
+      staleMs: Long = MaintenanceLease.DefaultStaleMs): DataFrame =
+    MaintenanceLease.withLease(spark, dir, "probe+append", staleMs) {
+      // the probe already read meta under this lease — reuse it for the
+      // append instead of a second driver collect job (ADVICE r15)
+      val (frame, bands, meta, release) = probeParts(spark, dir, delta,
         persistDelta = true)
       try {
         val out = frame.localCheckpoint(eager = true)
-        appendPrepared(spark, dir, readMeta(spark, dir), bands)
+        appendPrepared(spark, dir, meta, bands)
         out
       } finally release()
     }
 
   private def probeParts(spark: SparkSession, dir: String,
       delta: DataFrame, persistDelta: Boolean)
-      : (DataFrame, DataFrame, () => Unit) = {
+      : (DataFrame, DataFrame, HammingStoreMeta, () => Unit) = {
     import spark.implicits._
     val m = readMeta(spark, dir)
     val bands0 = bandsFor(delta, m)
@@ -238,7 +248,7 @@ object HammingStore {
       .select(least($"pa", $"pb").as(s"${m.id_col}_a"),
         greatest($"pa", $"pb").as(s"${m.id_col}_b"), $"hamming")
       .distinct()
-    (pairs, bands,
+    (pairs, bands, m,
       () => if (persistDelta) { bands.unpersist(); () } else ())
   }
 
@@ -256,6 +266,10 @@ object HammingStore {
     else fs.listStatus(p)
       .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
 
+  /** NOT free at scale: `bandRows` is a zero-column parquet count —
+    * footer-cheap, but it still lists and opens every live file (a
+    * 1.6 TB store is ~13k footer reads). Maintenance-cadence calls
+    * only; don't put this in a per-batch loop. */
   def stats(spark: SparkSession, dir: String): StoreStats = {
     val m = readMeta(spark, dir)
     val fs = fsOf(spark, dir)
@@ -277,12 +291,55 @@ object HammingStore {
     * probe's static pruning), committed via [[Compaction.swapDir]]
     * (rename-paired on HDFS/local, pointer-swapped on object stores).
     * Probe output is byte-identical before and after (asserted in the
-    * spec); `meta` is never touched. Writers are lease-excluded. */
+    * spec); `meta` is never touched. Writers are lease-excluded.
+    *
+    * `dedupe = true` (round 16 — the E18 crash-bloat GC): the rewrite
+    * additionally DISTINCTs the band rows. An at-least-once writer that
+    * died between its store append and its own ledger (the
+    * [[graft.streaming.StreamingImageDedup]] post-store window, or a
+    * replayed [[append]]) leaves one duplicate band-row set per crashed
+    * batch — correctness-neutral (probes `distinct` their pairs) but
+    * permanent bloat a plain compact deliberately preserves
+    * (byte-identity is its contract). The deduping variant trades that
+    * byte-identity for the GC: same pair output (spec'd), row multiset
+    * reduced to the set. It is one cell-clustered shuffle of the whole
+    * store (the build's write shape, ~1 file per cell) rather than the
+    * plain path's shuffle-free per-cell merge — run it at the slower
+    * cadence crash frequency warrants, not daily. */
   def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+      targetBytes: Long = 128L * 1024 * 1024,
+      dedupe: Boolean = false): (Int, Int) =
     MaintenanceLease.withLease(spark, dir, "compact") {
-      readMeta(spark, dir) // store must exist; meta is 1 file, untouched
-      Compaction.compactPartitioned(spark, s"$dir/bands", "cell=",
-        targetBytes)
+      val m = readMeta(spark, dir) // store must exist; meta untouched
+      if (!dedupe)
+        Compaction.compactPartitioned(spark, s"$dir/bands", "cell=",
+          targetBytes)
+      else {
+        val fs = fsOf(spark, dir)
+        Compaction.recoverSwap(spark, s"$dir/bands")
+        def countParts(): Int = {
+          val root = new org.apache.hadoop.fs.Path(bandsLive(spark, dir))
+          if (!fs.exists(root)) 0
+          else fs.listStatus(root)
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("cell="))
+            .map(p => partFiles(fs, p.getPath)).sum
+        }
+        val before = countParts()
+        if (before == 0) (0, 0) // empty/never-built tree: no-op
+        else {
+          val tmp = Compaction.stagingDir(fs, s"$dir/bands")
+          if (fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          // `cell` comes back as the hive partition column; the distinct
+          // runs over (id, f, band, bkey, cell) — duplicates land in the
+          // same cell by construction, so the set semantics are global
+          spark.read.parquet(bandsLive(spark, dir)).distinct()
+            .repartition(m.cells, col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+          Compaction.swapDir(spark, s"$dir/bands", tmp)
+          (before, countParts())
+        }
+      }
     }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, HammingJoin, HammingStore}
+import graft.operators.{Compaction, Dedup, HammingJoin, HammingStore}
 
 /** E18 — STREAMING image dedup: the ingest-time composition of the
   * round's pieces (dHash fingerprints → [[HammingStore]] probe →
@@ -21,12 +21,15 @@ import graft.operators.{Dedup, HammingJoin, HammingStore}
   *     `image/fake` and undecodable payloads drop, never fail);
   *  2. REPLAY GUARD: drop ids at or below the `seen_ids` ledger's MAX
   *     id (ids are strictly increasing across batches, so that
-  *     watermark is exactly "already ledgered" — one single-column
-  *     aggregate, never an anti-join shuffle of the corpus-sized
+  *     watermark is exactly "already ledgered" — read from the O(1)
+  *     cache file, falling back to one ledger column aggregate only in
+  *     recovery; never an anti-join shuffle of the corpus-sized
   *     ledger). A Structured Streaming restart re-delivers the whole
   *     last batch, and a re-probed doc would re-emit its pairs toward
   *     the store's copy of itself (the store-side id guard makes that
-  *     harmless, but the watermark keeps replays no-ops);
+  *     harmless, but the watermark keeps replays no-ops). A batch
+  *     MIXING watermarked and new ids is an upstream contract bug and
+  *     is made LOUD: WARN by default, throw under `strictIds`;
   *  3. probe the store with the surviving delta (all pairs with ≥1 end
   *     new — `HammingStore.probe`; the FIRST batch self-joins via
   *     [[HammingJoin.selfJoin]] and builds the store instead), append
@@ -62,8 +65,33 @@ import graft.operators.{Dedup, HammingJoin, HammingStore}
   * statically pruned store scan (family 10b: flat across a 16× corpus
   * at drip size) + three append-only parquet writes; nothing ever
   * re-reads or re-shuffles the corpus. State is all in parquet —
-  * no streaming state store at all, so restarts are pure file reads. */
+  * no streaming state store at all, so restarts are pure file reads.
+  * The replay watermark itself is O(1) (round 16): the ledger's max id
+  * is cached in a one-line text file rewritten after every ledger
+  * append, so the steady-state guard reads ZERO ledger rows — the
+  * full `max(doc_id)` column scan (~80 GB per trigger at 10B images)
+  * survives only as the recovery fallback when the cache is absent,
+  * torn, or pre-dates this round. A crash between the ledger append
+  * and the cache rewrite leaves the cache one batch STALE — the safe
+  * direction: the replay re-probes that batch (duplicate pairs dedupe,
+  * one bounded store-bloat set), never skips an unledgered one. (A
+  * torn cache write is also safe: a truncated decimal prefix of a
+  * positive long is always ≤ the original.)
+  *
+  * Recovery stall bound (ADVICE r15): store mutations take the
+  * maintenance lease with `leaseStaleMs` (default 5 min) instead of
+  * the 1 h maintenance default — per-batch appends are short and
+  * single-writer, so if the process dies INSIDE a store append (not
+  * between the sink's durable steps), the restart's replay is refused
+  * by the dead holder's lease for at most `leaseStaleMs`, then breaks
+  * it and converges as usual. Live holders are never broken (the
+  * lease heartbeats every `leaseStaleMs / 3`); size it well above the
+  * worst GC-pause/heartbeat-hiccup, not above batch duration. */
 object StreamingImageDedup {
+
+  /** Default [[graft.operators.MaintenanceLease]] staleness for the
+    * per-batch store mutations — see the class-doc stall bound. */
+  val DefaultLeaseStaleMs: Long = 5L * 60 * 1000
 
   /** Test seam (the [[graft.operators.Compaction.pauseHook]] /
     * CrashPointConf spirit): the crash-window specs must kill a batch
@@ -73,54 +101,123 @@ object StreamingImageDedup {
   @volatile private[streaming] var crashHook: Option[String => Unit] = None
   private def pause(p: String): Unit = crashHook.foreach(_(p))
 
+  /** Test seam + production WARN for strictly-increasing-id contract
+    * violations (round 16): invoked with (droppedCount, newCount) when
+    * a batch MIXES already-watermarked ids with new ones — an upstream
+    * id-ordering bug that previously shrank the corpus silently (a
+    * pure replay is all-old and stays a silent no-op). */
+  @volatile private[streaming] var violationHook:
+    Option[(Long, Long) => Unit] = None
+
+  /** Diagnostic counter: ledger-scan fallbacks taken by the watermark
+    * guard — steady state is ZERO (the O(1) cache file serves every
+    * batch); each unit is one recovery-path full-column scan. */
+  private[streaming] val ledgerScans =
+    new java.util.concurrent.atomic.AtomicLong
+
   private def exists(s: SparkSession, p: String): Boolean =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(p))
 
+  private def fsOf(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def watermarkPath(workDir: String) = s"$workDir/seen_ids.max"
+
+  /** The replay watermark: the O(1) cache file when present and
+    * parseable, else the ledger scan (recovery fallback — absent cache,
+    * torn write, or a pre-r16 state). A stale/torn cache only ever
+    * UNDER-reports (see the class doc), which replays convergently. */
+  private def readWatermark(s: SparkSession, workDir: String,
+      seenP: String): Option[Long] = {
+    import s.implicits._
+    val fs = fsOf(s, workDir)
+    val wp = new org.apache.hadoop.fs.Path(watermarkPath(workDir))
+    val cached: Option[Long] =
+      if (!fs.exists(wp)) None
+      else scala.util.Try(Compaction.readSmall(fs, wp).trim.toLong).toOption
+    cached.orElse {
+      if (!exists(s, seenP)) None
+      else {
+        ledgerScans.incrementAndGet()
+        Option(s.read.parquet(seenP).agg(max($"doc_id")).head.get(0))
+          .map(_.asInstanceOf[Long])
+      }
+    }
+  }
+
   /** Fold ONE batch of media into the dedup state under `workDir` —
     * extracted so the crash-recovery spec can drive it directly; the
     * streaming sink calls exactly this per micro-batch. */
   private[streaming] def foldBatch(batch: Dataset[Multimodal.MediaRecord],
-      workDir: String, maxDist: Int): Unit = {
+      workDir: String, maxDist: Int,
+      strictIds: Boolean = false,
+      leaseStaleMs: Long = DefaultLeaseStaleMs): Unit = {
     val s = batch.sparkSession
     import s.implicits._
     val storeDir = s"$workDir/hamstore"
     val seenP = s"$workDir/seen_ids"
+    // one fingerprint job per batch — checkpointed BEFORE the guard so
+    // the contract counts below are driver aggregates over a local
+    // frame, not repeated fingerprint jobs
     val fps = Multimodal.imageFingerprints(batch).toDF()
+      .localCheckpoint(true)
     // replay guard via the id WATERMARK, not an anti-join: ids are
     // strictly increasing across batches (the class-doc contract), so
-    // "already ledgered" ≡ "≤ the ledger's max id" — one single-column
-    // aggregate over the ledger instead of shuffling it under an
-    // anti-join every batch (at corpus scale the ledger is
-    // corpus-sized; the batch is not). A re-delivered batch filters to
-    // empty; a contract-violating out-of-order id is dropped (the
-    // monotone reading of undefined behavior). Note the watermark
-    // tracks FINGERPRINTED ids only — fingerprint-less rows never
-    // enter the ledger, and their replay costs nothing either way.
-    val maxSeen: Option[Long] =
-      if (!exists(s, seenP)) None
-      else Option(s.read.parquet(seenP).agg(max($"doc_id")).head.get(0))
-        .map(_.asInstanceOf[Long])
+    // "already ledgered" ≡ "≤ the ledger's max id" — and the watermark
+    // itself is the O(1) cache file (class doc), never a per-batch
+    // ledger shuffle or scan. A re-delivered batch filters to empty.
+    // Note the watermark tracks FINGERPRINTED ids only —
+    // fingerprint-less rows never enter the ledger, and their replay
+    // costs nothing either way.
+    val maxSeen: Option[Long] = readWatermark(s, workDir, seenP)
+    val (total, old) = maxSeen match {
+      case None => (fps.count(), 0L)
+      case Some(m) =>
+        val r = fps.agg(count(lit(1)),
+          count(when($"doc_id" <= m, lit(1)))).head
+        (r.getLong(0), r.getLong(1))
+    }
+    // loudness (round 16): old ids MIXED with new ones means the
+    // upstream id contract broke — the old rows are dropped either way
+    // (the monotone reading of undefined behavior), but silently
+    // shrinking the corpus turned an upstream bug into missing data.
+    // A pure replay (old == total) stays a silent no-op by design.
+    if (old > 0 && old < total) {
+      violationHook.foreach(_(old, total - old))
+      val msg = s"strictly-increasing-id contract violated: batch " +
+        s"mixes $old already-watermarked id(s) (≤ ${maxSeen.get}) with " +
+        s"${total - old} new one(s) — the old rows are DROPPED; fix the " +
+        "upstream id assignment"
+      if (strictIds) throw new IllegalStateException(msg)
+      org.apache.log4j.Logger.getLogger(getClass).warn(msg)
+    }
+    if (total == old) return // empty batch or pure replay
     val delta = maxSeen.fold(fps)(m => fps.filter($"doc_id" > m))
-      .localCheckpoint(true) // one fingerprint job per batch
-    if (delta.isEmpty) return
     if (HammingStore.exists(s, storeDir)) {
       HammingStore.probe(s, storeDir, delta) // eager — strictly pre-append
         .write.mode("append").parquet(s"$workDir/pairs")
       pause("post-pairs")
-      HammingStore.append(s, storeDir, delta)
+      HammingStore.append(s, storeDir, delta, staleMs = leaseStaleMs)
     } else {
       // first batch: the delta-internal sweep is the complete pair set
       HammingJoin.selfJoin(delta, "doc_id", "fp", maxDist, bits = 64)
         .write.mode("append").parquet(s"$workDir/pairs")
       pause("post-pairs")
       HammingStore.build(delta, storeDir, "doc_id", "fp", maxDist,
-        bits = 64)
+        bits = 64, staleMs = leaseStaleMs)
     }
     pause("post-store")
-    // the ledger lands LAST (see ordering note in the class doc)
+    // the ledger lands LAST (see ordering note in the class doc) …
     delta.write.mode("append").parquet(seenP)
+    // … and the O(1) watermark cache after IT (a crash between the two
+    // leaves the cache stale — the convergent direction; class doc)
+    val newMax = delta.agg(max($"doc_id")).head.getLong(0)
+    val out = fsOf(s, workDir).create(
+      new org.apache.hadoop.fs.Path(watermarkPath(workDir)), true)
+    try out.write(newMax.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** The streaming sink: call `.option("checkpointLocation", …)
@@ -129,14 +226,16 @@ object StreamingImageDedup {
     * with [[retained]] / [[pairs]] at any batch boundary. */
   def sink(media: Dataset[Multimodal.MediaRecord], workDir: String,
       maxDist: Int = 10,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      strictIds: Boolean = false,
+      leaseStaleMs: Long = DefaultLeaseStaleMs)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         Multimodal.MediaRecord] = {
     val w = media.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch {
         (batch: Dataset[Multimodal.MediaRecord], _: Long) =>
-          foldBatch(batch, workDir, maxDist)
+          foldBatch(batch, workDir, maxDist, strictIds, leaseStaleMs)
       }
     trigger.fold(w)(w.trigger)
   }

@@ -175,4 +175,61 @@ class HammingStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
     rm(dir)
   }
+
+  test("compact(dedupe = true) GCs a replayed append's duplicate band " +
+      "rows: row multiset -> set, probe identical, prune survives") {
+    val dir = tmp("hamstore_dedupe")
+    HammingStore.build(df(fps(90, 61L, 0)), dir, "img_id", "fp",
+      maxDist = 3, bits = 64, cells = 8)
+    val d = df(fps(15, 62L, 1000000))
+    HammingStore.append(spark, dir, d)
+    HammingStore.append(spark, dir, d) // the at-least-once replay
+    val bloated = HammingStore.stats(spark, dir)
+    val distinctRows = spark.read.parquet(s"$dir/bands").distinct().count()
+    assert(bloated.bandRows > distinctRows, bloated.toString)
+
+    val probeDelta = df(fps(20, 63L, 9000000L))
+    val want = pairs(HammingStore.probe(spark, dir, probeDelta))
+    assert(want.nonEmpty, "degenerate fixture")
+
+    // plain compact preserves the multiset (byte-identity contract) …
+    HammingStore.compact(spark, dir)
+    assert(HammingStore.stats(spark, dir).bandRows == bloated.bandRows)
+    // … the deduping variant GCs it
+    HammingStore.compact(spark, dir, dedupe = true)
+    val after = HammingStore.stats(spark, dir)
+    assert(after.bandRows == distinctRows, after.toString)
+    assert((after.cells, after.bits, after.maxDist, after.numBands) ==
+      (bloated.cells, bloated.bits, bloated.maxDist, bloated.numBands))
+    assert(pairs(HammingStore.probe(spark, dir, probeDelta)) == want,
+      "probe diverged after deduping compact")
+    val plan = HammingStore.probeFrame(spark, dir, probeDelta)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
+    rm(dir)
+  }
+
+  test("a crash inside a first build leaves exists() == false (meta " +
+      "commits last), and the re-run converges") {
+    val dir = tmp("hamstore_crash_build")
+    val corpus = fps(60, 71L, 0)
+    // manufacture what a mid-build crash now leaves: the bands tree
+    // (fully or partially written) with NO meta — the ADVICE r15 window
+    // was the reverse (meta without bands), which poisoned every replay
+    HammingStore.build(df(corpus), dir, "img_id", "fp", maxDist = 3)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), true)
+    assert(!HammingStore.exists(spark, dir),
+      "a metaless bands tree must read as not-built")
+    // the replaying caller takes the build path again and converges
+    HammingStore.build(df(corpus), dir, "img_id", "fp", maxDist = 3)
+    val delta = fps(12, 72L, 1000000)
+    val got = pairs(HammingStore.probe(spark, dir, df(delta)))
+    val want = pairs(HammingJoin.newPairs(df(corpus), df(delta),
+      "img_id", "fp", maxDist = 3, bits = 64))
+    assert(want.nonEmpty && got == want,
+      s"diff: ${(got -- want).take(5)} / ${(want -- got).take(5)}")
+    rm(dir)
+  }
 }

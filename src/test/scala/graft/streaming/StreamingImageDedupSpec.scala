@@ -173,6 +173,94 @@ class StreamingImageDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // twice in the store; correctness of every later probe is
     // unaffected (the equalities above), and no self-pair leaked
     assert(gotPairs3.forall(p => p._1 != p._2), gotPairs3.toString)
+
+    // round 16: compact(dedupe = true) GCs exactly that bloat — the
+    // duplicate band set goes, every pair is still derivable
+    val store = s"$workDir/hamstore"
+    val bloated = graft.operators.HammingStore.stats(spark, store)
+    val distinctRows =
+      spark.read.parquet(s"$store/bands").distinct().count()
+    assert(bloated.bandRows > distinctRows,
+      s"the post-store crash should have left duplicate band rows: " +
+        s"${bloated.bandRows} vs $distinctRows")
+    graft.operators.HammingStore.compact(spark, store, dedupe = true)
+    assert(graft.operators.HammingStore.stats(spark, store).bandRows ==
+      distinctRows)
+    // the state still answers identically after the GC
+    val (gotPairs4, gotRetained4) = readState(workDir)
+    assert(gotPairs4 == wantPairs3 && gotRetained4 == wantRetained3)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(workDir))
+  }
+
+  test("the replay watermark is O(1) in steady state (zero ledger " +
+      "scans), falls back to the ledger scan when the cache is gone, " +
+      "and mixed-id batches are LOUD while pure replays stay silent") {
+    import spark.implicits._
+    val workDir = java.nio.file.Files
+      .createTempDirectory("e18_wm").toString
+    val bs = batches
+    def fold(b: Seq[Multimodal.MediaRecord], strict: Boolean = false): Unit =
+      StreamingImageDedup.foldBatch(b.toDS(), workDir, maxDist,
+        strictIds = strict)
+    val scans0 = StreamingImageDedup.ledgerScans.get()
+    fold(bs(0))
+    fold(bs(1))
+    fold(bs(1)) // pure replay — absorbed through the cache alone
+    assert(StreamingImageDedup.ledgerScans.get() == scans0,
+      "steady-state watermark guard scanned the ledger")
+    // the cache file IS the ledger max
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wmPath = new org.apache.hadoop.fs.Path(s"$workDir/seen_ids.max")
+    val cached = {
+      val in = fs.open(wmPath)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val ledgerMax = spark.read.parquet(s"$workDir/seen_ids")
+      .agg(org.apache.spark.sql.functions.max($"doc_id")).head.getLong(0)
+    assert(cached.trim.toLong == ledgerMax, s"'$cached' vs $ledgerMax")
+    // recovery fallback: kill the cache (a pre-r16 state / torn write),
+    // fold on — exactly one ledger scan, and the answer is unchanged
+    fs.delete(wmPath, false)
+    fold(bs(2))
+    assert(StreamingImageDedup.ledgerScans.get() == scans0 + 1,
+      "the cacheless fold should have taken exactly one ledger scan")
+    val (wantPairs, wantRetained) = expectation(bs.flatten)
+    assert(readState(workDir) == ((wantPairs, wantRetained)))
+    // and the fold that scanned also REWROTE the cache
+    assert(fs.exists(wmPath), "the fallback fold must restore the cache")
+
+    // loudness: a batch mixing an already-watermarked id with a new one
+    // fires the violation hook (WARN path) …
+    val fired = new java.util.concurrent.atomic.AtomicReference[(Long, Long)]
+    StreamingImageDedup.violationHook = Some((o, n) => fired.set((o, n)))
+    val mixed = Seq(
+      rec(1, "image/png", bs(0)(1).payload),  // id 1: long watermarked
+      rec(300, "image/png", bs(2)(0).payload)) // id 300: genuinely new
+    try fold(mixed)
+    finally StreamingImageDedup.violationHook = None
+    assert(fired.get() == ((1L, 1L)), s"hook saw ${fired.get()}")
+    // … the old row was dropped, the new one folded (300 dups 200)
+    val retained = StreamingImageDedup.retained(spark, workDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!retained(300L) && retained(200L),
+      s"greedy retention should drop the re-sent 300: $retained")
+    // under strictIds the same batch THROWS before mutating anything
+    val seenRows = spark.read.parquet(s"$workDir/seen_ids").count()
+    intercept[IllegalStateException] {
+      fold(Seq(rec(1, "image/png", bs(0)(1).payload),
+        rec(400, "image/png", bs(2)(0).payload)), strict = true)
+    }
+    assert(spark.read.parquet(s"$workDir/seen_ids").count() == seenRows,
+      "strict violation must fail BEFORE any durable step")
+    // a PURE replay does not fire the hook (silent no-op by design)
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    StreamingImageDedup.violationHook = Some((_, _) => fired2.set(true))
+    try fold(bs(2))
+    finally StreamingImageDedup.violationHook = None
+    assert(!fired2.get(), "a pure replay must stay silent")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(workDir))
   }
 }
