@@ -640,6 +640,17 @@ object Graft {
     queries.LlmOps6.winnowSharedPassages(docs, idCol, textCol, k, w,
       minShared, maxDocsPerFp)
 
+  /** Cross-source boilerplate overlap matrix (q113 generalized): per
+    * source pair, document pairs sharing an identical word window —
+    * prefix (q113's default), suffix (shared footers), or a window at
+    * a fixed word offset (mid-document templates). The exchange
+    * carries 32-byte window digests + source, never text. See
+    * [[operators.SourceOverlap.overlapMatrix]]. */
+  def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
+      window: operators.SourceOverlap.Window =
+        operators.SourceOverlap.Prefix(8)): DataFrame =
+    operators.SourceOverlap.overlapMatrix(docs, textCol, sourceCol, window)
+
   // ---- columnar functions ---------------------------------------------
 
   /** Codegen cosine similarity between two ARRAY&lt;DOUBLE&gt; columns. */

@@ -179,31 +179,15 @@ object LlmOps7 {
   // empty-string text (sha2('') is a real digest).
   def q113(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // corpus scanned ONCE: the ≥2 prune is a window over the same
-    // grouped relation (not an aggregate-and-join-back, which re-scans
-    // documents per reference), and the surviving (dg, source, n) rows
-    // — bounded by the duplicated-boilerplate families, tiny next to
-    // the corpus — are EAGER-CUT before the self-join so neither join
-    // side recomputes the corpus aggregation (the q44/q47 rule; the
-    // first cut of this query profiled Scan=4 over documents)
-    val gd = graft.Hygiene.eagerCut(
-      Tables(s, dir, "documents")
-        .select($"source", coalesce(
-          sha2(array_join(slice(split($"text", " "), 1, PrefixWords), " "),
-            256), lit("")).as("dg"))
-        .groupBy($"dg", $"source").agg(count(lit(1)).as("n"))
-        .withColumn("tot", sum($"n").over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"dg")))
-        .filter($"tot" >= 2).drop("tot"))
-    gd.as("a").join(gd.as("b"),
-        $"a.dg" === $"b.dg" && $"a.source" <= $"b.source")
-      .select($"a.source".as("source_a"), $"b.source".as("source_b"),
-        when($"a.source" === $"b.source",
-          expr("a.n * (a.n - 1) div 2"))
-          .otherwise($"a.n" * $"b.n").as("pp"))
-      .groupBy($"source_a", $"source_b")
-      .agg(sum($"pp").cast("long").as("dup_pairs"))
-      .filter($"dup_pairs" > 0)
+    // the generalized operator (round 16: [[graft.operators
+    // .SourceOverlap]] — prefix/suffix/mid-document windows behind one
+    // matrix shape); q113 is its default PREFIX instantiation, plan and
+    // oracle unchanged. The corpus-scanned-ONCE iteration history (the
+    // first cut profiled Scan=4/Exchange=11; the window ≥2 prune +
+    // eager cut landed Scan=2/Exchange=7) lives in the operator now.
+    graft.operators.SourceOverlap.overlapMatrix(
+        Tables(s, dir, "documents"), "text", "source",
+        graft.operators.SourceOverlap.Prefix(PrefixWords))
       .orderBy($"source_a", $"source_b")
   }
   val q113Sql: String =
