@@ -600,9 +600,20 @@ object Graft {
     * ids across increments; see [[queries.CorpusPipelineDelta]] for the
     * preconditions and the per-stage delta-vs-state shapes. */
   def corpusPipelineDelta(delta: DataFrame, stateDir: String,
-      cfg: queries.CorpusPipeline.Config, storeCells: Int = 64): DataFrame =
+      cfg: queries.CorpusPipeline.Config, storeCells: Int = 64,
+      media: Option[org.apache.spark.sql.Dataset[
+        multimodal.Multimodal.MediaRecord]] = None,
+      mediaMaxDist: Int = 10): DataFrame =
     queries.CorpusPipelineDelta.applyIncrement(delta, stateDir, cfg,
-      storeCells)
+      storeCells, media, mediaMaxDist)
+
+  /** The retained media ids of a [[corpusPipelineDelta]] state —
+    * row-for-row what [[imageDedup]] keeps on the union of every media
+    * increment folded so far. (doc_id, fp — NULL for fingerprint-less
+    * rows, retained by definition). */
+  def corpusPipelineRetainedMedia(spark: SparkSession,
+      stateDir: String): DataFrame =
+    queries.CorpusPipelineDelta.retainedMediaIds(spark, stateDir)
 
   /** The STREAMING corpus pipeline (E10): an exactly-once
     * `foreachBatch` sink folding micro-batches of arriving documents

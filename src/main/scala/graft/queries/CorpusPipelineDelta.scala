@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Compaction, Dedup, NearDupSignatureStore}
+import graft.multimodal.Multimodal
+import graft.operators.{Compaction, Dedup, HammingJoin, HammingStore, NearDupSignatureStore}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The INCREMENTAL corpus pipeline (VERDICT r10 task 1) — the shape a
@@ -77,6 +78,25 @@ import org.apache.spark.sql.functions._
   *     Structured Streaming's batch replay into an end-to-end
   *     exactly-once sink.
   *
+  * MEDIA (round 16 — the last uncomposed capstone): a fold may carry
+  * the increment's attached images (`media`), which are deduped
+  * through a persisted [[graft.operators.HammingStore]] under the SAME
+  * fold journal and lease — one crash story for both modalities. Per
+  * increment: dHash fingerprints (fake/corrupt rows cost a row, never
+  * a job — and are RETAINED, the batch facade's rule), genesis
+  * selfJoin+build or fused probe+append against the strictly
+  * pre-increment store, pair-log and media-id-ledger appends. The
+  * accumulated state replays greedy min-id retention on demand
+  * ([[retainedMediaIds]]) and equals `Graft.imageDedup` on the UNION
+  * of every media increment, row for row (spec'd across a 3-increment
+  * chain with a cross-increment duplicate dropped exactly once; media
+  * rows are engine-only — binary payloads have no SQL oracle, the
+  * E03/E11 precedent — while the text half keeps its hash gate).
+  * Media ids live in their OWN id space (meta.media_max_id), checked
+  * strictly increasing like the text ids; `mediaMaxDist` freezes into
+  * the store's banding at genesis, so — like `storeCells` — it is not
+  * config-fingerprinted (later values are structurally ignored).
+  *
   * State layout under `stateDir`:
   *   `store/`   — [[NearDupSignatureStore]] over every exact-survivor
   *                token set seen (retained or near-dup-dropped: batch
@@ -87,9 +107,12 @@ import org.apache.spark.sql.functions._
   *                (idCol, sourceCol, langCol, textCol; ≤ Σ quotas
   *                rows), swapped atomically per increment;
   *   `meta/`    — one row: the max id, the last micro-batch tag
-  *                applied so far (both nullable), and the config
+  *                applied so far (both nullable), the config
   *                fingerprint the state was shaped under (see
-  *                [[cfgFingerprint]]);
+  *                [[cfgFingerprint]]), and the max media id;
+  *   `media_store/`, `media_pairs/`, `media_seen/` — the image-dedup
+  *                half (Hamming store + pair log + id ledger), present
+  *                once a fold has carried media;
   *   `journal`, `journal.commit`, `journal.storemeta` — present only
   *                while a fold is in flight (or crashed): the recovery
   *                snapshot (see [[recoverFold]]). */
@@ -100,6 +123,13 @@ object CorpusPipelineDelta {
   private def digestsDir(stateDir: String) = s"$stateDir/digests"
   private def mixDir(stateDir: String) = s"$stateDir/mix"
   private def metaDir(stateDir: String) = s"$stateDir/meta"
+  // the media half (round 16): the persisted Hamming store over every
+  // attached image folded so far, plus two append-only ledgers — all
+  // journaled with the text state, so ONE crash story covers both
+  // modalities
+  private def mediaStoreDir(stateDir: String) = s"$stateDir/media_store"
+  private def mediaPairsDir(stateDir: String) = s"$stateDir/media_pairs"
+  private def mediaSeenDir(stateDir: String) = s"$stateDir/media_seen"
 
   private def fsOf(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -110,14 +140,15 @@ object CorpusPipelineDelta {
     * rounds). */
   private final case class MetaState(maxId: Option[Long],
       lastBatch: Option[Long], cfgFp: Option[String],
-      batchLo: Option[Long], batchHi: Option[Long], batchN: Option[Long])
+      batchLo: Option[Long], batchHi: Option[Long], batchN: Option[Long],
+      mediaMaxId: Option[Long])
 
   private def readMetaState(s: SparkSession,
       stateDir: String): MetaState = {
     val p = metaDir(stateDir)
     val fs = fsOf(s, p)
     if (!Compaction.liveExists(fs, p))
-      MetaState(None, None, None, None, None, None)
+      MetaState(None, None, None, None, None, None, None)
     else {
       val df = s.read.parquet(Compaction.resolveLive(fs, p))
       val cols = df.columns.toSet
@@ -125,10 +156,12 @@ object CorpusPipelineDelta {
         if (cols(name)) col(name) else lit(null).cast(tpe).as(name)
       val r = df.select(col("max_id"), opt("last_batch", "long"),
         opt("cfg_fp", "string"), opt("batch_lo", "long"),
-        opt("batch_hi", "long"), opt("batch_n", "long")).collect().head
+        opt("batch_hi", "long"), opt("batch_n", "long"),
+        opt("media_max_id", "long")).collect().head
       def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
       MetaState(l(0), l(1),
-        if (r.isNullAt(2)) None else Some(r.getString(2)), l(3), l(4), l(5))
+        if (r.isNullAt(2)) None else Some(r.getString(2)), l(3), l(4), l(5),
+        l(6))
     }
   }
 
@@ -240,8 +273,11 @@ object CorpusPipelineDelta {
     * Same schema as [[CorpusPipeline.assemble]]: idCol, sourceCol,
     * n_tokens, shard, bin, split, langCol — unordered. */
   def applyIncrement(delta: DataFrame, stateDir: String,
-      cfg: Config = Config(), storeCells: Int = 64): DataFrame = {
-    foldIncrement(delta, stateDir, cfg, storeCells)
+      cfg: Config = Config(), storeCells: Int = 64,
+      media: Option[Dataset[Multimodal.MediaRecord]] = None,
+      mediaMaxDist: Int = 10): DataFrame = {
+    foldIncrement(delta, stateDir, cfg, storeCells, media = media,
+      mediaMaxDist = mediaMaxDist)
     refreshOutput(delta.sparkSession, stateDir, cfg)
   }
 
@@ -258,7 +294,9 @@ object CorpusPipelineDelta {
     * on for exactly-once. */
   def foldIncrement(delta: DataFrame, stateDir: String,
       cfg: Config = Config(), storeCells: Int = 64,
-      batchTag: Option[Long] = None): Unit = {
+      batchTag: Option[Long] = None,
+      media: Option[Dataset[Multimodal.MediaRecord]] = None,
+      mediaMaxDist: Int = 10): Unit = {
     val s = delta.sparkSession
     import s.implicits._
     val evalDocs = cfg.evalDocs.getOrElse(throw new IllegalArgumentException(
@@ -327,6 +365,26 @@ object CorpusPipelineDelta {
             s"already applied (state max $m, increment min " +
             s"${bounds.getLong(0)}): batch equality leans on min-id " +
             "survivors coinciding with first arrival"))
+
+    // 0c. SAME id-ordering precondition for the media ids (their own id
+    // space, tracked in meta.media_max_id): greedy min-id retention
+    // keeps the earliest copy, so a media id must never be smaller than
+    // an already-retained near-dup's — the
+    // [[graft.multimodal.Multimodal.imageDedupDelta]] contract. Checked
+    // BEFORE the journal, like the text check: the fold must refuse
+    // before its first mutation.
+    val mediaBounds = media.map(_.toDF().agg(
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect().head)
+    val prevMediaMax = meta0.mediaMaxId
+    mediaBounds.filterNot(_.isNullAt(0)).foreach(b =>
+      prevMediaMax.filter(_ >= b.getLong(0)).foreach(m =>
+        throw new IllegalArgumentException(
+          s"media increment ids must be strictly greater than every " +
+            s"media id already applied (state max $m, increment min " +
+            s"${b.getLong(0)}): greedy retention keeps the earliest " +
+            "copy, so a late-arriving smaller id could displace an " +
+            "already-published row")))
 
     // 1. quality + language gate — the batch stage verbatim
     val quality = delta
@@ -402,7 +460,50 @@ object CorpusPipelineDelta {
         }
       } else
         NearDupSignatureStore.probeThenAppend(s, stPath, withToks)
-    maybeCrash(s, "post-store") // the dirtiest recovery window
+    maybeCrash(s, "post-store")
+
+    // 3m. MEDIA half (round 16 — the last uncomposed capstone): dedup
+    // the increment's attached images through the persisted
+    // [[HammingStore]], under THIS fold's journal — the E18 per-batch
+    // shape with the journal playing the crash-order role (a pre-commit
+    // crash rolls every media append back with the text ones, so the
+    // pairs-durable-before-store ordering E18 needs from its
+    // append-only state is subsumed; the store's own lease nests beside
+    // the fold lease like the signature store's does). Per increment:
+    // fingerprint (fake/corrupt rows cost a row, never a job) → GENESIS
+    // selfJoin+build or fused probe+append (pairs with ≥1 new end; the
+    // banding geometry freezes at build, so `mediaMaxDist` is read only
+    // then — like `storeCells`, it is NOT config-fingerprinted) →
+    // append the pair log → ledger EVERY media id (fp NULL for
+    // fingerprint-less rows: they are retained by definition, and the
+    // ledger is what [[retainedMediaIds]] replays retention over).
+    media.foreach { m =>
+      val msd = mediaStoreDir(stateDir)
+      val fps = graft.Hygiene.eagerCut(
+        Multimodal.imageFingerprints(m).toDF())
+      val mPairs =
+        if (!HammingStore.exists(s, msd)) {
+          if (fps.isEmpty)
+            Seq.empty[(Long, Long, Int)]
+              .toDF("doc_id_a", "doc_id_b", "hamming")
+          else {
+            val p = HammingJoin.selfJoin(fps, "doc_id", "fp",
+              mediaMaxDist, bits = 64)
+            HammingStore.build(fps, msd, "doc_id", "fp", mediaMaxDist,
+              bits = 64, cells = storeCells)
+            p
+          }
+        } else HammingStore.probeThenAppend(s, msd, fps)
+      if (!mPairs.isEmpty)
+        mPairs.write.mode("append")
+          .parquet(Compaction.resolveLive(fs, mediaPairsDir(stateDir)))
+      val ledger = m.toDF().select(col("doc_id"))
+        .join(fps, Seq("doc_id"), "left")
+      if (!ledger.isEmpty)
+        ledger.write.mode("append")
+          .parquet(Compaction.resolveLive(fs, mediaSeenDir(stateDir)))
+      maybeCrash(s, "post-media")
+    } // the dirtiest recovery window
 
     // 4. greedy retention, delta side: ids increase, so every pair's
     // doc_b (the GREATER id) is a delta doc — exactly the batch rule
@@ -462,9 +563,14 @@ object CorpusPipelineDelta {
          if (bounds.isNullAt(1)) None else Some(bounds.getLong(1)),
          if (bounds.isNullAt(0)) None else Some(bounds.getLong(2)))
       else (meta0.batchLo, meta0.batchHi, meta0.batchN)
-    Seq((newMax, batchTag.orElse(meta0.lastBatch), fp, bLo, bHi, bN))
+    val newMediaMax: Option[Long] = mediaBounds
+      .filterNot(_.isNullAt(1))
+      .map(b => math.max(b.getLong(1), prevMediaMax.getOrElse(Long.MinValue)))
+      .orElse(prevMediaMax)
+    Seq((newMax, batchTag.orElse(meta0.lastBatch), fp, bLo, bHi, bN,
+        newMediaMax))
       .toDF("max_id", "last_batch", "cfg_fp", "batch_lo", "batch_hi",
-        "batch_n")
+        "batch_n", "media_max_id")
       .coalesce(1).write.mode("overwrite").parquet(metaNext)
 
     maybeCrash(s, "pre-commit")
@@ -500,6 +606,37 @@ object CorpusPipelineDelta {
     graft.Hygiene.eagerCut(
       CorpusPipeline.tailSplitPack(s.read.parquet(
         Compaction.resolveLive(fsOf(s, stateDir), mixDir(stateDir))), cfg))
+
+  /** Every media near-dup pair folded so far:
+    * (doc_id_a < doc_id_b, hamming). Empty (schema intact) before any
+    * media fold. */
+  def mediaPairs(s: SparkSession, stateDir: String): DataFrame = {
+    val fs = fsOf(s, stateDir)
+    val p = mediaPairsDir(stateDir)
+    if (!Compaction.liveExists(fs, p)) {
+      import s.implicits._
+      Seq.empty[(Long, Long, Int)].toDF("doc_id_a", "doc_id_b", "hamming")
+    } else s.read.parquet(Compaction.resolveLive(fs, p))
+  }
+
+  /** The retained media ids after every fold so far: (doc_id, fp —
+    * NULL for fingerprint-less rows, which are retained by definition).
+    * Row-for-row the ids `Graft.imageDedup` keeps on the UNION of every
+    * media increment (spec'd across a 3-increment chain): greedy min-id
+    * retention replayed over the media ledger and the accumulated pair
+    * log — both exactly-once under the fold journal, so no distinct
+    * pass is needed on the ledger side. */
+  def retainedMediaIds(s: SparkSession, stateDir: String): DataFrame = {
+    val fs = fsOf(s, stateDir)
+    val seenP = mediaSeenDir(stateDir)
+    if (!Compaction.liveExists(fs, seenP)) {
+      import s.implicits._
+      Seq.empty[(Long, Option[Long])].toDF("doc_id", "fp")
+    } else
+      Dedup.greedyRetain(
+        s.read.parquet(Compaction.resolveLive(fs, seenP)),
+        mediaPairs(s, stateDir), "doc_id", "doc_id_b")
+  }
 
   // ---- crash recovery: the fold journal (round 11) --------------------
 
@@ -562,6 +699,12 @@ object CorpusPipelineDelta {
     sb ++= s"digestsExisted=${Compaction.liveExists(fs, digestsDir(stateDir))}\n"
     sb ++= s"mixExisted=${Compaction.liveExists(fs, mixDir(stateDir))}\n"
     sb ++= s"metaExisted=${Compaction.liveExists(fs, metaDir(stateDir))}\n"
+    // the media state is snapshotted UNCONDITIONALLY (even for a fold
+    // carrying no media): an earlier fold may have built it, and a
+    // rollback reading a journal without these lines would wipe it
+    sb ++= s"mediaStoreExisted=${HammingStore.exists(s, mediaStoreDir(stateDir))}\n"
+    sb ++= s"mediaPairsExisted=${Compaction.liveExists(fs, mediaPairsDir(stateDir))}\n"
+    sb ++= s"mediaSeenExisted=${Compaction.liveExists(fs, mediaSeenDir(stateDir))}\n"
     // snapshot the RESOLVED live trees — under a pointer-mode compact
     // the append targets are generation dirs, and rollback lists the
     // same resolution (no swap of these dirs happens inside a fold, so
@@ -572,6 +715,18 @@ object CorpusPipelineDelta {
       .foreach(f => sb ++= s"tok:$f\n")
     walkFiles(fs, new Path(Compaction.resolveLive(fs, digestsDir(stateDir))))
       .foreach(f => sb ++= s"dig:$f\n")
+    // media append targets: the Hamming store's bands tree (hive
+    // leaves walk), the pair log, the media-id ledger. The store's
+    // `meta` is write-once at build (never demoted like the sig
+    // store's), so no byte copy is needed — a genesis-fold crash
+    // deletes the whole store dir via its existed=false flag instead.
+    walkFiles(fs,
+        new Path(Compaction.resolveLive(fs, s"${mediaStoreDir(stateDir)}/bands")))
+      .foreach(f => sb ++= s"hsb:$f\n")
+    walkFiles(fs, new Path(Compaction.resolveLive(fs, mediaPairsDir(stateDir))))
+      .foreach(f => sb ++= s"mpr:$f\n")
+    walkFiles(fs, new Path(Compaction.resolveLive(fs, mediaSeenDir(stateDir))))
+      .foreach(f => sb ++= s"msn:$f\n")
     fs.delete(new Path(metaCopy(stateDir)), true)
     if (storeExisted)
       org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$sd/meta"),
@@ -705,6 +860,23 @@ object CorpusPipelineDelta {
             fs.delete(new Path(digestsDir(stateDir)), true)
           else rollbackDir(fs,
             Compaction.resolveLive(fs, digestsDir(stateDir)), known("dig:"))
+          // media rollback (round 16) — symmetric with the text
+          // artifacts; a pre-r16 journal simply carries no media lines
+          // and the deletes below hit dirs that cannot exist
+          val msd = mediaStoreDir(stateDir)
+          if (!existed("mediaStoreExisted")) fs.delete(new Path(msd), true)
+          else rollbackDir(fs, Compaction.resolveLive(fs, s"$msd/bands"),
+            known("hsb:"))
+          if (!existed("mediaPairsExisted"))
+            fs.delete(new Path(mediaPairsDir(stateDir)), true)
+          else rollbackDir(fs,
+            Compaction.resolveLive(fs, mediaPairsDir(stateDir)),
+            known("mpr:"))
+          if (!existed("mediaSeenExisted"))
+            fs.delete(new Path(mediaSeenDir(stateDir)), true)
+          else rollbackDir(fs,
+            Compaction.resolveLive(fs, mediaSeenDir(stateDir)),
+            known("msn:"))
           Seq(mixDir(stateDir), metaDir(stateDir)).foreach { live =>
             fs.delete(new Path(s"${live}__next"), true)
             Compaction.recoverSwap(s, live)
@@ -724,14 +896,41 @@ object CorpusPipelineDelta {
 
   /** File-growth maintenance for the pipeline state: the signature
     * store's [[NearDupSignatureStore.compact]] plus the append-only
-    * digest ledger (which gains one file set per increment — a year of
-    * daily folds is ~365 ledger slivers). Contents untouched,
-    * atomically swapped, file counts drop to ~⌈bytes/targetBytes⌉.
-    * Refuses a crashed state (journal present) — recover first. Holds
-    * the fold lease, so a concurrent fold is refused loudly. */
+    * ledgers (each gains one file set per increment — a year of daily
+    * folds is ~365 slivers apiece): text digests, and — when media has
+    * been folded — the media Hamming store, pair log and media-id
+    * ledger. Contents untouched, atomically swapped, file counts drop
+    * to ~⌈bytes/targetBytes⌉. Refuses a crashed state (journal
+    * present) — recover first. Holds the fold lease, so a concurrent
+    * fold is refused loudly. */
   final case class StateCompactStats(digestFilesBefore: Int,
       digestFilesAfter: Int,
-      store: Option[NearDupSignatureStore.CompactStats])
+      store: Option[NearDupSignatureStore.CompactStats],
+      mediaStoreFiles: Option[(Int, Int)] = None,
+      mediaPairFiles: Option[(Int, Int)] = None,
+      mediaSeenFiles: Option[(Int, Int)] = None)
+
+  /** Compact one flat append-only parquet ledger in place (recover a
+    * torn prior swap, rewrite near `targetBytes`, swap) — None when the
+    * ledger doesn't exist yet. */
+  private def compactLedger(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dPath: String,
+      targetBytes: Long): Option[(Int, Int)] = {
+    Compaction.recoverSwap(s, dPath)
+    if (!Compaction.liveExists(fs, dPath)) None
+    else {
+      def parts() = fs.listStatus(
+          new Path(Compaction.resolveLive(fs, dPath)))
+        .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      val before = parts()
+      val tmp = Compaction.stagingDir(fs, dPath)
+      if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+      Compaction.compact(s, Compaction.resolveLive(fs, dPath), tmp,
+        targetBytes)
+      Compaction.swapDir(s, dPath, tmp)
+      Some((before, parts()))
+    }
+  }
 
   def compactState(s: SparkSession, stateDir: String,
       targetBytes: Long = 128L * 1024 * 1024): StateCompactStats =
@@ -745,22 +944,16 @@ object CorpusPipelineDelta {
           Some(NearDupSignatureStore.compact(s, storeDir(stateDir),
             targetBytes))
         else None
-      val dPath = digestsDir(stateDir)
-      Compaction.recoverSwap(s, dPath)
-      if (!Compaction.liveExists(fs, dPath))
-        StateCompactStats(0, 0, storeStats)
-      else {
-        def parts() = fs.listStatus(
-            new Path(Compaction.resolveLive(fs, dPath)))
-          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        val before = parts()
-        val tmp = Compaction.stagingDir(fs, dPath)
-        if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
-        Compaction.compact(s, Compaction.resolveLive(fs, dPath), tmp,
-          targetBytes)
-        Compaction.swapDir(s, dPath, tmp)
-        StateCompactStats(before, parts(), storeStats)
-      }
+      val mediaStoreFiles =
+        if (HammingStore.exists(s, mediaStoreDir(stateDir)))
+          Some(HammingStore.compact(s, mediaStoreDir(stateDir),
+            targetBytes))
+        else None
+      val (db, da) = compactLedger(s, fs, digestsDir(stateDir),
+        targetBytes).getOrElse((0, 0))
+      StateCompactStats(db, da, storeStats, mediaStoreFiles,
+        compactLedger(s, fs, mediaPairsDir(stateDir), targetBytes),
+        compactLedger(s, fs, mediaSeenDir(stateDir), targetBytes))
     }
 
   /** Q107: the incremental-pipeline chain on the documents table, hash-
@@ -797,15 +990,89 @@ object CorpusPipelineDelta {
       .orderBy($"doc_id")
   }
 
-  val q107Sql: String =
-    """WITH base AS (
+  /** Deterministic synthetic PNG for q115's media side: a textured
+    * gradient keyed by `seed`, so documents sharing `doc_id % 40` carry
+    * byte-identical images — Hamming-0 near-dups within and across the
+    * increments, exercising genesis build AND probe+append on the
+    * persisted media store. Rendered per row inside `mapPartitions`
+    * (the [[Multimodal]] batched-decode shape, in reverse). */
+  private def q115Image(seed: Int): Array[Byte] = {
+    val (w, h) = (32, 24)
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val fx = 0.20 + 0.13 * (seed % 4)
+    val fy = 0.11 + 0.17 * ((seed / 4) % 4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v0 = 127.5 + 87.0 * math.sin(fx * x + fy * y + seed * 1.7)
+        val v = math.max(0, math.min(255, math.round(v0).toInt))
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Q115 (round 16): the MEDIA-AWARE incremental chain — the q107
+    * fold shape with every increment carrying its attached images,
+    * deduped through the persisted Hamming store under the same fold
+    * journal. Hash-gated on the TEXT half: the oracle is the batch
+    * pipeline over the quarter slice (increment boundaries are
+    * invisible to it by the chain contract, and media rows are
+    * engine-only — binary payloads have no SQL oracle, the E03/E11
+    * precedent). What the gate pins is that composing the media half
+    * into the fold leaves the text contract bit-intact while the SAME
+    * folds build and probe the media store; the media retention's own
+    * equality with `Graft.imageDedup` is CorpusPipelineMediaSpec's
+    * job. Quarter slice (vs q107's half) for bench honesty: the
+    * chain's floor is its sequential per-fold job count, and the media
+    * half adds its fingerprint/probe/ledger jobs on top. */
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val eval = docs.filter($"doc_id" % 97 === 0)
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 4 === 0)
+    val cfg = Config(evalDocs = Some(eval))
+    val state = graft.RunTmp.dir("q115_state")
+    fsOf(s, state).delete(new Path(state), true)
+    // checkpointed: the fold reads its media three times (id bounds,
+    // fingerprints, ledger ids) — a REAL media table column-prunes the
+    // two id-only passes, but this synthesized one would re-render its
+    // PNGs per pass (measured +6 s at sf0.1 without the cut)
+    def mediaFor(slice: DataFrame) = slice.select($"doc_id").as[Long]
+      .mapPartitions(_.map(id => Multimodal.MediaRecord(id, "image/png",
+        q115Image((id % 40).toInt))))
+      .localCheckpoint(true)
+    val maxId = corpus.agg(max($"doc_id")).collect().head.getLong(0)
+    val (lo, hi) = (corpus.filter($"doc_id" <= maxId / 2),
+      corpus.filter($"doc_id" > maxId / 2))
+    foldIncrement(lo, state, cfg, media = Some(mediaFor(lo)))
+    applyIncrement(hi, state, cfg, media = Some(mediaFor(hi)))
+      .orderBy($"doc_id")
+  }
+
+  /** q107's oracle on q115's quarter slice — the batch answer over the
+    * unioned text increments; see [[q115]] for why media does not (and
+    * must not) appear here. */
+  val q115Sql: String = q107SqlFor("doc_id % 4 = 0")
+
+  val q107Sql: String = q107SqlFor("doc_id % 2 = 0")
+
+  private def q107SqlFor(slicePredicate: String): String =
+    s"""WITH base AS (
       |  SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks,
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
       |        list_transform(generate_series(1, least(len(text), 64)),
       |                       i -> CAST(ascii(text[i]) AS BIGINT))),
       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
       |  FROM documents
-      |  WHERE text IS NOT NULL AND doc_id % 97 <> 0 AND doc_id % 2 = 0),
+      |  WHERE text IS NOT NULL AND doc_id % 97 <> 0 AND $slicePredicate),
       |egrams AS (
       |  SELECT DISTINCT unnest(list_distinct(list_transform(
       |      generate_series(1, len(etoks) - 2),
