@@ -80,7 +80,18 @@ object LlmOps5 {
           |ELSE array() END""".stripMargin)).as("gram"))
     val docFreq = grams.groupBy($"gram")
       .agg(countDistinct($"doc_id").as("docfreq"))
-    val perDoc = grams.join(docFreq, "gram")
+    // shuffle_hash PINNED (round-16 long-doc audit): docFreq is
+    // corpus-scale (it came FROM grams), but under the explode Spark's
+    // size estimate collapses and AQE elects to BROADCAST it — at the
+    // 2000-doc × 100 KB protocol scale that is a driver collect of the
+    // whole gram relation (maxResultSize abort; 113.5 s even with the
+    // limit raised) where the hinted shuffle-hash join — the scaladoc's
+    // claimed plan, both shuffles on the gram key — runs in 43.1 s.
+    // Hashing the grams to 64 bits before the exchange was measured
+    // too (65 s, high variance) and rejected: no clear win over the
+    // hint, and it trades the exact distinct-doc counts for collision
+    // risk. Fixture-scale cost of losing the broadcast: see NOTES_r16.
+    val perDoc = grams.join(docFreq.hint("shuffle_hash"), "gram")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when($"docfreq" > 1, 1L).otherwise(0L)).as("n_dup"))
