@@ -627,10 +627,12 @@ object Graft {
   def streamingCorpusPipeline(increments: DataFrame, stateDir: String,
       checkpointDir: String, cfg: queries.CorpusPipeline.Config,
       storeCells: Int = 64,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      mediaCols: Option[(String, String)] = None,
+      mediaMaxDist: Int = 10)
       : org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamingCorpusPipeline.sink(increments, stateDir,
-      checkpointDir, cfg, storeCells, trigger)
+      checkpointDir, cfg, storeCells, trigger, mediaCols, mediaMaxDist)
 
   /** Write a [[corpusPipeline]] result as CSV shards renamed through
     * the file-mover commit protocol (`shard_$split_$lang.csv` — one

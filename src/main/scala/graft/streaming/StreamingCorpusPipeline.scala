@@ -41,7 +41,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * MINUTES-to-hours, or `Trigger.AvailableNow` for a scheduled daily
   * drain — not sub-second micro-batches. Output shards are published
   * by calling [[CorpusPipelineDelta.refreshOutput]] on whatever slower
-  * cadence the corpus is actually consumed (the fold/refresh split). */
+  * cadence the corpus is actually consumed (the fold/refresh split).
+  *
+  * MEDIA (round 16 — E19's streaming twin): when `mediaCols` names the
+  * stream's (media_type, payload) columns, each micro-batch's rows
+  * with a non-null payload ALSO fold as that increment's attached
+  * images ([[CorpusPipelineDelta.foldIncrement]]'s media table, keyed
+  * by the same `cfg.idCol`) — deduped through the persisted Hamming
+  * store under the SAME fold journal, commit marker and batch tag. No
+  * new crash window opens: the case split above already covers both
+  * modalities because the journal does — a pre-commit crash rolls the
+  * media appends back with the text's and the replay re-applies both;
+  * a post-commit replay is SKIPPED whole, so the media half is
+  * exactly-once for free (spec'd: the media ledger row count is pinned
+  * across a post-commit crash + replay). One stream, one checkpoint,
+  * one id space — the multimodal training-record shape
+  * (doc_id, text, lang, source, media_type, payload) rides a single
+  * replayable source instead of two streams whose offsets could
+  * commit independently. */
 object StreamingCorpusPipeline {
 
   /** The sink body, exposed for direct use (and for the specs to drive
@@ -54,7 +71,8 @@ object StreamingCorpusPipeline {
     * bound. That misconfiguration is loud (a WARN per lagging batch),
     * not silent. */
   def foldBatch(stateDir: String, cfg: CorpusPipeline.Config,
-      storeCells: Int = 64, triggerIntervalMs: Option[Long] = None)(
+      storeCells: Int = 64, triggerIntervalMs: Option[Long] = None,
+      mediaCols: Option[(String, String)] = None, mediaMaxDist: Int = 10)(
       delta: DataFrame, batchId: Long): Unit = {
     val s = delta.sparkSession
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -126,8 +144,23 @@ object StreamingCorpusPipeline {
           s"delivered batch is $batchId — if this checkpoint previously " +
           "committed batches into a different state dir, those batches " +
           "are NOT in this corpus")
+      // the media half rides the SAME fold (journal, commit marker,
+      // batch tag): rows with a payload become the increment's media
+      // table, keyed by the pipeline's own id column — media ids then
+      // inherit the stream's strictly-increasing contract for free
+      val media = mediaCols.map { case (typeCol, payloadCol) =>
+        import org.apache.spark.sql.functions.{coalesce, col, lit}
+        import s.implicits._
+        delta.filter(col(payloadCol).isNotNull)
+          .select(col(cfg.idCol).cast("long").as("doc_id"),
+            coalesce(col(typeCol), lit("application/octet-stream"))
+              .as("media_type"),
+            col(payloadCol).as("payload"))
+          .as[graft.multimodal.Multimodal.MediaRecord]
+      }
       CorpusPipelineDelta.foldIncrement(delta, stateDir, cfg, storeCells,
-        batchTag = Some(batchId))
+        batchTag = Some(batchId), media = media,
+        mediaMaxDist = mediaMaxDist)
     }
     val elapsedMs = (System.nanoTime() - t0) / 1000000
     triggerIntervalMs.filter(_ < elapsedMs).foreach { iv =>
@@ -158,14 +191,18 @@ object StreamingCorpusPipeline {
     * exactly-once. */
   def sink(increments: DataFrame, stateDir: String, checkpointDir: String,
       cfg: CorpusPipeline.Config, storeCells: Int = 64,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      trigger: Option[Trigger] = None,
+      mediaCols: Option[(String, String)] = None,
+      mediaMaxDist: Int = 10): StreamingQuery = {
     val intervalMs = trigger.collect {
       case t: org.apache.spark.sql.execution.streaming.ProcessingTimeTrigger =>
         t.intervalMs
     }
     val w = increments.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(foldBatch(stateDir, cfg, storeCells, intervalMs) _)
+      .foreachBatch(
+        foldBatch(stateDir, cfg, storeCells, intervalMs, mediaCols,
+          mediaMaxDist) _)
     trigger.fold(w)(w.trigger).start()
   }
 }

@@ -50,28 +50,11 @@ class CorpusPipelineMediaSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   private def cfg = CorpusPipeline.Config(evalDocs = Some(eval))
 
-  // ---- media side: StreamingImageDedupSpec's deterministic images ----
-  private def pattern(seed: Int, w: Int, h: Int,
-      brightness: Int = 0): java.awt.image.BufferedImage = {
-    val im = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val fx = 0.20 + 0.13 * (seed % 4)
-    val fy = 0.11 + 0.17 * ((seed / 4) % 4)
-    val ph = seed * 1.7
-    for (y <- 0 until h; x <- 0 until w) {
-      val v0 = 127.5 + 87.0 * math.sin(fx * x + fy * y + ph)
-      val v = math.max(0, math.min(255, math.round(v0).toInt + brightness))
-      im.setRGB(x, y, (v << 16) | (v << 8) | v)
-    }
-    im
-  }
-
+  // ---- media side: the shared deterministic images (graft.TestImages)
+  private def pattern(seed: Int, w: Int, h: Int, brightness: Int = 0) =
+    graft.TestImages.pattern(seed, w, h, brightness)
   private def encode(im: java.awt.image.BufferedImage,
-      fmt: String): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
-    bos.toByteArray
-  }
+      fmt: String): Array[Byte] = graft.TestImages.encode(im, fmt)
 
   private def rec(id: Long, t: String, p: Array[Byte]) =
     Multimodal.MediaRecord(id, t, p)

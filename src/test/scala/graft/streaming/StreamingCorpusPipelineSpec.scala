@@ -12,6 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * cannot reach an inner class's outer scope. */
 case class PipeDoc(doc_id: Long, text: String, lang: String, source: String)
 
+/** The multimodal training-record shape the media-aware sink ingests:
+  * the pipeline's document columns plus a nullable attached payload. */
+case class MultiDoc(doc_id: Long, text: String, lang: String,
+    source: String, media_type: String, payload: Array[Byte])
+
 /** E10: the streaming corpus-pipeline sink's END-TO-END exactly-once
   * claim, driven through a REAL stream — a MemoryStream source, a real
   * checkpoint, real query restarts. The claim is a composition of two
@@ -213,6 +218,112 @@ class StreamingCorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CorpusPipelineDelta.lastBatch(spark, state).get >=
       afterEmpty.get, "last_batch went backwards")
     assertEqualsBatch(state, batch0, batch1)
+  }
+
+  // ---- E19's streaming twin (round 16): media rides the same sink ----
+
+  /** batch0/1/2 re-issued as multimodal records: payloads attach to a
+    * subset of rows — cross-batch image dups (10's payload re-encodes
+    * 1's; 20's brightens 2's), a corrupt payload (4), payload-less
+    * rows (null), a fresh image per batch. */
+  private def multiBatches: Seq[Seq[MultiDoc]] = {
+    def md(d: PipeDoc, t: String, p: Array[Byte]) =
+      MultiDoc(d.doc_id, d.text, d.lang, d.source, t, p)
+    val b0 = Seq(
+      md(batch0(0), "image/png", graft.TestImages.png(0)),
+      md(batch0(1), "image/png", graft.TestImages.png(1)),
+      md(batch0(2), null, null),
+      md(batch0(3), "image/png", Array[Byte](1, 2, 3)), // corrupt
+      md(batch0(4), "image/png", graft.TestImages.png(2)))
+    val b1 = Seq(
+      md(batch1(0), "image/bmp", // dup of doc 1's image, re-encoded
+        graft.TestImages.encode(graft.TestImages.pattern(0, 48, 36), "bmp")),
+      md(batch1(1), "image/png", graft.TestImages.png(3)),
+      md(batch1(2), null, null),
+      md(batch1(3), null, null),
+      md(batch1(4), "image/png", graft.TestImages.png(4)))
+    val b2 = Seq(
+      md(batch2(0), "image/png", graft.TestImages.png(1, brightness = 25)),
+      md(batch2(1), null, null))
+    Seq(b0, b1, b2)
+  }
+
+  private def mediaOf(bs: Seq[MultiDoc]*) = {
+    import spark.implicits._
+    bs.flatten.filter(_.payload != null)
+      .map(m => graft.multimodal.Multimodal.MediaRecord(
+        m.doc_id, m.media_type, m.payload)).toDS()
+  }
+
+  private def retainedMediaIds(state: String): Set[Long] =
+    CorpusPipelineDelta.retainedMediaIds(spark, state)
+      .collect().map(_.getLong(0)).toSet
+
+  private def batchMediaIds(bs: Seq[MultiDoc]*): Set[Long] =
+    graft.Graft.imageDedup(mediaOf(bs: _*))
+      .collect().map(_.doc_id).toSet
+
+  test("MEDIA rides the sink (E19's streaming twin): one stream, one " +
+      "checkpoint — text == batch pipeline AND media retention == " +
+      "imageDedup on the unioned payload rows; payload-less and " +
+      "corrupt rows cost nothing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e19s_clean")
+    val ckpt = tmp("e19s_clean_ckpt")
+    val mbs = multiBatches
+    val mem = MemoryStream[MultiDoc]
+    val q = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt, cfg,
+      mediaCols = Some(("media_type", "payload")))
+    mbs.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    assertEqualsBatch(state, batch0, batch1, batch2)
+    val got = retainedMediaIds(state)
+    assert(got == batchMediaIds(mbs: _*),
+      s"streamed media retention diverged from the batch facade: $got")
+    // by name: the cross-batch dups dropped exactly at the newcomer
+    assert(!got(10L) && !got(20L) && got(1L) && got(2L),
+      s"cross-batch image dups mishandled: $got")
+    // the corrupt payload was ledgered (fp NULL) and retained
+    assert(got(4L), "fingerprint-less media row must be retained")
+  }
+
+  test("post-commit crash + replay skip is MEDIA-exactly-once too: the " +
+      "skipped batch re-folds neither its text nor its images (media " +
+      "ledger row count pinned)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val state = tmp("e19s_post")
+    val ckpt = tmp("e19s_post_ckpt")
+    val mbs = multiBatches
+    def start() = StreamingCorpusPipeline.sink(mem.toDF(), state, ckpt,
+      cfg, mediaCols = Some(("media_type", "payload")))
+    lazy val mem = MemoryStream[MultiDoc]
+    val q1 = start()
+    mem.addData(mbs(0)); q1.processAllAvailable()
+    q1.stop()
+    spark.conf.set(CorpusPipelineDelta.CrashPointConf, "post-commit")
+    val q2 = start()
+    mem.addData(mbs(1))
+    val e = intercept[StreamingQueryException](q2.processAllAvailable())
+    assert(hasInjectedCrash(e), s"query died of something else: $e")
+    spark.conf.unset(CorpusPipelineDelta.CrashPointConf)
+    // restart: the replayed batch is recognized and skipped WHOLE —
+    // re-folding its media would double the ledger (and the id
+    // precondition would kill the text half first)
+    val q3 = start()
+    q3.processAllAvailable()
+    val ledgerRows = spark.read.parquet(s"$state/media_seen").count()
+    val expect = (mbs(0) ++ mbs(1)).count(_.payload != null)
+    assert(ledgerRows == expect,
+      s"media ledger has $ledgerRows rows, want $expect — the replay " +
+        "re-folded the media half")
+    assert(retainedMediaIds(state) == batchMediaIds(mbs(0), mbs(1)))
+    // the stream keeps going with media intact
+    mem.addData(mbs(2)); q3.processAllAvailable()
+    q3.stop()
+    assertEqualsBatch(state, batch0, batch1, batch2)
+    assert(retainedMediaIds(state) == batchMediaIds(mbs: _*))
   }
 
   test("a FOREIGN checkpoint against an advanced state dir fails LOUDLY " +
