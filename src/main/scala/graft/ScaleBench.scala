@@ -185,7 +185,7 @@ object ScaleBench {
     val fams: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
       else Set("1", "1b", "2", "3", "4", "5", "6", "7", "8", "9", "10",
-        "10b")
+        "10b", "11")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -858,6 +858,145 @@ object ScaleBench {
             s"inline newPairs ${round2(tInline)}s ($recsInline recs), " +
             s"$nStore pairs (sets equal)")
         }
+      }
+    }
+
+    // ---- 11. media-aware incremental fold (E19, r16) -------------------
+    // The capstone's scale claim: a fold's MEDIA overhead (fingerprint
+    // the drip + pruned store probe + delta-sized appends + the
+    // journal's media-tree listing) must track the DRIP, not the media
+    // corpus — family 10b pinned the probe alone; this measures the
+    // whole composed fold. Method: E19 states with pre-grown media
+    // stores (synthetic fingerprints, the 10b generator, ONE value
+    // planted as a real drip image's dHash so the old-new path provably
+    // fires), text increment held constant; per run the state is CLONED
+    // outside the timer (folds mutate state). Evidence = the
+    // with-media-minus-text-only delta across a 16× media corpus, with
+    // the fold's recorded pairs REQUIRED equal to HammingJoin.newPairs
+    // on the same inputs. Also measured: the retainedMediaIds replay
+    // (ledger anti-join over the pair log) at each size — the seed-2
+    // decision data for a persisted retained set.
+    if (fams("11")) {
+      import graft.multimodal.Multimodal
+      import graft.queries.{CorpusPipeline, CorpusPipelineDelta}
+      // 20-image drip: 17 distinct patterns + 3 byte-identical repeats
+      // (within-drip distance-0 pairs), ids far past every store id.
+      // Real PNG payloads (the test family's sine pattern, inlined —
+      // test fixtures aren't on the main classpath) so the fold's real
+      // decode+dHash path is in the measurement.
+      def dripPng(seed: Int): Array[Byte] = {
+        val (w, h) = (48, 36)
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val fx = 0.20 + 0.13 * (seed % 4)
+        val fy = 0.11 + 0.17 * ((seed / 4) % 4)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v0 = 127.5 + 87.0 * math.sin(fx * x + fy * y + seed * 1.7)
+          val v = math.max(0, math.min(255, math.round(v0).toInt))
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        bos.toByteArray
+      }
+      val dripRecs = (0 until 20).map { i =>
+        val seed = if (i >= 17) i - 3 else i
+        Multimodal.MediaRecord(30000000L + i, "image/png", dripPng(seed))
+      }
+      val dripDs = spark.createDataset(dripRecs)(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+      // driver-local (NOT a checkpoint: the measurement loop's
+      // Hygiene.clearAll would drop its blocks) — 20 rows
+      val dripFpRows = Multimodal.imageFingerprints(dripDs)
+        .collect().map(f => (f.doc_id, f.fp)).toSeq
+      val plantedFp = dripFpRows.find(_._1 == 30000000L).get._2
+      def dripFpsDf = dripFpRows.toDF("doc_id", "fp")
+      def decorate(df: DataFrame) = df
+        .withColumn("lang", lit("en"))
+        .withColumn("source",
+          concat(lit("src"), (col("doc_id") % 20).cast("string")))
+      val textInc1 = decorate(spark.read.parquet(
+        gen("e19text1") { genDocs(spark, 300, 0.04, 3000, 77) }))
+      val textInc2 = decorate(spark.read.parquet(
+        gen("e19text2") { genDocs(spark, 300, 0.04, 3000, 77, 1000000) }))
+      val eval = spark.range(1).selectExpr("CAST(0 AS LONG) AS doc_id",
+        "'alpha beta gamma benchmark suite' AS text")
+      val cfg = CorpusPipeline.Config(evalDocs = Some(eval))
+      for ((label, n) <- Seq("100k" -> 100000L, "400k" -> 400000L,
+          "1600k" -> 1600000L)) {
+        val baseState = s"$work/e19state_$label"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(baseState))) {
+          val t0 = System.nanoTime()
+          CorpusPipelineDelta.foldIncrement(textInc1, baseState, cfg)
+          // column names MUST be the fold's (doc_id, fp): the store
+          // freezes them in its meta and every later probe selects them
+          val storeFps = spark.read.parquet(gen(s"e19fps_$label") {
+            genFps(n, 91, 0)
+              .union(Seq((9999999L, plantedFp)).toDF("id", "f"))
+              .select(col("id").as("doc_id"), col("f").as("fp"))
+          })
+          operators.HammingStore.build(storeFps,
+            s"$baseState/media_store", "doc_id", "fp", maxDist = 3,
+            bits = 64, cells = 1024)
+          // the id ledger the fold's accessors replay over (fp all
+          // non-null — synthetic rows all "fingerprinted")
+          storeFps.write.parquet(s"$baseState/media_seen")
+          println(f"GEN e19state_$label ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        def cloneState(): String = {
+          val dst = s"$work/e19clone_${label}_${System.nanoTime()}"
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File(baseState), new java.io.File(dst))
+          dst
+        }
+        def medianFold(media: Option[
+            org.apache.spark.sql.Dataset[Multimodal.MediaRecord]])
+            : (Double, String) = {
+          var lastState = ""
+          val ts = (1 to runs).map { _ =>
+            Hygiene.clearAll(spark)
+            val st = cloneState() // outside the timer: folds mutate state
+            if (lastState.nonEmpty)
+              org.apache.commons.io.FileUtils
+                .deleteDirectory(new java.io.File(lastState))
+            lastState = st
+            val t0 = System.nanoTime()
+            CorpusPipelineDelta.foldIncrement(textInc2, st, cfg,
+              media = media, mediaMaxDist = 3)
+            (System.nanoTime() - t0) / 1e9
+          }
+          (ts.sorted.apply(ts.size / 2), lastState)
+        }
+        val (tText, st0) = medianFold(None)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(st0))
+        val (tMedia, stM) = medianFold(Some(dripDs))
+        // correctness rides every measurement (the family rule): the
+        // fold's recorded pairs == inline newPairs on the same inputs
+        val storeFps = spark.read.parquet(s"$work/e19fps_$label")
+        val got = CorpusPipelineDelta.mediaPairs(spark, stM)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = operators.HammingJoin.newPairs(storeFps, dripFpsDf,
+            "doc_id", "fp", maxDist = 3, bits = 64)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        require(got == want && got.nonEmpty &&
+            got((9999999L, 30000000L)) && got((30000014L, 30000017L)),
+          s"[$label] fold pairs diverged: ${got.size} vs ${want.size}; " +
+            s"planted=${got((9999999L, 30000000L))}")
+        // the retention replay (seed-2 decision data): ledger anti-join
+        // over the accumulated pair log, at this media-corpus size
+        val (tReplay, nRet, _) = timed(spark, runs) {
+          CorpusPipelineDelta.retainedMediaIds(spark, stM).count()
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stM))
+        results += s"e19_${label}_fold_text_s" -> s"${round2(tText)}"
+        results += s"e19_${label}_fold_media_s" ->
+          s"${round2(tMedia)} (+${round2(tMedia - tText)} media)"
+        results += s"e19_${label}_replay_s" ->
+          s"${round2(tReplay)} ($nRet retained)"
+        println(s"11. [$label] E19 media-aware fold: text-only " +
+          s"${round2(tText)}s, with 20-image drip ${round2(tMedia)}s " +
+          s"(media delta ${round2(tMedia - tText)}s); retention replay " +
+          s"${round2(tReplay)}s over $nRet retained (pairs == newPairs)")
       }
     }
 
