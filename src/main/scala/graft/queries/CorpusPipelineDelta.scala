@@ -497,10 +497,13 @@ object CorpusPipelineDelta {
       if (!mPairs.isEmpty)
         mPairs.write.mode("append")
           .parquet(Compaction.resolveLive(fs, mediaPairsDir(stateDir)))
-      val ledger = m.toDF().select(col("doc_id"))
-        .join(fps, Seq("doc_id"), "left")
-      if (!ledger.isEmpty)
-        ledger.write.mode("append")
+      // emptiness decided from the step-0c bounds row (null min ⟺ zero
+      // rows) — an isEmpty here would re-run the ledger join as its own
+      // job at the fold's job-count floor
+      if (mediaBounds.exists(!_.isNullAt(0)))
+        m.toDF().select(col("doc_id"))
+          .join(fps, Seq("doc_id"), "left")
+          .write.mode("append")
           .parquet(Compaction.resolveLive(fs, mediaSeenDir(stateDir)))
       maybeCrash(s, "post-media")
     } // the dirtiest recovery window
