@@ -118,17 +118,22 @@ object LlmOps2 {
   // inverted-index join IS the scale path here: candidates only exist
   // for docs sharing a full trigram.
   /** Per-doc DISTINCT word-trigram sets `(doc_id, tris)` — q44's
-    * derivation, shared with q105's incremental formulation. */
+    * derivation, shared with q105's incremental formulation. Runs the
+    * fused [[graft.functions.WordNGrams]] byte pass — the round-16
+    * long-document audit found the previous HOF chain latently
+    * QUADRATIC: its lambda referenced the outer `sp = split(text)`
+    * array, and under an unpersisted explode the optimizer inlines the
+    * split INTO the lambda body, re-splitting the full text once per
+    * gram index (every worker thread-dump-pinned in `ConcatWs.eval →
+    * StringSplit.nullSafeEval` at 2000×100 KB docs; killed after
+    * 15+ min vs 2.1 s non-inlined, 0.44 s fused). Bit-equality with the
+    * old chain, including array_distinct's first-occurrence order and
+    * the empty-token corners, is pinned by WordNGramsSpec. */
   private[queries] def triSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .withColumn("sp", split($"text", " "))
-      .withColumn("tris",
-        when(size($"sp") < 3, array().cast("array<string>"))
-          .otherwise(array_distinct(expr(
-            """transform(sequence(1, size(sp) - 2),
-               i -> concat_ws(' ', sp[i-1], sp[i], sp[i+1]))"""))))
-      .select($"doc_id", $"tris")
+      .select($"doc_id",
+        graft.functions.WordNGrams.wordNGrams($"text", 3).as("tris"))
   }
 
   def q44(s: SparkSession, dir: String): DataFrame = {
@@ -136,10 +141,12 @@ object LlmOps2 {
     val d = triSets(s, dir)
       .select($"doc_id", $"tris", size($"tris").cast("double").as("sz"))
       // persist + EAGER CUT (unpersisted before returning): the trigram
-      // derivation is the dominant per-row cost and, unpersisted, runs
-      // ~6× per row — once per join side plus the filter copies that
-      // generate-inference inlines into each scan (measured 18 s vs 3 s
-      // at sf0.1). The cache lives only for the duration of this call.
+      // derivation, unpersisted, runs ~6× per row — once per join side
+      // plus the filter copies that generate-inference inlines into
+      // each scan (measured 18 s vs 3 s at sf0.1 under the old HOF
+      // chain; the fused WordNGrams pass shrinks the per-copy cost but
+      // the scan itself still re-runs per side, so the cache stays).
+      // The cache lives only for the duration of this call.
       .persist()
     val tri = d.select($"doc_id", $"sz", explode($"tris").as("tri"))
     val pairs = tri.as("x").join(tri.as("y"),
