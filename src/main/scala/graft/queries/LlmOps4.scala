@@ -179,15 +179,19 @@ object LlmOps4 {
     * claim the same oracle. */
   private def decontGrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // fused WordNGrams pass (the triSets precedent): the old
+    // slice-under-transform lambda was the latently-quadratic shape the
+    // r16 long-doc audit caught in q44 — here it happened to stay
+    // non-inlined (measured linear, q68 10.6 s / x68 12.0 s warm at
+    // 2000×100 KB), but the derivation ran interpreted TWICE (once per
+    // h-branch); fused it is 5.4/5.3 s and the hazard class is gone.
+    // Bit-equal: <3-word docs yield the empty gram array and explode
+    // drops them, exactly what the old size(toks) >= 3 filter did.
     Tables(s, dir, "documents")
-      .withColumn("toks", split($"text", " "))
-      .filter(size($"toks") >= 3)
       .withColumn("h",
         graft.functions.RollingHash.rollingHash($"text", 64) % 100)
       .select($"doc_id", $"h",
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(toks) - 2), " +
-            "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("ng"))
+        explode(graft.functions.WordNGrams.wordNGrams($"text", 3)).as("ng"))
   }
 
   def q68(s: SparkSession, dir: String): DataFrame = {
