@@ -182,10 +182,15 @@ object CorpusPipeline {
     * pipeline can honor. Eval grams broadcast (benchmark-sized). */
   private[graft] def externalDecon(docs: DataFrame, toksCol: String,
       evalDocs: DataFrame, cfg: Config): DataFrame = {
+    // fused WordNGrams pass: the eval side derives grams FRESH from
+    // user-provided text with no checkpoint boundary in between — the
+    // one gram site the r16 audit's latent-quadratic finding (inlined
+    // split under an explode consumer, NOTES_r16) could still reach.
+    // Bit-equal: <3-word and null-text docs yield no gram rows either
+    // way (empty-array/null explode == the old size filter).
     val evalGrams = evalDocs
-      .withColumn("__etoks", split(col(cfg.textCol), " "))
-      .filter(size(col("__etoks")) >= 3)
-      .select(explode(wordTrigrams("__etoks")).as("ng")).distinct()
+      .select(explode(graft.functions.WordNGrams
+        .wordNGrams(col(cfg.textCol), 3)).as("ng")).distinct()
     val contaminated = docs
       .filter(size(col(toksCol)) >= 3)
       .select(col(cfg.idCol).as("__gid"),
