@@ -664,6 +664,19 @@ object Graft {
         operators.SourceOverlap.Prefix(8)): DataFrame =
     operators.SourceOverlap.overlapMatrix(docs, textCol, sourceCol, window)
 
+  /** Per-source boilerplate removal — the acting half of
+    * [[sourceOverlap]]: every (source, word-window) family shared by
+    * ≥ `minDocs` same-source documents has the window token-spliced
+    * out of each member; everything else (other sources under the same
+    * words, singletons, null text) passes through byte-unchanged.
+    * Family keys are detected digest-only and broadcast back, so
+    * corpus text never shuffles. See [[operators.Boilerplate.strip]]. */
+  def stripBoilerplate(docs: DataFrame, textCol: String, sourceCol: String,
+      window: operators.SourceOverlap.Window =
+        operators.SourceOverlap.Prefix(8),
+      minDocs: Int = 2): DataFrame =
+    operators.Boilerplate.strip(docs, textCol, sourceCol, window, minDocs)
+
   // ---- columnar functions ---------------------------------------------
 
   /** Codegen cosine similarity between two ARRAY&lt;DOUBLE&gt; columns. */

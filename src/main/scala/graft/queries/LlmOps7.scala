@@ -287,4 +287,45 @@ object LlmOps7 {
       |       round(avg(cs), 6) + 0.0 AS avg_cos,
       |       round(min(cs), 6) + 0.0 AS min_cos
       |FROM cos GROUP BY label ORDER BY label""".stripMargin
+
+  // ---- Q116: per-source boilerplate strip ------------------------------
+  // The ACTING half of q113's audit: every (source, first-8-words)
+  // family shared by ≥2 documents of the SAME source has that prefix
+  // removed from each member (token splice — the separator space is
+  // the only character consumed); every other document, including a
+  // lone doc in another source under the very same prefix, passes
+  // through byte-unchanged. Null text is never a family member here
+  // (nothing to strip), where the overlap MATRIX deliberately counts
+  // null-null pairs. Whole-span members (≤8-word docs) strip to ''.
+  // Scale shape: operators.Boilerplate — family detection exchanges
+  // (source, digest) only, family keys broadcast back, so corpus text
+  // never shuffles; the oracle's coalesce covers DuckDB's NULL
+  // out-of-range slice where Spark's zero-length slice yields ''.
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Boilerplate.strip(
+        Tables(s, dir, "documents"), "text", "source",
+        graft.operators.SourceOverlap.Prefix(PrefixWords), minDocs = 2)
+      .select($"doc_id", $"source", $"text".as("text_out"), $"stripped")
+      .orderBy($"doc_id")
+  }
+  val q116Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, source, text,
+      |         CASE WHEN text IS NOT NULL THEN
+      |           array_to_string((string_split(text, ' '))[1:8], ' ')
+      |         END AS pfx
+      |  FROM documents
+      |), fam AS (
+      |  SELECT source, pfx FROM p WHERE pfx IS NOT NULL
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |)
+      |SELECT p.doc_id, p.source,
+      |       CASE WHEN f.pfx IS NOT NULL THEN
+      |         coalesce(
+      |           array_to_string((string_split(p.text, ' '))[9:], ' '), '')
+      |       ELSE p.text END AS text_out,
+      |       CAST(f.pfx IS NOT NULL AS INT) AS stripped
+      |FROM p LEFT JOIN fam f ON p.source = f.source AND p.pfx = f.pfx
+      |ORDER BY doc_id""".stripMargin
 }

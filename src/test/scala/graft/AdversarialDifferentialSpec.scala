@@ -45,7 +45,7 @@ class AdversarialDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q66_langid", "q67_repetition", "q68_decontaminate",
     "q69_chunking", "q70_pii_redact", "q104_winnow_passages",
     "q105_neardup_delta", "q108_line_dedup", "q109_char_entropy",
-    "q111_zipf_slope", "q113_source_overlap")
+    "q111_zipf_slope", "q113_source_overlap", "q116_boilerplate_strip")
 
   private def duckdbAvailable: Boolean =
     try {
