@@ -185,7 +185,7 @@ object ScaleBench {
     val fams: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
       else Set("1", "1b", "2", "3", "4", "5", "6", "7", "8", "9", "10",
-        "10b", "11")
+        "10b", "10c", "11")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -858,6 +858,92 @@ object ScaleBench {
             s"inline newPairs ${round2(tInline)}s ($recsInline recs), " +
             s"$nStore pairs (sets equal)")
         }
+      }
+    }
+
+    // ---- 10c. deduping compact: the deferred at-scale cost ------------
+    // VERDICT r15 task 5 prescribed measuring compact(dedupe = true)
+    // on family-10b data before relying on it as the E18 crash-bloat
+    // GC; the r16 session landed the flag spec-first and deferred this
+    // number. Model: one replayed drip append (the E18 post-store
+    // crash window re-delivered) bloats the store with a duplicate
+    // band-row set; both compact variants then run on CLONES of that
+    // bloated store (compacts mutate state — the family-11 clone
+    // rule), with the probe pair-set required identical across the
+    // bloated/plain/deduped states and the duplicate rows — exactly
+    // them — required gone after the deduping pass. Expected shape:
+    // plain is the shuffle-free per-cell merge, dedupe pays one
+    // cell-clustered shuffle of the whole store; the delta between the
+    // two IS the GC's price, it grows with the store, and that is why
+    // the scaladoc prescribes crash-frequency cadence, not daily.
+    if (fams("10c")) {
+      val dripFp = spark.read.parquet(
+        gen("fpsDrip20") { genFps(20, 91, 20000000) })
+      val probeFp = spark.read.parquet(
+        gen("fpsDelta500b") { genFps(500, 91, 10000000) })
+      def pairSet(dir: String): Set[(Long, Long)] =
+        operators.HammingStore.probe(spark, dir, probeFp)
+          .select("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((label, n) <- Seq("2m" -> 2000000L, "8m" -> 8000000L)) {
+        val corpusFp = spark.read.parquet(
+          gen(s"fps$label") { genFps(n, 91, 0) })
+        val baseStore = s"$work/hamstore10c_$label"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(baseStore))) {
+          val t0 = System.nanoTime()
+          operators.HammingStore.build(corpusFp, baseStore, "id", "f",
+            maxDist = 3, bits = 64, cells = 1024)
+          // the legit append, then its replay — the E18 post-store
+          // crash's bloat: one duplicate band-row set for the drip
+          operators.HammingStore.append(spark, baseStore, dripFp)
+          operators.HammingStore.append(spark, baseStore, dripFp)
+          println(f"GEN hamstore10c_$label ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        val st0 = operators.HammingStore.stats(spark, baseStore)
+        val dupRows = 20L * st0.numBands // the replayed drip, nothing else
+        val refPairs = pairSet(baseStore)
+        require(refPairs.nonEmpty, s"[$label] degenerate probe reference")
+        def timedCompact(dedupe: Boolean): (Double, String) = {
+          var lastClone = ""
+          val ts = (1 to runs).map { _ =>
+            Hygiene.clearAll(spark)
+            val dst = s"$work/ham10c_clone_${label}_${System.nanoTime()}"
+            org.apache.commons.io.FileUtils.copyDirectory(
+              new java.io.File(baseStore), new java.io.File(dst))
+            if (lastClone.nonEmpty)
+              org.apache.commons.io.FileUtils
+                .deleteDirectory(new java.io.File(lastClone))
+            lastClone = dst
+            val t0 = System.nanoTime()
+            operators.HammingStore.compact(spark, dst, dedupe = dedupe)
+            (System.nanoTime() - t0) / 1e9
+          }
+          (ts.sorted.apply(ts.size / 2), lastClone)
+        }
+        val (tPlain, plainDir) = timedCompact(dedupe = false)
+        val rowsPlain = operators.HammingStore.stats(spark, plainDir).bandRows
+        require(rowsPlain == st0.bandRows,
+          s"[$label] plain compact must preserve the row multiset: " +
+            s"$rowsPlain vs ${st0.bandRows}")
+        require(pairSet(plainDir) == refPairs,
+          s"[$label] probe diverged after plain compact")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(plainDir))
+        val (tDedupe, dedupeDir) = timedCompact(dedupe = true)
+        val rowsDeduped = operators.HammingStore.stats(spark, dedupeDir).bandRows
+        require(rowsDeduped == st0.bandRows - dupRows,
+          s"[$label] dedupe compact must drop exactly the replayed set: " +
+            s"$rowsDeduped vs ${st0.bandRows} - $dupRows")
+        require(pairSet(dedupeDir) == refPairs,
+          s"[$label] probe diverged after dedupe compact")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dedupeDir))
+        results += s"hamming10c_${label}_compact_plain_s" ->
+          s"${round2(tPlain)} ($rowsPlain rows kept)"
+        results += s"hamming10c_${label}_compact_dedupe_s" ->
+          s"${round2(tDedupe)} ($dupRows dup rows dropped)"
+        println(s"10c. [$label] compact on the crash-bloated store: " +
+          s"plain ${round2(tPlain)}s (multiset preserved) vs " +
+          s"dedupe ${round2(tDedupe)}s ($dupRows dup rows dropped; " +
+          s"probe pair-set identical in all three states)")
       }
     }
 

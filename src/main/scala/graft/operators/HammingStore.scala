@@ -304,8 +304,18 @@ object HammingStore {
     * byte-identity for the GC: same pair output (spec'd), row multiset
     * reduced to the set. It is one cell-clustered shuffle of the whole
     * store (the build's write shape, ~1 file per cell) rather than the
-    * plain path's shuffle-free per-cell merge — run it at the slower
-    * cadence crash frequency warrants, not daily. */
+    * plain path's shuffle-free per-cell merge.
+    *
+    * Cost, measured not assumed (ScaleBench family 10c, 1024-cell
+    * stores at 10M/40M band rows): the per-cell path is DRIVER-JOB
+    * bound, not data bound — ~1024 near-constant-latency jobs came to
+    * 156–210 s sequential, 33–36 s with [[Compaction.compactPartitioned]]'s
+    * 16-thread pool — while the whole-store shuffle cost 7–14 s at
+    * both sizes. So at these store sizes the deduping rewrite is the
+    * CHEAPER operation; choose the plain path for its byte-identity
+    * guarantee (and its shuffle-freedom once per-cell data actually
+    * dominates job latency), not on an assumption that dedupe is the
+    * expensive one. */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024,
       dedupe: Boolean = false): (Int, Int) =
