@@ -50,13 +50,88 @@ object Boilerplate {
   /** `docs` with `textCol` rewritten (boilerplate window removed for
     * family members, unchanged otherwise) and a 0/1 `strippedCol`
     * appended. Column set = docs.* + strippedCol; row count, order
-    * contract and every non-text column untouched. */
+    * contract and every non-text column untouched.
+    *
+    * Equals [[applyFamilies]] over [[detectFamilies]] of the same
+    * input — use the split form when families must be FROZEN: family
+    * membership depends on the whole corpus (a later document can
+    * promote an earlier singleton into a family), so an incremental
+    * consumer that re-detected per increment would rewrite history.
+    * Detecting once — on the genesis corpus, or from a curated
+    * template list — and applying that fixed table per increment is
+    * the same per-document-decision-against-a-fixed-set contract the
+    * delta pipeline's decontamination stage already demands. */
   def strip(docs: DataFrame, textCol: String, sourceCol: String,
       window: Window = Prefix(8), minDocs: Int = 2,
       strippedCol: String = "stripped"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be at least 2: $minDocs")
+    applyFamilies(docs,
+      detectFamilies(docs, textCol, sourceCol, window, minDocs),
+      textCol, sourceCol, window, strippedCol)
+  }
+
+  /** The family table of `docs` under `window`: one (`source`, `dg`)
+    * row per (source, window-digest) group with ≥ `minDocs` eligible
+    * member documents — the detect half of [[strip]], materializable
+    * (it is a plain two-column DataFrame) so an incremental pipeline
+    * can freeze it. Null text (and, under [[At]], offset-ineligible
+    * documents) never contributes. */
+  def detectFamilies(docs: DataFrame, textCol: String, sourceCol: String,
+      window: Window = Prefix(8), minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2: $minDocs")
+    val (_, _, dg) = spanKeepDigest(docs, textCol, window)
+    // one read of the corpus; the exchange carries (source, digest)
+    docs
+      .select(col(sourceCol).as("source"), dg.as("dg"))
+      .filter(col("dg").isNotNull)
+      .groupBy(col("source"), col("dg"))
+      .agg(count(lit(1)).as("__bp_n"))
+      .filter(col("__bp_n") >= minDocs)
+      .drop("__bp_n")
+  }
+
+  /** The apply half of [[strip]]: rewrite `docs` against an existing
+    * (`source`, `dg`) family table (from [[detectFamilies]], possibly
+    * of an EARLIER corpus — the frozen-family incremental contract, or
+    * a curated list keyed by the same sha2-of-window digests). The
+    * family table is broadcast; corpus text never shuffles. */
+  def applyFamilies(docs: DataFrame, families: DataFrame,
+      textCol: String, sourceCol: String,
+      window: Window = Prefix(8),
+      strippedCol: String = "stripped"): DataFrame = {
     require(!docs.columns.contains(strippedCol),
       s"output column '$strippedCol' already exists in the input")
+    require(families.columns.toSet == Set("source", "dg"),
+      s"families must be a (source, dg) table from detectFamilies, " +
+        s"got: ${families.columns.mkString(", ")}")
+    val (_, keep, dg) = spanKeepDigest(docs, textCol, window)
+    // the rewrite read: a strip() caller pays two honest corpus reads
+    // total (detect, rewrite) — the q114 shape. The single-read
+    // alternative would count families with a window over (source,
+    // digest), which shuffles the full corpus TEXT; here text never
+    // leaves its partition and the join side is a broadcast.
+    val fams = families
+      .select(col("source").as("__bp_src"), col("dg").as("__bp_fdg"))
+    docs
+      .withColumn("__bp_dg", dg)
+      .join(broadcast(fams),
+        col(sourceCol) === col("__bp_src") &&
+          col("__bp_dg") === col("__bp_fdg"), "left")
+      .withColumn(strippedCol,
+        col("__bp_src").isNotNull.cast("int"))
+      .withColumn(textCol,
+        when(col(strippedCol) === 1, array_join(keep, " "))
+          .otherwise(col(textCol)))
+      .drop("__bp_dg", "__bp_src", "__bp_fdg")
+  }
+
+  /** The shared window arithmetic: (span, keep, digest) columns over
+    * `textCol`'s single-space token array. The digest is NULL for
+    * ineligible rows (null text; under [[At]], no word at the offset),
+    * so they can neither form nor join a family — equi-join keys never
+    * match null. */
+  private def spanKeepDigest(docs: DataFrame, textCol: String,
+      window: Window): (Column, Column, Column) = {
     val w: Column = split(col(textCol), " ")
     val (span: Column, keep: Column, eligible: Column) = window match {
       case Prefix(k) =>
@@ -80,31 +155,6 @@ object Boilerplate {
               greatest(size(w) - (off + k), lit(0)))),
           col(textCol).isNotNull && size(w) > off)
     }
-    // digest is NULL for ineligible rows, so they can neither form nor
-    // join a family (equi-join keys never match null)
-    val dg = when(eligible, sha2(array_join(span, " "), 256))
-    // two reads of the corpus (family detection, rewrite join) — the
-    // q114 "honest two reads" shape: a single-read alternative would
-    // count families with a window over (source, digest), which
-    // shuffles the full corpus TEXT; here text never leaves its
-    // partition and the second read's join side is a broadcast.
-    val fams = docs
-      .select(col(sourceCol).as("__bp_src"), dg.as("__bp_fdg"))
-      .filter(col("__bp_fdg").isNotNull)
-      .groupBy(col("__bp_src"), col("__bp_fdg"))
-      .agg(count(lit(1)).as("__bp_n"))
-      .filter(col("__bp_n") >= minDocs)
-      .drop("__bp_n")
-    docs
-      .withColumn("__bp_dg", dg)
-      .join(broadcast(fams),
-        col(sourceCol) === col("__bp_src") &&
-          col("__bp_dg") === col("__bp_fdg"), "left")
-      .withColumn(strippedCol,
-        col("__bp_src").isNotNull.cast("int"))
-      .withColumn(textCol,
-        when(col(strippedCol) === 1, array_join(keep, " "))
-          .otherwise(col(textCol)))
-      .drop("__bp_dg", "__bp_src", "__bp_fdg")
+    (span, keep, when(eligible, sha2(array_join(span, " "), 256)))
   }
 }
