@@ -39,4 +39,15 @@ object Hygiene {
       : org.apache.spark.sql.DataFrame =
     if (df.sparkSession.conf.getOption(SkipEagerCutConf).contains("true")) df
     else df.localCheckpoint(eager = true)
+
+  /** Run `f` with a Spark job description (guide §1.5: label your
+    * jobs) — restores the previous description after, so a labeled
+    * phase nested in another keeps the outer label. Thread-local, like
+    * the underlying property, so concurrent phases label independently. */
+  def labeled[T](s: SparkSession, d: String)(f: => T): T = {
+    val sc = s.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(d)
+    try f finally sc.setJobDescription(old)
+  }
 }

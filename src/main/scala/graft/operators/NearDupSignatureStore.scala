@@ -191,14 +191,18 @@ object NearDupSignatureStore {
     * the daily loop signs its increment exactly once. An empty
     * increment writes nothing (no empty sliver files). */
   private def appendPrepared(spark: SparkSession, dir: String,
-      m: StoreMeta, dt: DataFrame, sigs: DataFrame): Unit = {
+      m: StoreMeta, dt: DataFrame, sigs: DataFrame,
+      deltaHasNullMask: Option[Boolean] = None): Unit = {
     import spark.implicits._
     if (dt.isEmpty) return
     // demote BEFORE the rows land: a crash between the two writes
     // then leaves the store conservatively generic (slower, correct)
-    // instead of mask-complete with NULL masks (missed pairs)
-    if (m.mask_complete &&
-        sigs.filter($"mask".isNull).limit(1).count() > 0)
+    // instead of mask-complete with NULL masks (missed pairs).
+    // `deltaHasNullMask` threads the probe's already-computed answer
+    // through (one fewer job per increment); None = standalone append,
+    // run the check here.
+    if (m.mask_complete && deltaHasNullMask.getOrElse(
+        sigs.filter($"mask".isNull).limit(1).count() > 0))
       writeMeta(spark, dir, m.copy(mask_complete = false))
     // cell-clustered like build: each append adds ≤1 file per cell,
     // not one per (input partition × cell) — the store's file count
@@ -229,16 +233,58 @@ object NearDupSignatureStore {
     * keep probe → durable write → append where it is not
     * ([[graft.streaming.StreamingNearDup]]'s reconcile). */
   def probeThenAppend(spark: SparkSession, dir: String,
-      delta: DataFrame): DataFrame =
-    MaintenanceLease.withLease(spark, dir, "probe+append") {
-      val (frame, sigs, dt, m, release) =
-        probeParts(spark, dir, delta, persistDelta = true)
-      try {
-        val out = frame.localCheckpoint(eager = true)
-        appendPrepared(spark, dir, m, dt, sigs)
-        out
-      } finally release()
-    }
+      delta: DataFrame): DataFrame = {
+    val (out, done) = probeThenAppendOverlapped(spark, dir, delta,
+      new java.util.concurrent.Executor {
+        def execute(r: Runnable): Unit = r.run() // same-thread: sequential
+      })
+    scala.concurrent.Await.result(done,
+      scala.concurrent.duration.Duration.Inf)
+    out
+  }
+
+  /** [[probeThenAppend]] with the APPEND half overlapped (guide §2.6:
+    * overlap independent jobs): the probe's pairs are returned as soon
+    * as they are materialized, while the append's three writes — which
+    * nothing downstream of the pairs reads — run on `exec`. The store
+    * lease covers probe AND append exactly as in the sequential form
+    * (acquired before the probe, released after the append, on the
+    * executor's thread). The caller MUST await the returned future
+    * before any step that needs the append durable (e.g. a pipeline's
+    * commit point); the future carries any append failure. Crash
+    * semantics are unchanged from [[probeThenAppend]] — the fused
+    * form's relaxed window (pairs not yet durable when the store
+    * mutates) is the same either way and is covered by the caller's
+    * exactly-once contract. */
+  private[graft] def probeThenAppendOverlapped(spark: SparkSession,
+      dir: String, delta: DataFrame, exec: java.util.concurrent.Executor)
+      : (DataFrame, scala.concurrent.Future[Unit]) = {
+    val probed = scala.concurrent.Promise[DataFrame]()
+    val done = scala.concurrent.Promise[Unit]()
+    exec.execute(new Runnable {
+      def run(): Unit =
+        try {
+          MaintenanceLease.withLease(spark, dir, "probe+append") {
+            val (frame, sigs, dt, m, release, hasNull) =
+              probeParts(spark, dir, delta, persistDelta = true)
+            try {
+              probed.success(frame.localCheckpoint(eager = true))
+              appendPrepared(spark, dir, m, dt, sigs, Some(hasNull))
+            } finally release()
+          }
+          done.success(())
+        } catch {
+          case t: Throwable =>
+            // a pre-probe failure must release the caller's block on
+            // `probed` too; if the probe already succeeded, only the
+            // append future carries the failure
+            probed.tryFailure(t)
+            done.failure(t)
+        }
+    })
+    (scala.concurrent.Await.result(probed.future,
+      scala.concurrent.duration.Duration.Inf), done.future)
+  }
 
   /** All near-dup pairs INTRODUCED by `delta` (doc_id, toks) against
     * the store — (doc_a, doc_b, jaccard), exact-verified, id-ordered,
@@ -249,7 +295,7 @@ object NearDupSignatureStore {
     * regime, one pruned scan of `toksets`); signatures are computed
     * over the delta only. */
   def probe(spark: SparkSession, dir: String, delta: DataFrame): DataFrame = {
-    val (frame, _, _, _, release) =
+    val (frame, _, _, _, release, _) =
       probeParts(spark, dir, delta, persistDelta = true)
     try frame.localCheckpoint(true)
     finally release()
@@ -274,9 +320,10 @@ object NearDupSignatureStore {
 
   /** Return shape of [[probeParts]]: (pair frame, persisted delta
     * signatures, delta (doc_id, toks) projection, store meta, release
-    * of every within-call persist). */
+    * of every within-call persist, delta-has-null-mask — the probe's
+    * already-computed vocabulary answer, reused by the fused append). */
   private type ProbeParts =
-    (DataFrame, DataFrame, DataFrame, StoreMeta, () => Unit)
+    (DataFrame, DataFrame, DataFrame, StoreMeta, () => Unit, Boolean)
 
   /** Generic-verify prune-strategy cap: up to this many DISTINCT
     * store-side candidate ids are collected and pushed into the
@@ -334,9 +381,12 @@ object NearDupSignatureStore {
     val store = PrunedRead.partitions(spark, sigsLive(spark, dir),
       "cell", cellVals)
     // map-side mask verify only when the store's masks are complete AND
-    // the delta stayed inside the frozen vocabulary
-    val maskOk = m.mask_complete &&
-      deltaSigs.filter($"mask".isNull).limit(1).isEmpty
+    // the delta stayed inside the frozen vocabulary. The null-mask
+    // answer is computed ONCE and threaded to the fused append's
+    // demote check (it used to re-run the same job).
+    val deltaHasNullMask = m.mask_complete &&
+      !deltaSigs.filter($"mask".isNull).limit(1).isEmpty
+    val maskOk = m.mask_complete && !deltaHasNullMask
     // old–new: pruned store scan ⋈ broadcast delta signatures (the
     // store side never shuffles); new–new: delta self-join, id-ordered
     // (the inline operator's orientation rule — old side matches every
@@ -426,7 +476,7 @@ object NearDupSignatureStore {
       () => if (persistDelta) {
         deltaSigs.unpersist()
         toRelease.foreach(_.unpersist())
-      } else ())
+      } else (), deltaHasNullMask)
   }
 
   // ---- maintenance surface (VERDICT r8 task 1) ------------------------

@@ -119,6 +119,26 @@ import org.apache.spark.sql.functions._
 object CorpusPipelineDelta {
   import CorpusPipeline.Config
 
+  /** Shared daemon pool for a fold's overlappable side jobs (guide
+    * §2.6 — overlap independent jobs): the digest-ledger append, the
+    * media half, the store append and the meta staging have no
+    * downstream readers inside the fold, so they run here while the
+    * main thread walks the dependent chain. Cached (grows on demand,
+    * reclaims idle threads); daemon so a dying driver never hangs on
+    * it. Every launched job is AWAITED before the fold's commit point. */
+  private lazy val foldPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-fold-side-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+  private lazy val foldEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(foldPool)
+
   private def storeDir(stateDir: String) = s"$stateDir/store"
   private def digestsDir(stateDir: String) = s"$stateDir/digests"
   private def mixDir(stateDir: String) = s"$stateDir/mix"
@@ -330,7 +350,8 @@ object CorpusPipelineDelta {
     // honored from bounded state and would otherwise diverge from the
     // batch answer SILENTLY. States from before the fingerprint simply
     // gain one on their next fold.
-    val meta0 = readMetaState(s, stateDir)
+    val meta0 = graft.Hygiene.labeled(s, "fold: meta read") {
+      readMetaState(s, stateDir) }
     val fp = cfgFingerprint(cfg)
     // migration (r13 review finding): fingerprints persisted before the
     // keepLangs sort rendered the build-time Seq order verbatim — the
@@ -354,9 +375,10 @@ object CorpusPipelineDelta {
     // Cast to long so any integral id width works — the batch twin is
     // type-generic, and an IntegerType id would otherwise die in
     // getLong with an unhelpful ClassCastException (ADVICE r11)
-    val bounds = delta.agg(min(col(cfg.idCol).cast("long")).as("lo"),
-      max(col(cfg.idCol).cast("long")).as("hi"),
-      count(col(cfg.idCol)).as("n")).collect().head
+    val bounds = graft.Hygiene.labeled(s, "fold: id bounds") {
+      delta.agg(min(col(cfg.idCol).cast("long")).as("lo"),
+        max(col(cfg.idCol).cast("long")).as("hi"),
+        count(col(cfg.idCol)).as("n")).collect().head }
     val prevMax = meta0.maxId
     if (!bounds.isNullAt(0))
       prevMax.filter(_ >= bounds.getLong(0)).foreach(m =>
@@ -373,9 +395,10 @@ object CorpusPipelineDelta {
     // [[graft.multimodal.Multimodal.imageDedupDelta]] contract. Checked
     // BEFORE the journal, like the text check: the fold must refuse
     // before its first mutation.
-    val mediaBounds = media.map(_.toDF().agg(
-      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-      .collect().head)
+    val mediaBounds = graft.Hygiene.labeled(s, "fold: media id bounds") {
+      media.map(_.toDF().agg(
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .collect().head) }
     val prevMediaMax = meta0.mediaMaxId
     mediaBounds.filterNot(_.isNullAt(0)).foreach(b =>
       prevMediaMax.filter(_ >= b.getLong(0)).foreach(m =>
@@ -420,7 +443,8 @@ object CorpusPipelineDelta {
       }
     // consumed by four stages (store ops, retention, decon, digest
     // append) — cut once, like the batch pipeline's `retained`
-    val exactNew = graft.Hygiene.eagerCut(exactNew0)
+    val exactNew = graft.Hygiene.labeled(s, "fold: gate+exact-dedup cut") {
+      graft.Hygiene.eagerCut(exactNew0) }
 
     // ---- JOURNAL: everything below mutates state. Snapshot what the
     // increment's appends can touch, so [[recoverFold]] can roll a
@@ -430,6 +454,42 @@ object CorpusPipelineDelta {
       if (bounds.isNullAt(0)) "empty-increment"
       else s"ids_${bounds.getLong(0)}_${bounds.getLong(1)}")
     writeJournal(s, stateDir, token)
+
+    // ---- OVERLAP (optimization r16, guide §2.6): everything between
+    // the journal and the commit marker is rollback-covered file
+    // appends/stagings, so the side jobs nothing downstream reads —
+    // the digest-ledger append, the media half, the store append, the
+    // meta staging — run on [[foldPool]] while the main thread walks
+    // the dependent chain (store probe → retention → decon → mix).
+    // Every side job is awaited BEFORE the pre-commit crash seam, so
+    // the commit point sees exactly the same durable state as the
+    // sequential form; a failure anywhere (including an injected crash
+    // seam riding a side job) first joins every in-flight side job —
+    // recovery then rolls back a stable, not still-mutating, state.
+    val pending = scala.collection.mutable.ListBuffer
+      .empty[(String, scala.concurrent.Future[Unit])]
+    def bg(label: String)(body: => Unit): Unit =
+      pending += label -> scala.concurrent.Future(
+        graft.Hygiene.labeled(s, label)(body))(foldEc)
+    def awaitPending(): Unit = {
+      val results = pending.toList.map { case (_, f) =>
+        scala.concurrent.Await.ready(f,
+          scala.concurrent.duration.Duration.Inf).value.get
+      }
+      pending.clear()
+      results.collectFirst { case scala.util.Failure(t) => throw t }
+        .foreach(_ => ())
+    }
+    try {
+
+    // 6→(overlapped): digest-ledger append (delta-sized) — BEFORE the
+    // commit point like every state append; nothing in this fold reads
+    // the ledger after `exactNew` was cut, so it rides the pool from
+    // the moment the journal exists
+    bg("fold: digest append") {
+      exactNew.select(col("__digest")).distinct()
+        .write.mode("append").parquet(Compaction.resolveLive(fs, dPath))
+    }
 
     // 3. near-dup pairs via the signature store. GENESIS (no store
     // yet — typically the big day-0 corpus): within-increment pairs
@@ -447,19 +507,37 @@ object CorpusPipelineDelta {
     val withToks = exactNew.select(col(cfg.idCol).as("doc_id"),
       array_distinct(col("__toks")).as("toks"))
     val stPath = storeDir(stateDir)
-    val pairs =
+    val pairs = graft.Hygiene.labeled(s, "fold: neardup store") {
       if (!NearDupSignatureStore.exists(s, stPath)) {
         if (withToks.isEmpty)
           Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
         else {
           val p = ApproxOps.minhashNearDupPairs(withToks,
             cfg.nearDupThreshold, sorted = false)
-          NearDupSignatureStore.build(withToks, stPath,
-            cfg.nearDupThreshold, storeCells)
+          // the built store has no reader inside this fold (the probe
+          // path is next increment's) — overlap it with retention/decon
+          bg("fold: neardup store build") {
+            NearDupSignatureStore.build(withToks, stPath,
+              cfg.nearDupThreshold, storeCells)
+          }
           p
         }
-      } else
-        NearDupSignatureStore.probeThenAppend(s, stPath, withToks)
+      } else {
+        // fused probe+append with the APPEND half overlapped: the
+        // pairs return as soon as they are materialized; the append's
+        // writes join `pending` and complete before the commit point
+        val (p, appendDone) = NearDupSignatureStore
+          .probeThenAppendOverlapped(s, stPath, withToks,
+            new java.util.concurrent.Executor {
+              def execute(r: Runnable): Unit = foldPool.execute(
+                new Runnable {
+                  def run(): Unit =
+                    graft.Hygiene.labeled(s, "fold: neardup store")(r.run())
+                })
+            })
+        pending += "fold: neardup store append" -> appendDone
+        p
+      } }
     maybeCrash(s, "post-store")
 
     // 3m. MEDIA half (round 16 — the last uncomposed capstone): dedup
@@ -477,7 +555,7 @@ object CorpusPipelineDelta {
     // append the pair log → ledger EVERY media id (fp NULL for
     // fingerprint-less rows: they are retained by definition, and the
     // ledger is what [[retainedMediaIds]] replays retention over).
-    media.foreach { m =>
+    media.foreach { m => bg("fold: media dedup") {
       val msd = mediaStoreDir(stateDir)
       val fps = graft.Hygiene.eagerCut(
         Multimodal.imageFingerprints(m).toDF())
@@ -506,7 +584,7 @@ object CorpusPipelineDelta {
           .write.mode("append")
           .parquet(Compaction.resolveLive(fs, mediaSeenDir(stateDir)))
       maybeCrash(s, "post-media")
-    } // the dirtiest recovery window
+    } } // the dirtiest recovery window
 
     // 4. greedy retention, delta side: ids increase, so every pair's
     // doc_b (the GREATER id) is a delta doc — exactly the batch rule
@@ -516,45 +594,27 @@ object CorpusPipelineDelta {
     // and on the GENESIS path `pairs` is the lazy inline banded
     // operator — without the cut the full pair job re-runs per
     // consumer (r11 sweep finding, caught pre-commit)
-    val retainedDelta = graft.Hygiene.eagerCut(
-      Dedup.greedyRetain(exactNew, pairs, cfg.idCol))
+    val retainedDelta = graft.Hygiene.labeled(s, "fold: retention cut") {
+      graft.Hygiene.eagerCut(
+        Dedup.greedyRetain(exactNew, pairs, cfg.idCol)) }
 
     // 5. external decon — per-doc decision against the fixed benchmark
     val deconDelta = CorpusPipeline.externalDecon(retainedDelta,
       "__toks", evalDocs, cfg)
 
-    // 6. digest-ledger append (delta-sized) — BEFORE the commit point:
-    // a pre-commit crash removes the appended files via the journal
-    // snapshot, so the ledger is never half-an-increment ahead of the
-    // mix/meta the commit protocol below swaps in
-    exactNew.select(col("__digest")).distinct()
-      .write.mode("append").parquet(Compaction.resolveLive(fs, dPath))
+    // (step 6, the digest-ledger append, was launched onto the pool
+    // right after the journal — see the OVERLAP note above; it is
+    // awaited with every other side job before the commit point, so
+    // the ledger is never half-an-increment ahead of the mix/meta the
+    // commit protocol below swaps in)
 
-    // 7. mixture quotas: merge the delta's survivors into the persisted
-    // top-quota state and re-rank (the batch operator over
-    // state ∪ delta — ≤ Σ quotas + |delta| rows)
-    val candCols =
-      Seq(cfg.idCol, cfg.sourceCol, cfg.langCol, cfg.textCol).map(col)
-    val mPath = mixDir(stateDir)
-    Compaction.recoverSwap(s, mPath) // pre-journal-era crash residue
-    val cands =
-      if (!Compaction.liveExists(fs, mPath)) deconDelta.select(candCols: _*)
-      else s.read.parquet(Compaction.resolveLive(fs, mPath))
-        .unionByName(deconDelta.select(candCols: _*))
-    val mixed = LlmOps6.mixtureSample(cands, cfg.sourceCol, cfg.textCol,
-      cfg.idCol, cfg.quotas).drop("rnk")
-    // stage the new mix + meta as __next dirs — no swap yet (NEVER
-    // overwrite the dir the plan is reading); the swaps land together
-    // after the commit marker below
-    val next = s"${mPath}__next"
-    fs.delete(new Path(next), true)
-    mixed.coalesce(1).write.mode("overwrite").parquet(next)
+    // meta staging — a pure function of the bounds/meta0 already in
+    // hand, with no reader before the post-commit swap: computed here,
+    // written on the pool while the mix stage runs
     val newMax: Option[Long] =
       if (!bounds.isNullAt(1))
         Some(math.max(bounds.getLong(1), prevMax.getOrElse(Long.MinValue)))
       else prevMax
-    val metaNext = s"${metaDir(stateDir)}__next"
-    fs.delete(new Path(metaNext), true)
     // the TAGGED batch's delta id bounds ride along for the streaming
     // sink's skip verification (see LastBatchInfo); an untagged manual
     // fold carries the previous record through, paired with the carried
@@ -570,12 +630,42 @@ object CorpusPipelineDelta {
       .filterNot(_.isNullAt(1))
       .map(b => math.max(b.getLong(1), prevMediaMax.getOrElse(Long.MinValue)))
       .orElse(prevMediaMax)
-    Seq((newMax, batchTag.orElse(meta0.lastBatch), fp, bLo, bHi, bN,
-        newMediaMax))
-      .toDF("max_id", "last_batch", "cfg_fp", "batch_lo", "batch_hi",
-        "batch_n", "media_max_id")
-      .coalesce(1).write.mode("overwrite").parquet(metaNext)
+    bg("fold: meta stage") {
+      val metaNext = s"${metaDir(stateDir)}__next"
+      fs.delete(new Path(metaNext), true)
+      Seq((newMax, batchTag.orElse(meta0.lastBatch), fp, bLo, bHi, bN,
+          newMediaMax))
+        .toDF("max_id", "last_batch", "cfg_fp", "batch_lo", "batch_hi",
+          "batch_n", "media_max_id")
+        .coalesce(1).write.mode("overwrite").parquet(metaNext)
+    }
 
+    // 7. mixture quotas: merge the delta's survivors into the persisted
+    // top-quota state and re-rank (the batch operator over
+    // state ∪ delta — ≤ Σ quotas + |delta| rows)
+    val mPath = mixDir(stateDir)
+    graft.Hygiene.labeled(s, "fold: mix stage") {
+    val candCols =
+      Seq(cfg.idCol, cfg.sourceCol, cfg.langCol, cfg.textCol).map(col)
+    Compaction.recoverSwap(s, mPath) // pre-journal-era crash residue
+    val cands =
+      if (!Compaction.liveExists(fs, mPath)) deconDelta.select(candCols: _*)
+      else s.read.parquet(Compaction.resolveLive(fs, mPath))
+        .unionByName(deconDelta.select(candCols: _*))
+    val mixed = LlmOps6.mixtureSample(cands, cfg.sourceCol, cfg.textCol,
+      cfg.idCol, cfg.quotas).drop("rnk")
+    // stage the new mix + meta as __next dirs — no swap yet (NEVER
+    // overwrite the dir the plan is reading); the swaps land together
+    // after the commit marker below
+    val next = s"${mPath}__next"
+    fs.delete(new Path(next), true)
+    mixed.coalesce(1).write.mode("overwrite").parquet(next)
+    } // fold: mix stage
+
+    // every pool-side job must be durable before the commit decision —
+    // the pre-commit state a crash here leaves is then exactly the
+    // sequential form's
+    awaitPending()
     maybeCrash(s, "pre-commit")
     // ---- COMMIT: the marker flips recovery from roll-back to
     // roll-forward; everything after it is idempotent-completable ----
@@ -595,6 +685,14 @@ object CorpusPipelineDelta {
     maybeCrash(s, "mid-retire")
     fs.delete(new Path(commitMark(stateDir)), false)
     fs.delete(new Path(metaCopy(stateDir)), true)
+    } catch {
+      case t: Throwable =>
+        // join every in-flight side job before propagating — recovery
+        // must see a stable, not still-mutating, partial state (their
+        // own failures are secondary to the primary error)
+        try awaitPending() catch { case _: Throwable => () }
+        throw t
+    }
     } // fold lease
   }
 
@@ -606,9 +704,10 @@ object CorpusPipelineDelta {
     * output must be detached from the state it was refreshed from. */
   def refreshOutput(s: SparkSession, stateDir: String,
       cfg: Config = Config()): DataFrame =
-    graft.Hygiene.eagerCut(
-      CorpusPipeline.tailSplitPack(s.read.parquet(
-        Compaction.resolveLive(fsOf(s, stateDir), mixDir(stateDir))), cfg))
+    graft.Hygiene.labeled(s, "fold: tail split+pack") {
+      graft.Hygiene.eagerCut(
+        CorpusPipeline.tailSplitPack(s.read.parquet(
+          Compaction.resolveLive(fsOf(s, stateDir), mixDir(stateDir))), cfg)) }
 
   /** Every media near-dup pair folded so far:
     * (doc_id_a < doc_id_b, hamming). Empty (schema intact) before any
