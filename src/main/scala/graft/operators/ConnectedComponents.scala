@@ -55,9 +55,67 @@ object ConnectedComponents {
     * exactly the distributed fixed point. */
   def labels(nodes: DataFrame, edgesIn: DataFrame,
       broadcastNodeCap: Long = 4000000L, maxIters: Int = 30,
-      driverFinishEdgeCap: Long = 500000L): DataFrame = {
+      driverFinishEdgeCap: Long = 500000L,
+      driverWholeGraphNodeCap: Long = 1000L): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
+    // TINY-GRAPH fast path (optimization r16): at or under
+    // `driverWholeGraphNodeCap` nodes the whole problem fits the driver
+    // — collect nodes and edges (edges ≤ n²/2 ≈ 500k rows at the
+    // default cap, the same bound class as driverFinishEdgeCap) and
+    // run the min-root union-find directly. The distributed loop costs
+    // ≥ ~10 sequential driver-latency jobs per call even on a 100-row
+    // graph (count, persist, per-round join+count+contract), which is
+    // pure scheduling tail at any scale — exactly the regime the
+    // leakage-safe split hits on a quota-bounded mix. Output identical:
+    // min-root union-find IS the distributed fixed point (see
+    // [[driverFinish]]). The probe is a limit(cap+1) collect — on a
+    // large node set it terminates early and costs one cheap job.
+    val nodeCapInt = math.min(driverWholeGraphNodeCap,
+      Int.MaxValue.toLong - 1).toInt
+    val nodeProbe = nodes.select(col("id"))
+      .limit(nodeCapInt + 1).collect()
+    if (nodeProbe.length <= nodeCapInt) {
+      // the edge collect is bounded too: a tiny node set admits at most
+      // n² DISTINCT directed pairs, but the input is a multiset — an
+      // upstream pair generator replaying duplicates must not turn this
+      // into an unbounded driver collect. Probe cap² + 1 rows (≤ ~32 MB
+      // of long pairs at the 1000 default); beyond that, fall through to
+      // the distributed loop, whose contraction distincts. Null
+      // endpoints are dropped to match the join semantics of the
+      // distributed rounds (an equi-join never matches NULL, so such
+      // edges carry no information there either).
+      val edgeProbeCap = math.min(
+        driverWholeGraphNodeCap * driverWholeGraphNodeCap,
+        Int.MaxValue.toLong - 1)
+      val es = edgesIn.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .limit(edgeProbeCap.toInt + 1).collect()
+      if (es.length <= edgeProbeCap) {
+        val idType = nodes.schema("id").dataType
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        es.foreach { row =>
+          val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+          if (ra != rb) {
+            if (ltIds(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val out = nodeProbe.map(r => Row(r.get(0), find(r.get(0))))
+        return s.createDataFrame(
+          s.sparkContext.parallelize(out.toSeq, 1),
+          StructType(Seq(StructField("id", idType),
+            StructField("label", idType))))
+      }
+    }
     val nNodes = nodes.count()
     val bcastLabels = nNodes <= broadcastNodeCap
     // pre-partition on the join key only when the label side will
@@ -165,6 +223,18 @@ object ConnectedComponents {
     } finally edges.unpersist()
   }
 
+  /** Driver-side id ordering, shared by the tiny-graph fast path and
+    * [[driverFinish]]: string ids must compare the way the distributed
+    * rounds' min/least do — UTF8String's unsigned-byte (code point)
+    * order. Java String compareTo is UTF-16 code-unit order, which
+    * diverges once supplementary characters mix with U+E000..U+FFFF. */
+  private def ltIds(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+  }
+
   /** Union-find over a (bounded, collected) label-level edge set, then
     * one broadcast-joined remap of the label relation. Roots are the
     * per-component min under the ids' natural ordering — the same
@@ -175,16 +245,7 @@ object ConnectedComponents {
     import s.implicits._
     val es = contracted.collect() // bounded by driverFinishEdgeCap
     if (es.isEmpty) return labels
-    // string ids must compare the way the distributed rounds' min/least
-    // do — UTF8String's unsigned-byte (code point) order. Java String
-    // compareTo is UTF-16 code-unit order, which diverges once
-    // supplementary characters mix with U+E000..U+FFFF.
-    def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: String, y: String) =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(x)
-          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
-      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-    }
+    val lt = ltIds _
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x

@@ -58,9 +58,11 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // default maxIters=30 ≫ log2(200)≈8 but ≪ the chain length 200 —
     // convergence inside the cap proves the jump is actually halving.
     // driverFinishEdgeCap=0 keeps the union-find shortcut out of the
-    // way so the distributed rounds are what converges here.
+    // way (and driverWholeGraphNodeCap=0 the tiny-graph fast path) so
+    // the distributed rounds are what converges here.
     val got = ConnectedComponents.labels(
-        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = 0L)
+        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = 0L,
+        driverWholeGraphNodeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.forall(_ == 0L))
   }
@@ -73,7 +75,8 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (rng.nextInt(400).toLong, rng.nextInt(400).toLong))
       .filter(e => e._1 != e._2)
     def run(cap: Long) = ConnectedComponents.labels(
-        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = cap)
+        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = cap,
+        driverWholeGraphNodeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val finished = run(Long.MaxValue) // finish after the first round
     val distributed = run(0L)         // never finish on the driver
@@ -94,7 +97,7 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (cap <- Seq(1L, 25L, 120L)) {
       val got = ConnectedComponents.labels(
           chainIds.toDF("id"), chainEdges.toDF("src", "dst"),
-          driverFinishEdgeCap = cap)
+          driverFinishEdgeCap = cap, driverWholeGraphNodeCap = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == chainWant, s"chain diverged at driverFinishEdgeCap=$cap")
     }
@@ -108,7 +111,7 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       for (cap <- Seq(20L, 200L)) {
         val got = ConnectedComponents.labels(
             ids.toDF("id"), edges.toDF("src", "dst"),
-            driverFinishEdgeCap = cap)
+            driverFinishEdgeCap = cap, driverWholeGraphNodeCap = 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == want, s"seed=$seed cap=$cap diverged")
       }
@@ -125,7 +128,8 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val edges = Seq(("beta", "gamma"), ("gamma", "alpha"),
       ("zeta", "epsilon"))
     def run(cap: Long) = ConnectedComponents.labels(
-        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = cap)
+        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = cap,
+        driverWholeGraphNodeCap = 0L)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val want = Map("alpha" -> "alpha", "beta" -> "alpha",
       "gamma" -> "alpha", "delta" -> "delta",
@@ -150,12 +154,20 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = Seq(repl, mid, emoji2, emoji1)
     val edges = Seq((repl, mid), (mid, emoji2), (emoji2, emoji1))
     def run(cap: Long) = ConnectedComponents.labels(
-        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = cap)
+        ids.toDF("id"), edges.toDF("src", "dst"), driverFinishEdgeCap = cap,
+        driverWholeGraphNodeCap = 0L)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val want = ids.map(_ -> repl).toMap
     assert(run(0L) == want, "distributed rounds should label by UTF8 min")
     assert(run(Long.MaxValue) == want,
       "driver finish diverged from Spark's string ordering on non-BMP ids")
+    // the tiny-graph fast path shares ltIds with driverFinish — pin it
+    // against the same diverging pair (default caps: the fast path fires)
+    val fast = ConnectedComponents.labels(
+        ids.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fast == want,
+      "tiny-graph fast path diverged from Spark's string ordering on non-BMP ids")
   }
 
   test("empty edge set: every node is its own component") {
@@ -180,10 +192,56 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = unionFind(ids, edges)
     val got = ConnectedComponents.labels(
         ids.toDF("id"), edges.toDF("src", "dst"), broadcastNodeCap = 0L,
-        driverFinishEdgeCap = 0L)
+        driverFinishEdgeCap = 0L, driverWholeGraphNodeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
     assert(got.values.toSet.size > 1, "degenerate fixture: one component")
+  }
+
+  test("tiny-graph fast path == distributed rounds (optimization r16)") {
+    import spark.implicits._
+    // at or under driverWholeGraphNodeCap nodes the whole union-find
+    // runs on the driver (zero propagation rounds) — output must stay
+    // identical to the distributed fixed point, duplicate/self/null
+    // edges included
+    val rng = new scala.util.Random(71)
+    val ids = (0L until 300L).toSeq
+    val edges = (0 until 220).map(_ =>
+      (rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    val withDups = edges ++ edges.take(40) // multiset input is legal
+    val fast = ConnectedComponents.labels(
+        ids.toDF("id"), withDups.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.labels(
+        ids.toDF("id"), withDups.toDF("src", "dst"),
+        driverWholeGraphNodeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(fast == unionFind(ids, edges))
+    // null edge endpoints carry no information on either path (an
+    // equi-join never matches NULL) — the fast path must agree
+    val withNulls = withDups.map { case (a, b) => (Some(a), Some(b)) } ++
+      Seq((Some(0L), Option.empty[Long]), (Option.empty[Long], Some(5L)))
+    val fastN = ConnectedComponents.labels(
+        ids.toDF("id"), withNulls.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastN == fast)
+  }
+
+  test("fast-path edge probe overflow falls through to the distributed loop") {
+    import spark.implicits._
+    // 2 nodes pass the node probe at cap=2, but cap²+1 = 5 duplicate
+    // edge rows overflow the bounded edge probe: the fast path must
+    // refuse the driver collect and the distributed loop must still
+    // produce the right labels
+    val ids = Seq(0L, 1L)
+    val edges = Seq.fill(5)((0L, 1L))
+    val got = ConnectedComponents.labels(
+        ids.toDF("id"), edges.toDF("src", "dst"),
+        driverWholeGraphNodeCap = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L))
   }
 
   test("non-convergence throw does not leak the persisted edge relation") {
@@ -199,7 +257,8 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ConnectedComponents.labels(
         (0L until 10L).toDF("id"),
         (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst"),
-        maxIters = 1, driverFinishEdgeCap = 0L)
+        maxIters = 1, driverFinishEdgeCap = 0L,
+        driverWholeGraphNodeCap = 0L)
     }
     assert(spark.sharedState.cacheManager.isEmpty,
       "non-convergence leaked the persisted edge relation")
