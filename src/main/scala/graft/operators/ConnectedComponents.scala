@@ -73,8 +73,8 @@ object ConnectedComponents {
     // large node set it terminates early and costs one cheap job.
     val nodeCapInt = math.min(driverWholeGraphNodeCap,
       Int.MaxValue.toLong - 1).toInt
-    val nodeProbe = nodes.select(col("id"))
-      .limit(nodeCapInt + 1).collect()
+    val nodeProbe = graft.Hygiene.labeled(s, "cc: tiny-graph probe")(
+      nodes.select(col("id")).limit(nodeCapInt + 1).collect())
     if (nodeProbe.length <= nodeCapInt) {
       // the edge collect is bounded too: a tiny node set admits at most
       // n² DISTINCT directed pairs, but the input is a multiset — an
@@ -88,9 +88,10 @@ object ConnectedComponents {
       val edgeProbeCap = math.min(
         driverWholeGraphNodeCap * driverWholeGraphNodeCap,
         Int.MaxValue.toLong - 1)
-      val es = edgesIn.select(col("src"), col("dst"))
-        .filter(col("src").isNotNull && col("dst").isNotNull)
-        .limit(edgeProbeCap.toInt + 1).collect()
+      val es = graft.Hygiene.labeled(s, "cc: tiny-graph edge collect")(
+        edgesIn.select(col("src"), col("dst"))
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+          .limit(edgeProbeCap.toInt + 1).collect())
       if (es.length <= edgeProbeCap) {
         val idType = nodes.schema("id").dataType
         val parent = scala.collection.mutable.HashMap.empty[Any, Any]
@@ -116,7 +117,7 @@ object ConnectedComponents {
             StructField("label", idType))))
       }
     }
-    val nNodes = nodes.count()
+    val nNodes = graft.Hygiene.labeled(s, "cc: node count")(nodes.count())
     val bcastLabels = nNodes <= broadcastNodeCap
     // pre-partition on the join key only when the label side will
     // shuffle (above the cap); in the broadcast regime every per-round
@@ -128,7 +129,8 @@ object ConnectedComponents {
     try {
       def labelSide(l: DataFrame): DataFrame =
         if (bcastLabels) broadcast(l) else l
-      var labels = nodes.select($"id", $"id".as("label")).localCheckpoint()
+      var labels = graft.Hygiene.labeled(s, "cc: init labels")(
+        nodes.select($"id", $"id".as("label")).localCheckpoint())
       var edgesCur = edges
       var changed = 1L
       var iter = 0
@@ -150,14 +152,16 @@ object ConnectedComponents {
         // would recompute the neighbor join twice per round. The previous
         // label rides along so convergence is a filter+count over this
         // frame — not a fourth join per round.
-        val next = (if (iter == 0) propagated
+        val next = graft.Hygiene.labeled(s, s"cc: round $iter propagate")(
+          (if (iter == 0) propagated
           else propagated.as("x")
             .join(labels.select($"id".as("jid"), $"label".as("jlabel")).as("y"),
               $"x.label" === $"y.jid", "left")
             .select($"x.id".as("id"), $"x.prev".as("prev"),
               least($"x.label", coalesce($"jlabel", $"x.label")).as("label")))
-          .localCheckpoint()
-        changed = next.filter($"label" =!= $"prev").count()
+          .localCheckpoint())
+        changed = graft.Hygiene.labeled(s, s"cc: round $iter changed count")(
+          next.filter($"label" =!= $"prev").count())
         labels = next.select($"id", $"label")
         // CONTRACT the edge set through the fresh labels: an edge whose
         // endpoints already share a label carries no further information
@@ -180,8 +184,9 @@ object ConnectedComponents {
               $"e.dst" === $"did")
             .select($"slabel".as("src"), $"dlabel".as("dst"))
             .filter($"src" =!= $"dst").distinct()
-          edgesCur = (if (bcastLabels) contracted
-            else contracted.repartition($"dst")).localCheckpoint()
+          edgesCur = graft.Hygiene.labeled(s, s"cc: round $iter contract")(
+            (if (bcastLabels) contracted
+            else contracted.repartition($"dst")).localCheckpoint())
           // driver finish: the contracted relation is checkpointed, so
           // this count is a metadata-cheap job; below the cap, resolve
           // the remaining label merges locally (bounded collect — see
@@ -196,12 +201,13 @@ object ConnectedComponents {
             // checkpointed so the node-sized label self-join runs ONCE —
             // the gate count below and the driverFinish collect would
             // otherwise each execute it from scratch
-            val chainPairs = labels.as("a")
+            val chainPairs = graft.Hygiene.labeled(s, "cc: driver finish")(
+              labels.as("a")
               .join(labelSide(labels.select($"id".as("jid"), $"label".as("jlabel"))),
                 $"a.label" === $"jid")
               .filter($"jlabel" =!= $"a.label")
               .select($"a.label".as("src"), $"jlabel".as("dst")).distinct()
-              .localCheckpoint()
+              .localCheckpoint())
             if (eCnt + chainPairs.count() <= driverFinishEdgeCap) {
               labels = driverFinish(labels, edgesCur.unionAll(chainPairs))
               changed = 0L

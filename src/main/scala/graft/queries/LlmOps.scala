@@ -69,11 +69,20 @@ object LlmOps {
     // out of the per-row index array below — otherwise one null element
     // nulls the whole aggregate fold and the doc silently vanishes from
     // every bitmask-path operator.
-    val vocab =
-      d.select(explode($"toks").as("tok")).filter($"tok".isNotNull).distinct()
-    if (vocab.count() > 62) None
+    // ONE probe job, not count-then-collect (optimization r16): the
+    // old shape ran the exploded-token distinct TWICE (a full count,
+    // then the orderBy+collect); limit(63) answers both questions in
+    // one pass — >62 rows back means the bitmask regime is out (and the
+    // limit lets Spark stop early instead of finishing a corpus-wide
+    // distinct just to learn the vocabulary is huge). Bit order stays
+    // the old orderBy's (UTF8String binary order, sorted driver-side),
+    // so masks are bit-identical to the two-job form.
+    val vs = d.select(explode($"toks").as("tok")).filter($"tok".isNotNull)
+      .distinct().limit(63).collect().map(_.getString(0))
+    if (vs.length > 62) None
     else {
-      val idx = vocab.orderBy($"tok").collect().map(_.getString(0))
+      def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      val idx = vs.sortWith((a, b) => u(a).compareTo(u(b)) < 0)
         .zipWithIndex.toMap
       Some(d
         .select($"doc_id",
@@ -151,8 +160,9 @@ object LlmOps {
       else tokenBitmasks(d.select($"doc_id", $"toks")).filter { m =>
         // distinct masks ≤ doc count, so a cheap row count short-circuits
         // the (heavier) distinct-mask count when it can't exceed the cap
-        d.count() <= maxDistinctMasks ||
-          m.select($"mask").distinct().count() <= maxDistinctMasks
+        graft.Hygiene.labeled(s, "neardup: mask-regime guard")(
+          d.count() <= maxDistinctMasks ||
+            m.select($"mask").distinct().count() <= maxDistinctMasks)
       }
     val pairs = masks match {
       case Some(masks) =>
@@ -221,8 +231,9 @@ object LlmOps {
     val masks =
       if (forceInverted) None
       else tokenBitmasks(d.select($"doc_id", $"toks")).filter { m =>
-        d.count() <= maxDistinctMasks ||
-          m.select($"mask").distinct().count() <= maxDistinctMasks
+        graft.Hygiene.labeled(s, "neardup: mask-regime guard")(
+          d.count() <= maxDistinctMasks ||
+            m.select($"mask").distinct().count() <= maxDistinctMasks)
       }
     masks match {
       case Some(masks) =>
@@ -298,8 +309,9 @@ object LlmOps {
     val masks =
       if (forceInverted) None
       else tokenBitmasks(d.select($"doc_id", $"toks")).filter { m =>
-        d.count() <= maxDistinctMasks ||
-          m.select($"mask").distinct().count() <= maxDistinctMasks
+        graft.Hygiene.labeled(s, "neardup: mask-regime guard")(
+          d.count() <= maxDistinctMasks ||
+            m.select($"mask").distinct().count() <= maxDistinctMasks)
       }
     masks match {
       case Some(masks) =>
