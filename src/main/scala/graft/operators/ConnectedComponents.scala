@@ -59,6 +59,14 @@ object ConnectedComponents {
       driverWholeGraphNodeCap: Long = 1000L): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
+    // The node set is derived ONCE (optimization r16): the init-label
+    // checkpoint runs first, and every other whole-set question — the
+    // tiny-graph probe, the broadcast-cap count — reads the checkpointed
+    // blocks instead of re-executing the caller's node derivation
+    // (q57/q80 pass a distinct over the membership relation; the old
+    // probe → count → init order re-ran that distinct three times).
+    val initLabels = graft.Hygiene.labeled(s, "cc: init labels")(
+      nodes.select($"id", $"id".as("label")).localCheckpoint())
     // TINY-GRAPH fast path (optimization r16): at or under
     // `driverWholeGraphNodeCap` nodes the whole problem fits the driver
     // — collect nodes and edges (edges ≤ n²/2 ≈ 500k rows at the
@@ -69,12 +77,13 @@ object ConnectedComponents {
     // pure scheduling tail at any scale — exactly the regime the
     // leakage-safe split hits on a quota-bounded mix. Output identical:
     // min-root union-find IS the distributed fixed point (see
-    // [[driverFinish]]). The probe is a limit(cap+1) collect — on a
-    // large node set it terminates early and costs one cheap job.
+    // [[driverFinish]]). The probe is a limit(cap+1) collect over the
+    // checkpointed labels — block-cache cheap, early-terminating, and
+    // when it does not overflow its length IS the node count.
     val nodeCapInt = math.min(driverWholeGraphNodeCap,
       Int.MaxValue.toLong - 1).toInt
     val nodeProbe = graft.Hygiene.labeled(s, "cc: tiny-graph probe")(
-      nodes.select(col("id")).limit(nodeCapInt + 1).collect())
+      initLabels.select(col("id")).limit(nodeCapInt + 1).collect())
     if (nodeProbe.length <= nodeCapInt) {
       // the edge collect is bounded too: a tiny node set admits at most
       // n² DISTINCT directed pairs, but the input is a multiset — an
@@ -117,7 +126,8 @@ object ConnectedComponents {
             StructField("label", idType))))
       }
     }
-    val nNodes = graft.Hygiene.labeled(s, "cc: node count")(nodes.count())
+    val nNodes = graft.Hygiene.labeled(s, "cc: node count")(
+      initLabels.count()) // block-cache cheap: counts the checkpoint
     val bcastLabels = nNodes <= broadcastNodeCap
     // pre-partition on the join key only when the label side will
     // shuffle (above the cap); in the broadcast regime every per-round
@@ -129,8 +139,7 @@ object ConnectedComponents {
     try {
       def labelSide(l: DataFrame): DataFrame =
         if (bcastLabels) broadcast(l) else l
-      var labels = graft.Hygiene.labeled(s, "cc: init labels")(
-        nodes.select($"id", $"id".as("label")).localCheckpoint())
+      var labels = initLabels
       var edgesCur = edges
       var changed = 1L
       var iter = 0
