@@ -154,6 +154,25 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors == Set(0L, 1L, 3L), s"got $survivors")
   }
 
+  test("tokenBitmasks bit order is UTF8 binary order on non-BMP vocab") {
+    import spark.implicits._
+    // The one-job vocabulary probe (optimization r16) sorts the vocab
+    // DRIVER-side; that sort must match what the old orderBy($"tok")
+    // produced — UTF8String's unsigned-byte order — which diverges from
+    // Java String (UTF-16 code-unit) order once supplementary characters
+    // mix with U+E000..U+FFFF: U+E000 is EE 80 80 in UTF-8 (< the
+    // emoji's F0 9F 98 80) but E000 in UTF-16 (> the surrogate D83D).
+    val priv = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(priv.compareTo(emoji) > 0, "fixture must diverge in UTF-16")
+    val df = Seq((0L, Seq(priv)), (1L, Seq(emoji)), (2L, Seq(priv, emoji)))
+      .toDF("doc_id", "toks")
+    val masks = LlmOps.tokenBitmasks(df).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // UTF8 binary order: priv → bit 0, emoji → bit 1
+    assert(masks == Map(0L -> 1L, 1L -> 2L, 2L -> 3L))
+  }
+
   test("Q36 fallback handles a vocabulary too large for the bitmask path") {
     import spark.implicits._
     // 200-token vocabulary → tokenBitmasks returns None → inverted path
